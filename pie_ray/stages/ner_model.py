@@ -1,0 +1,186 @@
+"""A7 model — numpy linear-CRF sequence tagger for PER spans + high-precision
+pattern channels for EMAIL/PHONE/ADDR/ID.
+
+Architecture (reference's core competence re-expressed numpy-only — torch is
+unavailable in this sandbox, SURVEY.md §0): per-token feature vectors →
+linear emission scores over {O, B-PER, I-PER} → CRF transition matrix →
+batched Viterbi max-path decode, vectorized across all sentences of a batch
+(padded to max length). Weights are deterministic constants built from the
+seeded gazetteer lexicon; on a real deployment the same decode path serves
+learned weights loaded from an ``.npz``.
+
+The model object is built ONCE per NerTagger actor (``__init__``), never per
+batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from pie_ray.sources import gazetteers as gz
+
+# Label ids
+O, B, I = 0, 1, 2
+N_LABELS = 3
+NEG = -1e4
+
+# Feature order: bias, in_first, in_last, initial, dot, comma, cap,
+# other_punct, oov_word (alpha token outside the lexicon, not an initial)
+N_FEATS = 9
+EMISSION_W = np.array(
+    [
+        #  O     B-PER  I-PER
+        [2.0, 0.0, 0.0],  # bias
+        [0.0, 4.0, 2.0],  # token (lowercased) in first-name lexicon
+        [0.0, 2.5, 4.0],  # token in last-name lexicon
+        [0.0, 1.5, 2.0],  # single uppercase letter (initial)
+        [0.5, -2.0, 3.5],  # "."
+        [0.5, -2.0, 3.5],  # ","
+        [0.0, 0.5, 0.5],  # starts with uppercase
+        [0.5, -3.0, -3.0],  # other punctuation
+        [0.0, -2.5, -2.5],  # out-of-lexicon word: strongly prefer O
+    ],
+    dtype=np.float32,
+)
+TRANSITIONS = np.array(
+    [
+        # to:  O     B     I
+        [0.2, 0.0, NEG],  # from O
+        [0.0, -3.0, 1.0],  # from B  (mention-adjacent-to-mention is rare:
+        [0.0, -3.0, 0.5],  # from I   prefer continuing or closing via O)
+    ],
+    dtype=np.float32,
+)
+START = np.array([0.2, 0.0, NEG], dtype=np.float32)
+
+# High-precision pattern channels (priority order for overlap resolution).
+CHANNEL_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}\b"),
+    ("ID", r"\b\d{3}-\d{2}-\d{4}\b|\b[A-Z]{2}\d{7}\b"),
+    ("PHONE", r"\(\d{3}\) \d{3}-\d{4}|\+1 \d{3} \d{3} \d{4}|\b\d{3}-\d{3}-\d{4}\b"),
+    (
+        "ADDR",
+        r"\b\d{1,5} [A-Z][a-z]+ (?:Street|Avenue|Road|Lane|Drive|Boulevard), [A-Z][a-z]+\b",
+    ),
+]
+TYPE_PRIORITY = {"EMAIL": 0, "ID": 1, "PHONE": 2, "ADDR": 3, "PER": 4}
+
+
+class NerModel:
+    """Holds weights, lexicon sets and compiled channel regexes."""
+
+    def __init__(self) -> None:
+        self.first, self.last = gz.name_token_sets()
+        self.w = EMISSION_W
+        self.t = TRANSITIONS
+        self.start = START
+        self.channels = [(t, re.compile(p)) for t, p in CHANNEL_PATTERNS]
+
+    def features(self, tok: str) -> np.ndarray:
+        f = np.zeros(N_FEATS, dtype=np.float32)
+        f[0] = 1.0
+        lo = tok.lower()
+        in_lex = False
+        if lo in self.first:
+            f[1] = 1.0
+            in_lex = True
+        if lo in self.last:
+            f[2] = 1.0
+            in_lex = True
+        is_initial = len(tok) == 1 and tok.isupper()
+        if is_initial:
+            f[3] = 1.0
+        if tok == ".":
+            f[4] = 1.0
+        elif tok == ",":
+            f[5] = 1.0
+        elif not tok[0].isalnum():
+            f[7] = 1.0
+        if tok[0].isupper():
+            f[6] = 1.0
+        if tok[0].isalpha() and not in_lex and not is_initial:
+            f[8] = 1.0
+        return f
+
+    def emissions(self, tokens: list[str]) -> np.ndarray:
+        """(L, 3) emission scores."""
+        if not tokens:
+            return np.zeros((0, N_LABELS), dtype=np.float32)
+        feats = np.stack([self.features(t) for t in tokens])
+        return feats @ self.w
+
+
+def viterbi_batch(emissions: list[np.ndarray], trans: np.ndarray, start: np.ndarray):
+    """Vectorized Viterbi over a batch of variable-length sentences.
+
+    emissions: list of (L_i, 3) arrays. Returns list of int label paths.
+    Pads to max length and runs one dp across the whole batch — this is the
+    batched decode the actor applies to every sentence of every document in
+    an Arrow batch at once.
+    """
+    n = len(emissions)
+    if n == 0:
+        return []
+    lens = np.array([e.shape[0] for e in emissions], dtype=np.int64)
+    maxlen = int(lens.max(initial=0))
+    if maxlen == 0:
+        return [[] for _ in emissions]
+    em = np.zeros((n, maxlen, N_LABELS), dtype=np.float32)
+    for i, e in enumerate(emissions):
+        if e.shape[0]:
+            em[i, : e.shape[0]] = e
+    dp = em[:, 0] + start[None, :]  # (n, 3)
+    bp = np.zeros((n, maxlen, N_LABELS), dtype=np.int8)
+    for t in range(1, maxlen):
+        cand = dp[:, :, None] + trans[None, :, :]  # (n, from, to)
+        best_from = cand.argmax(axis=1)  # (n, to)
+        best_score = np.take_along_axis(cand, best_from[:, None, :], axis=1)[:, 0, :]
+        # freeze dp for sentences already past their length: dp[i] then holds
+        # the value at that sentence's true final step L_i - 1
+        alive = (lens > t)[:, None]
+        dp = np.where(alive, em[:, t] + best_score, dp)
+        bp[:, t] = np.where(alive, best_from, 0)
+    finals = dp.argmax(axis=1)
+    paths = []
+    for i in range(n):
+        L = int(lens[i])
+        if L == 0:
+            paths.append([])
+            continue
+        last = int(finals[i])
+        path = [last]
+        for t in range(L - 1, 0, -1):
+            last = int(bp[i, t, last])
+            path.append(last)
+        paths.append(path[::-1])
+    return paths
+
+
+def spans_from_path(path: list[int], tokens: list[tuple[str, int, int]]):
+    """IOB path -> list of (begin_tok_idx, end_tok_idx_exclusive). Trailing
+    punctuation tokens are trimmed (a PER span must end on a word token)."""
+    spans = []
+    s = None
+    for idx, lab in enumerate(path):
+        if lab == B:
+            if s is not None:
+                spans.append((s, idx))
+            s = idx
+        elif lab == I:
+            if s is None:
+                s = idx  # tolerate I without B (shouldn't occur: O->I blocked)
+        else:
+            if s is not None:
+                spans.append((s, idx))
+                s = None
+    if s is not None:
+        spans.append((s, len(path)))
+    trimmed = []
+    for b, e in spans:
+        while e > b and not tokens[e - 1][0][0].isalnum():
+            e -= 1
+        if e > b:
+            trimmed.append((b, e))
+    return trimmed

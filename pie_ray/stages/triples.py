@@ -1,0 +1,130 @@
+"""A8/A9 — triple emission and exact global dedup.
+
+Triple emission is doc-local (no shuffle): within each sentence, every PER
+mention pairs with every co-occurring EMAIL/PHONE/ADDR/ID mention ->
+``(per_key, has_*, value_norm)``; PER×PER in the same sentence ->
+``co_mentioned_with`` (subj = min key, obj = max key); each distinct person on
+the page -> ``(per_key, appears_on, domain(url))``. Subjects (and
+co_mentioned objects) are PRE-canonicalization entity keys ("per:<norm>");
+A13 rewrites them through the canon map.
+
+Exact dedup (A9) is the first pipeline shuffle: hash-partition on
+(subj, pred, obj), keep min(warc_ts) / max(score) as provenance — expressed
+with partial per-batch combining before the global groupby so the shuffle
+moves pre-deduplicated rows (SURVEY.md §4 "pre-aggregate inside map_batches").
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pie_ray import schemas
+from pie_ray.normalize import entity_key
+
+ATTR_PRED = {
+    "EMAIL": "has_email",
+    "PHONE": "has_phone",
+    "ADDR": "has_address",
+    "ID": "has_id",
+}
+
+
+def triples_for_doc(domain: str, mentions: list[dict]) -> list[tuple[str, str, str, float]]:
+    """Raw (subj, pred, obj, score) triples for one document's mentions."""
+    by_sent: dict[int, list[dict]] = {}
+    for m in mentions:
+        by_sent.setdefault(m["sent_id"], []).append(m)
+
+    out: set[tuple[str, str, str]] = set()
+    scores: dict[tuple[str, str, str], float] = {}
+    persons_on_page: set[str] = set()
+
+    def add(s: str, p: str, o: str, sc: float) -> None:
+        k = (s, p, o)
+        out.add(k)
+        scores[k] = max(scores.get(k, 0.0), sc)
+
+    for ms in by_sent.values():
+        pers = [m for m in ms if m["ent_type"] == "PER"]
+        attrs = [m for m in ms if m["ent_type"] != "PER"]
+        pkeys = sorted({entity_key("PER", m["norm"]) for m in pers})
+        persons_on_page.update(pkeys)
+        for pk in pkeys:
+            for a in attrs:
+                add(pk, ATTR_PRED[a["ent_type"]], a["norm"],
+                    min(1.0, a["score"]))
+        for i in range(len(pkeys)):
+            for j in range(i + 1, len(pkeys)):
+                add(pkeys[i], "co_mentioned_with", pkeys[j], 1.0)
+    for pk in sorted(persons_on_page):
+        add(pk, "appears_on", domain, 1.0)
+    return [(s, p, o, scores[(s, p, o)]) for (s, p, o) in sorted(out)]
+
+
+def emit_triples_grouped(group: pa.Table) -> pa.Table:
+    """A8 as a ``groupby("url").map_groups`` body over T2 mentions — the
+    unfused path (used when T2 is checkpointed and re-read; the fused
+    NerTagger(emit='triples') path avoids this shuffle)."""
+    from pie_ray.normalize import url_domain
+
+    url = group.column("url")[0].as_py()
+    ts = group.column("warc_ts")[0].as_py()
+    mentions = group.select(
+        ["ent_type", "surface", "norm", "begin", "end", "sent_id", "score"]
+    ).to_pylist()
+    rows = {k: [] for k in schemas.TRIPLES.names}
+    for s, p, o, sc in triples_for_doc(url_domain(url), mentions):
+        rows["subj"].append(s)
+        rows["pred"].append(p)
+        rows["obj"].append(o)
+        rows["url"].append(url)
+        rows["warc_ts"].append(ts)
+        rows["score"].append(sc)
+    return pa.table(
+        {n: pa.array(rows[n], type=schemas.TRIPLES.field(n).type)
+         for n in schemas.TRIPLES.names},
+        schema=schemas.TRIPLES,
+    )
+
+
+def _partial_dedup(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse duplicate (subj,pred,obj) before the
+    shuffle, keeping min(warc_ts), min(url) provenance and max(score)."""
+    if batch.num_rows == 0:
+        return batch
+    gb = batch.group_by(["subj", "pred", "obj"]).aggregate(
+        [("warc_ts", "min"), ("url", "min"), ("score", "max")]
+    )
+    return gb.rename_columns(["subj", "pred", "obj", "warc_ts", "url", "score"])
+
+
+def dedup_triples(ds):
+    """A9 — global exact dedup of raw triples (Dataset of TRIPLES schema).
+
+    Two-phase: vectorized per-batch combine (Arrow ``Table.group_by``), then
+    the global hash shuffle over the already-shrunk rows.
+    """
+    from ray.data.aggregate import Max, Min
+
+    partial = ds.map_batches(_partial_dedup, batch_format="pyarrow")
+    final = partial.groupby(["subj", "pred", "obj"]).aggregate(
+        Min("warc_ts", alias_name="warc_ts"),
+        Min("url", alias_name="url"),
+        Max("score", alias_name="score"),
+    )
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
+                "score": pc.cast(batch.column("score"), pa.float32()),
+            },
+            schema=schemas.TRIPLES,
+        )
+
+    return final.map_batches(_cast, batch_format="pyarrow")

@@ -1,0 +1,57 @@
+"""Deterministic hashing / seeding helpers.
+
+All randomness in the engine (synthetic corpus, MinHash permutations,
+partition assignment) derives from these so results are independent of
+partitioning, parallelism level, and Python's per-process hash seed.
+No third-party hash libs (xxhash/mmh3 unavailable in the sandbox) —
+blake2b from hashlib is fast enough and stable everywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def stable_hash64(data: bytes | str, salt: bytes = b"") -> int:
+    """Stable 64-bit hash (blake2b, 8-byte digest). Not Python's hash()."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8, key=salt[:64]).digest(), "little"
+    )
+
+
+def stable_hash32(data: bytes | str, salt: bytes = b"") -> int:
+    return stable_hash64(data, salt) & 0xFFFFFFFF
+
+
+def row_seed(base_seed: int, table: str, row_index: int) -> int:
+    """Per-row RNG seed: hash(seed, table, row_index) — FIXTURES.md rule."""
+    return stable_hash64(f"{base_seed}|{table}|{row_index}")
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def hash64_array(strs, salt: bytes = b"") -> np.ndarray:
+    """Vectorized-ish stable 64-bit hash of an iterable of strings -> uint64."""
+    out = np.empty(len(strs), dtype=_U64)
+    h = hashlib.blake2b
+    for i, s in enumerate(strs):
+        if s is None:
+            out[i] = 0
+            continue
+        if isinstance(s, str):
+            s = s.encode("utf-8")
+        out[i] = int.from_bytes(h(s, digest_size=8, key=salt[:64]).digest(), "little")
+    return out
+
+
+def part_of(key: str, num_parts: int) -> int:
+    """Deterministic partition assignment hash(key) % P."""
+    return stable_hash64(key, salt=b"part") % num_parts
