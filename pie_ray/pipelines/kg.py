@@ -1,0 +1,132 @@
+"""E1 — the flagship KG-construction pipeline (SURVEY.md §3.1).
+
+Stages (S1..S6), all streaming Ray Data; parquet checkpoints at shuffle /
+resume boundaries when ``out_dir`` is given:
+
+  S1 extract : read pages -> lang filter -> html_to_text (stateless tasks)
+  S2+S3 ner  : NerTagger actor pool, FUSED mention->triple emission
+               (doc-local pairing; no per-url shuffle), then exact dedup of
+               raw triples (shuffle #1, with per-batch combining)
+  S4 link    : distinct person keys -> MinHash-LSH banding (shuffle #2) ->
+               verified pairs -> connected components -> canon map
+  S5 canon   : broadcast canon map (ray.put once), rewrite subj/obj,
+               re-dedup canonical triples (shuffle #3, tiny)
+  S6 graph   : edge aggregation (combiner + shuffle #4) -> adjacency
+               groupby (shuffle #5) -> partitioned parquet sink
+
+Never calls ray.init — the session is owned by the caller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+
+@dataclass
+class KgConfig:
+    langs: tuple[str, ...] = ("en",)
+    ner_batch_size: int = 256
+    # autoscaling pool: min 1 actor so the stage can never reserve every CPU
+    # and starve the upstream read/generate tasks on small sessions
+    ner_concurrency: int | tuple[int, int] = (1, 4)
+    bands: int = 64
+    band_rows: int = 2
+    tau: float = 0.35
+    num_graph_parts: int = 64
+    force_distributed_cc: bool = False
+    checkpoint: bool = False
+    out_dir: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+def extract_stage(pages_ds, cfg: KgConfig):
+    """S1: T0 -> T1 (en only)."""
+    from pie_ray.stages.extract import extract_batch
+
+    langs = list(cfg.langs)
+    ds = pages_ds.filter(expr=f"lang in {langs!r}" if len(langs) > 1 else f"lang == {langs[0]!r}")
+    return ds.map_batches(extract_batch, batch_format="pyarrow")
+
+
+def raw_triples_stage(extracted_ds, cfg: KgConfig):
+    """S2+S3 fused: T1 -> deduped raw triples (pre-canonicalization)."""
+    from pie_ray.stages.ner import NerTagger
+    from pie_ray.stages.triples import dedup_triples
+
+    raw = extracted_ds.map_batches(
+        NerTagger,
+        fn_constructor_kwargs={"emit": "triples"},
+        batch_format="pyarrow",
+        batch_size=cfg.ner_batch_size,
+        concurrency=cfg.ner_concurrency,
+    )
+    return dedup_triples(raw)
+
+
+def link_stage(raw_triples_ds, cfg: KgConfig) -> dict[str, str]:
+    """S4: canon map from distinct person keys."""
+    from pie_ray.stages.linking import build_canon_map, distinct_person_keys
+
+    keys = distinct_person_keys(raw_triples_ds)
+    return build_canon_map(
+        keys,
+        bands=cfg.bands,
+        rows=cfg.band_rows,
+        tau=cfg.tau,
+        force_distributed=cfg.force_distributed_cc,
+    )
+
+
+def canonicalize_stage(raw_triples_ds, canon_map: dict[str, str], cfg: KgConfig):
+    """S5: rewrite through canon map (broadcast), re-dedup -> final T3."""
+    import ray
+
+    from pie_ray.stages.linking import CanonMapper
+    from pie_ray.stages.triples import dedup_triples
+
+    canon_ref = ray.put(canon_map)
+    mapped = raw_triples_ds.map_batches(
+        CanonMapper,
+        fn_constructor_kwargs={"canon_ref": canon_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return dedup_triples(mapped)
+
+
+def graph_stage(triples_ds, cfg: KgConfig):
+    """S6: T3 -> adjacency dataset (caller writes or consumes)."""
+    from pie_ray.stages.graph import aggregate_edges, build_adjacency
+
+    edges = aggregate_edges(triples_ds)
+    return build_adjacency(edges, cfg.num_graph_parts)
+
+
+def build_triples(pages_ds, cfg: KgConfig | None = None):
+    """pages -> final canonical triples Dataset (no I/O). The flagship path."""
+    cfg = cfg or KgConfig()
+    extracted = extract_stage(pages_ds, cfg)
+    raw = raw_triples_stage(extracted, cfg).materialize()
+    canon = link_stage(raw, cfg)
+    return canonicalize_stage(raw, canon, cfg)
+
+
+def run_pipeline(pages_ds, out_dir: str, cfg: KgConfig | None = None) -> dict:
+    """Full S1..S6 with parquet outputs under out_dir. Returns artifact paths
+    and row counts. Resume-aware variant lives in pie_ray.pipelines.resume."""
+    from pie_ray.stages.graph import write_graph
+
+    cfg = cfg or KgConfig()
+    triples = build_triples(pages_ds, cfg).materialize()
+    triples_path = f"{out_dir}/triples"
+    triples.write_parquet(triples_path)
+    adj = graph_stage(triples, cfg)
+    graph_path = f"{out_dir}/graph"
+    write_graph(adj, graph_path)
+    return {
+        "triples_path": triples_path,
+        "graph_path": graph_path,
+        "n_triples": triples.count(),
+    }

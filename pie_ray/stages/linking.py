@@ -1,0 +1,286 @@
+"""A10–A13 — entity linking: MinHash signatures, LSH banding, candidate-pair
+verification, connected components, canonicalization.
+
+Linking rule (frozen, shared with the golden oracle): two entity keys link
+iff exact char-3-gram Jaccard(norm_a, norm_b) >= TAU. MinHash-LSH is the
+*blocking* approximation: banding proposes candidate pairs, every candidate
+is verified with the TRUE Jaccard, so precision is exact and only recall
+depends on (bands, rows). Defaults (128 perms, 64 bands x 2 rows) give
+P(candidate | J=0.35) > 0.999.
+
+Scale notes (SURVEY.md §4): the band explode is a stateless map_batches; the
+band groupby is the linking shuffle (hash(band_key)); hot bands are capped at
+MAX_BAND_SIZE members — beyond the cap a sorted chain (n-1 edges) replaces
+the full clique, which preserves within-band connectivity for CC at
+O(n) instead of O(n^2) edges. Connected components: driver union-find below
+CC_DRIVER_THRESHOLD edges, alternating groupby hash-min label propagation
+above it (BTS, ICDE'24 is the scale anchor — PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pie_ray.normalize import char_shingles, jaccard
+from pie_ray.state.dsu import DSU
+from pie_ray.util import stable_hash64
+
+NUM_PERMS = 128
+BANDS = 64
+ROWS = 2
+TAU = 0.35
+MAX_BAND_SIZE = 100
+CC_DRIVER_THRESHOLD = 2_000_000
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perms: int = NUM_PERMS) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multiply-add permutation params (odd a, uint64)."""
+    rng = np.random.default_rng(20240817)
+    a = rng.integers(1, 1 << 62, size=num_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 62, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def minhash_signature(norm: str, num_perms: int = NUM_PERMS) -> np.ndarray:
+    """(num_perms,) uint64 MinHash signature over char-3-gram shingles."""
+    sh = char_shingles(norm)
+    if not sh:
+        return np.zeros(num_perms, dtype=np.uint64)
+    x = np.array([stable_hash64(s) for s in sorted(sh)], dtype=np.uint64)
+    # (P, S) universal-ish hashing with uint64 wraparound; min over shingles
+    vals = _PERM_A[:num_perms, None] * x[None, :] + _PERM_B[:num_perms, None]
+    return vals.min(axis=1)
+
+
+def band_rows_batch(batch: pa.Table, bands: int = BANDS, rows: int = ROWS) -> pa.Table:
+    """A10 — explode each distinct entity_key into `bands` (band_key, key) rows."""
+    keys = batch.column("entity_key").to_pylist()
+    out_band: list[str] = []
+    out_key: list[str] = []
+    for k in keys:
+        norm = k.split(":", 1)[1]
+        sig = minhash_signature(norm, bands * rows)
+        for b in range(bands):
+            chunk = sig[b * rows : (b + 1) * rows]
+            bk = f"{b}:" + "".join(f"{int(v):016x}" for v in chunk)
+            out_band.append(bk)
+            out_key.append(k)
+    return pa.table({"band_key": pa.array(out_band, pa.string()),
+                     "entity_key": pa.array(out_key, pa.string())})
+
+
+def band_pairs_group(group: pa.Table) -> pa.Table:
+    """A11 — candidate pairs within one band group (a < b), hot-band capped."""
+    keys = sorted(set(group.column("entity_key").to_pylist()))
+    pairs_a: list[str] = []
+    pairs_b: list[str] = []
+    if len(keys) <= MAX_BAND_SIZE:
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                pairs_a.append(keys[i])
+                pairs_b.append(keys[j])
+    else:
+        # hot band: sorted chain preserves connectivity at O(n) edges
+        for i in range(len(keys) - 1):
+            pairs_a.append(keys[i])
+            pairs_b.append(keys[i + 1])
+    return pa.table({"a": pa.array(pairs_a, pa.string()),
+                     "b": pa.array(pairs_b, pa.string())})
+
+
+def verify_pairs_batch(batch: pa.Table, tau: float = TAU) -> pa.Table:
+    """A11 verify — keep candidate pairs with TRUE Jaccard >= tau."""
+    a = batch.column("a").to_pylist()
+    b = batch.column("b").to_pylist()
+    keep = [
+        jaccard(char_shingles(x.split(":", 1)[1]), char_shingles(y.split(":", 1)[1]))
+        >= tau
+        for x, y in zip(a, b)
+    ]
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
+def candidate_pairs(keys_ds, bands: int = BANDS, rows: int = ROWS, tau: float = TAU):
+    """Distinct entity_key Dataset -> verified similar pair Dataset (a, b)."""
+    banded = keys_ds.map_batches(
+        lambda t: band_rows_batch(t, bands, rows), batch_format="pyarrow"
+    )
+    pairs = banded.groupby("band_key").map_groups(
+        band_pairs_group, batch_format="pyarrow"
+    )
+    return pairs.map_batches(
+        lambda t: verify_pairs_batch(t, tau), batch_format="pyarrow"
+    )
+
+
+# ---- A12: connected components -----------------------------------------
+
+
+def cc_driver(pairs_rows: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver union-find path: edge list -> {key: canon_id (min member)}.
+    Only for candidate-edge sets below CC_DRIVER_THRESHOLD."""
+    dsu = DSU()
+    for a, b in pairs_rows:
+        dsu.union(a, b)
+    return dsu.canon_map()
+
+
+def cc_distributed(pairs_ds, max_rounds: int = 20):
+    """Alternating-groupby hash-min label propagation (scale path).
+
+    labels(node) starts as node; each round every node takes the min label
+    over itself and its neighbors; converges in O(component diameter)
+    rounds (alias clusters: <= 3). Returns Dataset (node, label).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays([t.column("a").combine_chunks(), t.column("b").combine_chunks()]),
+                "dst": pa.concat_arrays([t.column("b").combine_chunks(), t.column("a").combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+    labels = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("src"),
+                "label": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # propagate: each edge ships src's current label to dst
+        lab_edges = edges.join(
+            labels, join_type="inner", num_partitions=16,
+            on=("src",), right_on=("node",),
+        )
+        msgs = lab_edges.map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        # convergence check: fingerprint of (node, label) assignments
+        old_fp = _labels_fingerprint(labels)
+        new_fp = _labels_fingerprint(new_labels)
+        labels = new_labels
+        if old_fp == new_fp:
+            break
+    return labels
+
+
+def _labels_fingerprint(labels_ds) -> int:
+    def fp_batch(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_pylist()
+        labs = t.column("label").to_pylist()
+        # per-element 40-bit values: the cross-batch int64 Sum cannot overflow
+        s = sum(stable_hash64(f"{n}\x00{l}") & ((1 << 40) - 1) for n, l in zip(nodes, labs))
+        return pa.table({"fp": pa.array([s], pa.int64())})
+
+    parts = labels_ds.map_batches(fp_batch, batch_format="pyarrow")
+    return int(parts.sum("fp"))
+
+
+def build_canon_map(
+    keys_ds,
+    bands: int = BANDS,
+    rows: int = ROWS,
+    tau: float = TAU,
+    force_distributed: bool = False,
+) -> dict[str, str]:
+    """A10–A12 end to end: distinct keys -> {entity_key: canon_id}.
+
+    Keys in no component are omitted (identity mapping is the default at
+    lookup time). Uses driver union-find below CC_DRIVER_THRESHOLD verified
+    edges, distributed hash-min above (or when forced)."""
+    pairs = candidate_pairs(keys_ds, bands, rows, tau).materialize()
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return {}
+    if n_edges <= CC_DRIVER_THRESHOLD and not force_distributed:
+        rows_ = pairs.take_all()
+        return cc_driver([(r["a"], r["b"]) for r in rows_])
+    labels = cc_distributed(pairs)
+    return {r["node"]: r["label"] for r in labels.take_all()}
+
+
+# ---- A13: canonicalize --------------------------------------------------
+
+
+class CanonMapper:
+    """Broadcast map-side canonicalization: the canon map is ray.put() once
+    and each actor resolves the ObjectRef in __init__ (never per batch).
+
+    Rewrites `subj` always and `obj` only for co_mentioned_with rows (the
+    only predicate whose object is an entity key). Unmapped keys are their
+    own canon. After rewriting, subj/obj of co-mention rows are re-ordered
+    (subj = min) so the dedup key stays canonical."""
+
+    def __init__(self, canon_ref) -> None:
+        import ray
+
+        self.canon: dict[str, str] = ray.get(canon_ref) if canon_ref is not None else {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        canon = self.canon
+        subj = [canon.get(s, s) for s in batch.column("subj").to_pylist()]
+        preds = batch.column("pred").to_pylist()
+        obj = [
+            canon.get(o, o) if p == "co_mentioned_with" else o
+            for o, p in zip(batch.column("obj").to_pylist(), preds)
+        ]
+        # keep co-mention pairs ordered (subj < obj); drop self-loops
+        keep = []
+        for i, p in enumerate(preds):
+            if p == "co_mentioned_with":
+                if subj[i] == obj[i]:
+                    keep.append(False)
+                    continue
+                if subj[i] > obj[i]:
+                    subj[i], obj[i] = obj[i], subj[i]
+            keep.append(True)
+        out = pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": batch.column("pred"),
+                "obj": pa.array(obj, pa.string()),
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "score": batch.column("score"),
+            }
+        )
+        return out.filter(pa.array(keep, pa.bool_()))
+
+
+def distinct_person_keys(raw_triples_ds):
+    """Distinct pre-canon person entity keys from raw triples (subjects are
+    always person keys; co_mentioned objects too). Stays a Dataset."""
+    def keys_batch(t: pa.Table) -> pa.Table:
+        subj = t.column("subj").to_pylist()
+        pred = t.column("pred").to_pylist()
+        obj = t.column("obj").to_pylist()
+        ks = set(subj)
+        ks.update(o for o, p in zip(obj, pred) if p == "co_mentioned_with")
+        return pa.table({"entity_key": pa.array(sorted(ks), pa.string())})
+
+    keyed = raw_triples_ds.map_batches(keys_batch, batch_format="pyarrow")
+    return keyed.groupby("entity_key").count().select_columns(["entity_key"])
