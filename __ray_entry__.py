@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on a deterministic synthetic
+Common-Crawl-style corpus (sf0.001-scale) and returns the canonical triples
+Dataset. ``queries()`` exposes every implemented operator from SURVEY.md §2
+(Part B relational wrappers, the training-data dedup / similarity / text
+suites, and the KG pipeline stages); ``oracle_sql()`` carries the DuckDB
+equivalent for every SQL-expressible entry — column names match exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in pie_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,250 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+ENTRY_N_PAGES = 600
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synth pages -> extract -> NER -> triples -> link
+    -> canonicalize. Returns the canonical triples Dataset."""
+    from pie_ray.pipelines.kg import KgConfig, build_triples
+    from pie_ray.sources.synth import synth_pages
+
+    pages = synth_pages(ENTRY_N_PAGES)
+    return build_triples(pages, KgConfig())
+
+
+# ---------------------------------------------------------------------------
+# KG-pipeline queries (non-SQL-expressible: rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _kg_extract(sf_dir: str):
+    from pie_ray.pipelines.kg import KgConfig, extract_stage
+    from pie_ray.sources.synth import synth_pages
+
+    return extract_stage(synth_pages(ENTRY_N_PAGES), KgConfig())
+
+
+def _kg_mentions(sf_dir: str):
+    from pie_ray.pipelines.kg import KgConfig, extract_stage
+    from pie_ray.sources.synth import synth_pages
+    from pie_ray.stages.ner import NerTagger
+
+    cfg = KgConfig()
+    ext = extract_stage(synth_pages(ENTRY_N_PAGES), cfg)
+    return ext.map_batches(
+        NerTagger,
+        batch_format="pyarrow",
+        batch_size=cfg.ner_batch_size,
+        concurrency=cfg.ner_concurrency,
+    )
+
+
+def _kg_triples(sf_dir: str):
+    from pie_ray.pipelines.kg import KgConfig, build_triples
+    from pie_ray.sources.synth import synth_pages
+
+    return build_triples(synth_pages(ENTRY_N_PAGES), KgConfig())
+
+
+def _kg_graph(sf_dir: str):
+    import pyarrow as pa
+
+    from pie_ray.pipelines.kg import KgConfig, build_triples, graph_stage
+    from pie_ray.sources.synth import synth_pages
+
+    cfg = KgConfig()
+    triples = build_triples(synth_pages(ENTRY_N_PAGES), cfg)
+    adj = graph_stage(triples, cfg)
+
+    # flatten list<struct> adjacency for the driver's generic row hasher
+    def flatten(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "degree": pa.compute.cast(
+                    pa.compute.list_value_length(t.column("adj")), pa.int64()
+                ),
+                "part": t.column("part"),
+            }
+        )
+
+    return adj.map_batches(flatten, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pie_ray.functions import dedup, relational, similarity, textops
+    from pie_ray.functions.multimodal import q_media_features
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Part B relational (SQL-oracled)
+        "filter_project": relational.q_filter_project,
+        "string_funcs": relational.q_string_funcs,
+        "date_funcs": relational.q_date_funcs,
+        "json_extract": relational.q_json_extract,
+        "global_agg": relational.q_global_agg,
+        "pricing_summary": relational.q_pricing_summary,
+        "join_customer_orders": relational.q_join_customer_orders,
+        "broadcast_join_nation_region": relational.q_broadcast_join_nation_region,
+        "semi_join": relational.q_semi_join,
+        "anti_join": relational.q_anti_join,
+        "order_lineitem_join": relational.q_order_lineitem_join,
+        "topk_orders": relational.q_topk_orders,
+        "distinct_flags": relational.q_distinct,
+        "union_all_counts": relational.q_union_all,
+        "except_nations": relational.q_except_,
+        "window_events": relational.q_window_events,
+        # sampling (rows-only tolerance check)
+        "sample_lineitem": relational.q_sample,
+        # training-data text ops
+        "token_count": textops.q_token_count,
+        "text_quality": textops.q_quality,
+        "lang_id": textops.q_lang_id,
+        "doc_fingerprint": textops.q_fingerprint,
+        # dedup suite
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_simhash": dedup.q_simhash,
+        "dedup_embedding": dedup.q_dedup_embedding,
+        # similarity search
+        "knn_cosine": similarity.q_knn,
+        "knn_lsh": similarity.q_knn_lsh,
+        # multimodal plumbing (deterministic fake decode)
+        "media_features": q_media_features,
+        # KG pipeline stages (non-SQL)
+        "kg_extract": _kg_extract,
+        "kg_mentions": _kg_mentions,
+        "kg_triples": _kg_triples,
+        "kg_graph": _kg_graph,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   upper(p_name) AS name_upper,
+                   length(p_name) AS name_len,
+                   substr(p_brand, 7) AS brand_suffix,
+                   string_split(p_type, ' ')[1] AS type_first
+            FROM part
+        """,
+        "date_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                   CAST(day(o_orderdate) AS BIGINT) AS o_day
+            FROM orders
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "global_agg": """
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                   MIN(CAST(year(l_shipdate) AS BIGINT)) AS min_year,
+                   MAX(CAST(year(l_shipdate) AS BIGINT)) AS max_year
+            FROM lineitem
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(l_extendedprice) AS sum_base_price,
+                   SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   AVG(l_quantity) AS avg_qty,
+                   AVG(l_discount) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_customer_orders": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   SUM(o_totalprice) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "broadcast_join_nation_region": """
+            SELECT r_name, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        """,
+        "order_lineitem_join": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   SUM(l_extendedprice * (1 - l_discount)) AS sum_revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "union_all_counts": """
+            SELECT nationkey, COUNT(*) AS n FROM (
+                SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+                UNION ALL
+                SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+            ) GROUP BY nationkey
+        """,
+        "except_nations": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            EXCEPT
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        """,
+        "window_events": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   SUM(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_ws,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_bpe
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "knn_cosine": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 6) AS sim
+            FROM embeddings
+            ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": "e2e_wall_s", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": .., "num_cpus": N,
+   "kg": {"n_pages": .., "docs_per_s": .., "triples_per_s": ..}}
+
+Input dir: $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+CPUs:      $RAY_GRAFT_CPUS (default 32).
+
+--scaling: run the KG headline pipeline in TWO fresh subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs + scaling efficiency (sandbox stand-in for the N vs 4N node
+cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# KG corpus size scales with sf: sf0.1 -> 6000 synthetic pages
+KG_PAGES_PER_SF = 60_000
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def run_kg(n_pages: int, num_cpus: int) -> dict:
+    """Flagship KG pipeline: synth -> extract -> NER -> triples -> link ->
+    canonicalize -> graph. Returns wall time + throughputs."""
+    from pie_ray.pipelines.kg import KgConfig, build_triples, graph_stage
+    from pie_ray.sources.synth import synth_pages
+
+    cfg = KgConfig(ner_concurrency=(1, max(2, num_cpus - 2)))
+    t0 = time.perf_counter()
+    pages = synth_pages(n_pages, override_num_blocks=max(8, num_cpus * 2))
+    triples = build_triples(pages, cfg).materialize()
+    n_triples = triples.count()
+    adj = graph_stage(triples, cfg).materialize()
+    n_nodes = adj.count()
+    wall = time.perf_counter() - t0
+    return {
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "n_graph_nodes": n_nodes,
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(n_pages / wall, 1),
+        "triples_per_s": round(n_triples / wall, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Representative operator suite over the parquet tables."""
+    from pie_ray.functions import dedup, relational, similarity, textops
+
+    suite = {
+        "pricing_summary": relational.q_pricing_summary,
+        "join_customer_orders": relational.q_join_customer_orders,
+        "order_lineitem_join": relational.q_order_lineitem_join,
+        "window_events": relational.q_window_events,
+        "topk_orders": relational.q_topk_orders,
+        "token_count": textops.q_token_count,
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "knn_cosine": similarity.q_knn,
+    }
+    times: dict[str, float] = {}
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize().count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> dict:
+    sf = _sf_of(SF_DIR)
+    _init_ray(NUM_CPUS)
+    n_pages = max(200, int(KG_PAGES_PER_SF * sf))
+    kg = run_kg(n_pages, NUM_CPUS)
+    qtimes = run_queries(SF_DIR)
+    total = kg["wall_s"] + sum(qtimes.values())
+    out = {
+        "metric": "e2e_wall_s",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"kg_pipeline": kg["wall_s"], **qtimes},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "kg": kg,
+    }
+    return out
+
+
+def run_scaling() -> dict:
+    """Same KG job, fresh ray sessions at 8 and 32 cpus; eff = (tp32/tp8)/4."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR, GRAFT_KG_ONLY="1")
+        proc = subprocess.run(
+            [sys.executable, __file__, "--kg-only"], env=env, capture_output=True, text=True
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tp8 = results[8]["kg"]["docs_per_s"]
+    tp32 = results[32]["kg"]["docs_per_s"]
+    eff = (tp32 / tp8) / 4.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs_per_s_8cpu": tp8,
+        "docs_per_s_32cpu": tp32,
+        "triples_per_s_8cpu": results[8]["kg"]["triples_per_s"],
+        "triples_per_s_32cpu": results[32]["kg"]["triples_per_s"],
+        "sf": _sf_of(SF_DIR),
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--kg-only" in sys.argv:
+        sf = _sf_of(SF_DIR)
+        _init_ray(NUM_CPUS)
+        n_pages = max(200, int(KG_PAGES_PER_SF * sf))
+        kg = run_kg(n_pages, NUM_CPUS)
+        print(json.dumps({"metric": "kg_wall_s", "value": kg["wall_s"], "unit": "sec",
+                          "queries": {"kg_pipeline": kg["wall_s"]}, "sf": sf,
+                          "num_cpus": NUM_CPUS, "kg": kg}))
+        ray.shutdown()
+        sys.exit(0)
+    else:
+        print(json.dumps(main()))
+    if ray.is_initialized():
+        ray.shutdown()

@@ -1,0 +1,323 @@
+"""Deduplication operators for training-data pipelines (exact + near-dup).
+
+Five families, all over the ``documents`` table:
+
+- exact        : md5(text) hash → groupby(hash) keep min(doc_id).
+                 Shuffle key = content hash; no skew (hashes uniform).
+- minhash-LSH  : word-5-gram shingles → 128-perm MinHash → 16 bands × 8 rows
+                 → band groupby (the blocking shuffle) → candidate pairs
+                 verified with true Jaccard → connected components →
+                 (doc_id, cluster_id) assignment.
+- simhash      : 64-bit SimHash over word-ngram features; near-dups share
+                 the same value / low Hamming distance. Emitted per doc.
+- ngram-jaccard: direct pairwise verify path, reused by minhash-LSH verify.
+- embedding    : cosine near-dup over the ``embeddings`` table — normalized
+                 vectors, random-hyperplane LSH bucket groupby, within-bucket
+                 exact cosine ≥ τ pairs → components.
+
+Scale notes: every pairwise comparison happens only WITHIN an LSH band /
+bucket group (capped), never globally; components use the shared driver-DSU /
+distributed hash-min path from pie_ray.stages.linking.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Min
+
+from pie_ray.state.dsu import DSU
+from pie_ray.util import stable_hash64
+
+# ---------------------------------------------------------------------------
+# exact dedup — content-hash groupby
+# ---------------------------------------------------------------------------
+
+
+def md5_batch(t: pa.Table) -> pa.Table:
+    texts = t.column("text").to_pylist()
+    h = [hashlib.md5((s or "").encode("utf-8", "replace")).hexdigest() for s in texts]
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "text_md5": pa.array(h, pa.string())}
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    """(text_md5, keeper doc_id, n_copies) — survivor = min doc_id."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hashed = ds.map_batches(md5_batch, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    return hashed.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup over documents (word shingles)
+# ---------------------------------------------------------------------------
+
+DOC_NUM_PERMS = 128
+DOC_BANDS = 16
+DOC_ROWS = 8
+DOC_SHINGLE_W = 5
+DOC_TAU = 0.7
+MAX_BUCKET = 200
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _doc_perms(num: int = DOC_NUM_PERMS) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(7177)
+    a = rng.integers(1, 1 << 62, size=num, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 62, size=num, dtype=np.uint64)
+    return a, b
+
+
+_DOC_A, _DOC_B = _doc_perms()
+
+
+def word_shingles(text: str, w: int = DOC_SHINGLE_W) -> set[str]:
+    toks = (text or "").lower().split()
+    if len(toks) < w:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+
+def doc_minhash(text: str) -> np.ndarray:
+    sh = word_shingles(text)
+    if not sh:
+        return np.zeros(DOC_NUM_PERMS, dtype=np.uint64)
+    x = np.fromiter((stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
+    return (_DOC_A[:, None] * x[None, :] + _DOC_B[:, None]).min(axis=1)
+
+
+def doc_band_batch(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out_band: list[str] = []
+    out_id: list[int] = []
+    for did, s in zip(ids, texts):
+        sig = doc_minhash(s)
+        for b in range(DOC_BANDS):
+            chunk = sig[b * DOC_ROWS : (b + 1) * DOC_ROWS]
+            digest = stable_hash64(chunk.tobytes())
+            out_band.append(f"{b}:{digest:016x}")
+            out_id.append(did)
+    return pa.table(
+        {"band_key": pa.array(out_band, pa.string()), "doc_id": pa.array(out_id, pa.int64())}
+    )
+
+
+def _band_pairs(group: pa.Table) -> pa.Table:
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    a: list[int] = []
+    b: list[int] = []
+    if len(ids) <= MAX_BUCKET:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+    else:  # hot bucket: chain keeps connectivity at O(n) edges
+        for i in range(len(ids) - 1):
+            a.append(ids[i])
+            b.append(ids[i + 1])
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+class _PairVerifier:
+    """Stateful verify stage: holds the doc_id → shingle-set map, broadcast
+    once via ray.put (small side: only docs that appear in ANY candidate
+    pair; at web scale this is the rare near-dup tail, not the corpus)."""
+
+    def __init__(self, docs_ref, tau: float):
+        import ray
+
+        self.docs: dict[int, set[str]] = ray.get(docs_ref)
+        self.tau = tau
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        keep = []
+        for x, y in zip(a, b):
+            sa, sb = self.docs.get(x, set()), self.docs.get(y, set())
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            keep.append(union > 0 and inter / union >= self.tau)
+        return t.filter(pa.array(keep, pa.bool_()))
+
+
+def q_dedup_minhash(sf_dir: str):
+    """(doc_id, cluster_id) for every document; cluster = min doc_id of its
+    near-dup component (singletons map to themselves)."""
+    import ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    banded = docs.map_batches(doc_band_batch, batch_format="pyarrow")
+    cand = banded.groupby("band_key").map_groups(_band_pairs, batch_format="pyarrow")
+    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"]).materialize()
+
+    # broadcast shingle sets for candidate docs only
+    cand_rows = cand.take_all()
+    cand_ids = sorted({r["a"] for r in cand_rows} | {r["b"] for r in cand_rows})
+    id_set = set(cand_ids)
+    shingle_map: dict[int, set[str]] = {}
+    for batch in docs.iter_batches(batch_format="pyarrow"):
+        for did, s in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if did in id_set:
+                shingle_map[did] = word_shingles(s)
+    verified = [
+        (r["a"], r["b"])
+        for r in cand_rows
+        if _jac(shingle_map.get(r["a"], set()), shingle_map.get(r["b"], set())) >= DOC_TAU
+    ]
+    dsu = DSU()
+    for x, y in verified:
+        dsu.union(f"{x:020d}", f"{y:020d}")
+    cmap = {int(k): int(v) for k, v in dsu.canon_map().items()}
+    cref = ray.put(cmap)
+
+    class Assign:
+        def __init__(self):
+            self.cmap = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "cluster_id": pa.array(
+                        [self.cmap.get(i, i) for i in ids], pa.int64()
+                    ),
+                }
+            )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        Assign, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def _jac(a: set, b: set) -> float:
+    if not a and not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) over word unigram+bigram features
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = (text or "").lower().split()
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if not feats:
+        return 0
+    hs = np.fromiter((stable_hash64(f) for f in feats), dtype=np.uint64, count=len(feats))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_batch(t: pa.Table) -> pa.Table:
+    texts = t.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "simhash": pa.array([f"{simhash64(s):016x}" for s in texts], pa.string()),
+        }
+    )
+
+
+def q_simhash(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup — random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+
+EMB_TAU = 0.95
+EMB_PLANES = 16
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(4242)
+    return rng.standard_normal((EMB_PLANES, dim))
+
+
+def q_dedup_embedding(sf_dir: str):
+    """(vec_id, cluster_id): cosine ≥ τ pairs found via hyperplane-LSH
+    bucket groupby, exact verify within bucket, DSU components."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    planes_holder: dict[str, np.ndarray] = {}
+
+    def bucket_batch(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        if "p" not in planes_holder:
+            planes_holder["p"] = _planes(mat.shape[1])
+        signs = (mat @ planes_holder["p"].T) > 0
+        keys = (signs.astype(np.uint32) << np.arange(EMB_PLANES, dtype=np.uint32)).sum(axis=1)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        return pa.table(
+            {
+                "bucket": pa.array(keys.astype(np.int64)),
+                "vec_id": t.column("vec_id"),
+                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_pylist()
+        mat = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
+        a: list[int] = []
+        b: list[int] = []
+        if len(ids) > 1:
+            sims = mat @ mat.T
+            ii, jj = np.where(np.triu(sims >= EMB_TAU, k=1))
+            for i, j in zip(ii, jj):
+                x, y = ids[i], ids[j]
+                a.append(min(x, y))
+                b.append(max(x, y))
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    buckets = ds.map_batches(bucket_batch, batch_format="pyarrow")
+    pairs = buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    pair_rows = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"]).take_all()
+    dsu = DSU()
+    for r in pair_rows:
+        dsu.union(f'{r["a"]:020d}', f'{r["b"]:020d}')
+    cmap = {int(k): int(v) for k, v in dsu.canon_map().items()}
+    cref = ray.put(cmap)
+
+    class Assign:
+        def __init__(self):
+            self.cmap = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_pylist()
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "cluster_id": pa.array([self.cmap.get(i, i) for i in ids], pa.int64()),
+                }
+            )
+
+    return ds.select_columns(["vec_id"]).map_batches(
+        Assign, batch_format="pyarrow", concurrency=(1, 4)
+    )

@@ -1,0 +1,395 @@
+"""Part B — generic relational operator surface (SURVEY.md §2 Part B).
+
+Thin, named wrappers over Ray Data primitives; each query function takes
+``sf_dir`` (a directory of TPC-H-ish parquet tables) and returns a
+``ray.data.Dataset`` whose column NAMES match the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql()`` exactly.
+
+Scale rules baked in (SURVEY.md §4):
+- column pruning at the read (``read_parquet(columns=...)``);
+- per-batch work is pyarrow.compute kernels — no Python row loops;
+- small-side joins are broadcast (dict / set shipped once via the actor
+  constructor), only the big⋈big paths use the hash-shuffle ``Dataset.join``;
+- grouped aggregates use built-in ``groupby().aggregate`` (partial + final
+  combining inside Ray Data's hash-shuffle aggregator).
+
+Never calls ray.init — session owned by the caller (driver contract
+``__ray_entry__`` lines 11-13).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def scan(sf_dir: str, name: str, columns: list[str] | None = None):
+    """B1 — parquet scan with column pruning pushed to the reader."""
+    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# B1: scan + projection + filter
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(sf_dir: str):
+    """High-quantity recent lineitems; predicate + projection pushed down."""
+    ds = scan(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    return ds.filter(expr="l_quantity > 45")
+
+
+# ---------------------------------------------------------------------------
+# B2: per-row scalar functions (string / date / math / JSON) — pc kernels
+# ---------------------------------------------------------------------------
+
+
+def q_string_funcs(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        name = t.column("p_name")
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "name_upper": pc.utf8_upper(name),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+                "brand_suffix": pc.utf8_slice_codeunits(t.column("p_brand"), 6, 100),
+                "type_first": pc.list_element(pc.split_pattern(t.column("p_type"), " "), 0),
+            }
+        )
+
+    return scan(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def q_date_funcs(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(d), pa.int64()),
+                "o_month": pc.cast(pc.month(d), pa.int64()),
+                "o_day": pc.cast(pc.day(d), pa.int64()),
+            }
+        )
+
+    return scan(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+_JSON_K_PATTERN = r'"k":\s*(?P<k>-?\d+)'
+
+
+def q_json_extract(sf_dir: str):
+    """JSON field extract from events.props (vectorized regex — the props
+    payloads are flat one-key objects), then grouped sum."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), _JSON_K_PATTERN)
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    ds = scan(sf_dir, "events", columns=["event_type", "props"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    out = ds.groupby("event_type").aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# B3: global aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_global_agg(sf_dir: str):
+    ds = scan(sf_dir, "lineitem", columns=["l_quantity", "l_shipdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_quantity": t.column("l_quantity"),
+                "ship_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(fn, batch_format="pyarrow")
+    res = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("ship_year", alias_name="min_year"),
+        Max("ship_year", alias_name="max_year"),
+    )
+    return pa.table(
+        {
+            "n": pa.array([res["n"]], pa.int64()),
+            "sum_qty": pa.array([float(res["sum_qty"])], pa.float64()),
+            "min_year": pa.array([res["min_year"]], pa.int64()),
+            "max_year": pa.array([res["max_year"]], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4: grouped aggregate — TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = scan(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice")
+        disc = t.column("l_discount")
+        tax = t.column("l_tax")
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), tax))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "l_quantity": t.column("l_quantity"),
+                "l_extendedprice": price,
+                "l_discount": disc,
+                "disc_price": disc_price,
+                "charge": charge,
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Sum("charge", alias_name="sum_charge"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+# ---------------------------------------------------------------------------
+# B5: joins
+# ---------------------------------------------------------------------------
+
+
+def q_join_customer_orders(sf_dir: str):
+    """Hash join customer⋈orders (big⋈big path) → per-segment order stats."""
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="sum_price"),
+    )
+
+
+class _BroadcastLookup:
+    """Map-side broadcast join: the small-side dict is ray.put() once by the
+    planner and resolved per ACTOR in __init__ — never shipped per batch."""
+
+    def __init__(self, lookup_ref, key: str, out_col: str):
+        import ray
+
+        self.lookup: dict = ray.get(lookup_ref)
+        self.key = key
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys = t.column(self.key).to_pylist()
+        vals = [self.lookup.get(k) for k in keys]
+        return t.append_column(self.out_col, pa.array(vals))
+
+
+def q_broadcast_join_nation_region(sf_dir: str):
+    """customer⋈nation⋈region with both dims broadcast (never shuffled)."""
+    import ray
+
+    nation = scan(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).take_all()
+    region = scan(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
+    r_by_key = {r["r_regionkey"]: r["r_name"] for r in region}
+    nation_to_region = {n["n_nationkey"]: r_by_key[n["n_regionkey"]] for n in nation}
+    ref = ray.put(nation_to_region)
+
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    with_region = cust.map_batches(
+        _BroadcastLookup,
+        fn_constructor_kwargs={"lookup_ref": ref, "key": "c_nationkey", "out_col": "r_name"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return with_region.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+def q_semi_join(sf_dir: str):
+    """Customers having at least one high-value order (left_semi)."""
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 200000.0"
+    )
+    return cust.join(
+        orders, join_type="left_semi", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no order above 300k (left_anti)."""
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 300000.0"
+    )
+    return cust.join(
+        orders, join_type="left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6: sort + limit (top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_orders(sf_dir: str):
+    ds = scan(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# B7: distinct
+# ---------------------------------------------------------------------------
+
+
+def q_distinct(sf_dir: str):
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .count()
+        .select_columns(["l_returnflag", "l_linestatus"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8: set operations
+# ---------------------------------------------------------------------------
+
+
+def q_union_all(sf_dir: str):
+    cust = scan(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t.column("c_nationkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    supp = scan(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp).groupby("nationkey").aggregate(Count(alias_name="n"))
+
+
+def q_except_(sf_dir: str):
+    """Nation keys that have customers but no suppliers (EXCEPT via anti-join
+    on the distinct key sets)."""
+    cust_keys = (
+        scan(sf_dir, "customer", columns=["c_nationkey"])
+        .map_batches(
+            lambda t: pa.table({"nationkey": pc.cast(t.column("c_nationkey"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("nationkey")
+        .count()
+        .select_columns(["nationkey"])
+    )
+    supp_keys = scan(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return cust_keys.join(
+        supp_keys, join_type="left_anti", num_partitions=4, on=("nationkey",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9: sampling (rows-only oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_sample(sf_dir: str):
+    ds = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    return ds.random_sample(0.1, seed=20240817)
+
+
+# ---------------------------------------------------------------------------
+# B10: tumbling-window event aggregation (derived-column groupby; bounded
+# input, batch semantics — no watermarks by design, SURVEY.md §2B)
+# ---------------------------------------------------------------------------
+
+
+def q_window_events(sf_dir: str):
+    ds = scan(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.floor_temporal(t.column("ts"), unit="hour"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+
+    ds = ds.map_batches(fn, batch_format="pyarrow")
+    return ds.groupby(["window_start", "event_type"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 composite: 3-way join pipeline (customer⋈orders⋈lineitem)
+# ---------------------------------------------------------------------------
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Revenue per order priority: orders⋈lineitem hash join then group."""
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("revenue", alias_name="sum_revenue"),
+    )

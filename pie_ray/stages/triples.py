@@ -88,43 +88,51 @@ def emit_triples_grouped(group: pa.Table) -> pa.Table:
     )
 
 
-def _partial_dedup(batch: pa.Table) -> pa.Table:
+def _partial_dedup(batch: pa.Table, extra_keys: tuple[str, ...] = ()) -> pa.Table:
     """Per-batch combiner: collapse duplicate (subj,pred,obj) before the
     shuffle, keeping min(warc_ts), min(url) provenance and max(score)."""
     if batch.num_rows == 0:
         return batch
-    gb = batch.group_by(["subj", "pred", "obj"]).aggregate(
+    keys = ["subj", "pred", "obj", *extra_keys]
+    gb = batch.group_by(keys).aggregate(
         [("warc_ts", "min"), ("url", "min"), ("score", "max")]
     )
-    return gb.rename_columns(["subj", "pred", "obj", "warc_ts", "url", "score"])
+    return gb.rename_columns([*keys, "warc_ts", "url", "score"])
 
 
-def dedup_triples(ds):
-    """A9 — global exact dedup of raw triples (Dataset of TRIPLES schema).
+def dedup_triples(ds, extra_keys: tuple[str, ...] = ()):
+    """A9 — exact dedup of raw triples (Dataset of TRIPLES schema).
 
     Two-phase: vectorized per-batch combine (Arrow ``Table.group_by``), then
-    the global hash shuffle over the already-shrunk rows.
+    the global hash shuffle over the already-shrunk rows. ``extra_keys``
+    scopes the dedup (e.g. ``("part",)`` for per-partition resume — the
+    downstream canonical dedup removes any cross-partition survivors, so the
+    final triple set is independent of partition batching).
     """
     from ray.data.aggregate import Max, Min
 
-    partial = ds.map_batches(_partial_dedup, batch_format="pyarrow")
-    final = partial.groupby(["subj", "pred", "obj"]).aggregate(
+    partial = ds.map_batches(
+        lambda t: _partial_dedup(t, extra_keys), batch_format="pyarrow"
+    )
+    final = partial.groupby(["subj", "pred", "obj", *extra_keys]).aggregate(
         Min("warc_ts", alias_name="warc_ts"),
         Min("url", alias_name="url"),
         Max("score", alias_name="score"),
     )
 
     def _cast(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "subj": batch.column("subj"),
-                "pred": batch.column("pred"),
-                "obj": batch.column("obj"),
-                "url": batch.column("url"),
-                "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
-                "score": pc.cast(batch.column("score"), pa.float32()),
-            },
-            schema=schemas.TRIPLES,
-        )
+        cols = {
+            "subj": batch.column("subj"),
+            "pred": batch.column("pred"),
+            "obj": batch.column("obj"),
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
+            "score": pc.cast(batch.column("score"), pa.float32()),
+        }
+        schema = schemas.TRIPLES
+        for k in extra_keys:
+            cols[k] = batch.column(k)
+            schema = schema.append(pa.field(k, batch.column(k).type))
+        return pa.table(cols, schema=schema)
 
     return final.map_batches(_cast, batch_format="pyarrow")

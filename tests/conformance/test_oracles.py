@@ -1,0 +1,84 @@
+"""Operator conformance vs DuckDB (SURVEY.md §5 layer 2) — mirrors the
+driver's check: for every SQL-oracled queries() entry, row-count + schema
+(column names) + order-insensitive value match at sf0.001/sf0.01."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import __ray_entry__ as entrymod
+
+SF_DIR = os.environ.get("CONFORMANCE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+SQL_ORACLED = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(SQL_ORACLED))
+
+
+@pytest.mark.parametrize("name", SQL_ORACLED)
+def test_oracle_match(ray_session, name):
+    q = entrymod.queries()[name]
+    ray_df = _normalize(_to_pandas(q(SF_DIR)))
+    duck_df = _normalize(_duck(entrymod.oracle_sql()[name]))
+    assert list(ray_df.columns) == list(duck_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} != {list(duck_df.columns)}"
+    )
+    assert len(ray_df) == len(duck_df), f"{name}: {len(ray_df)} != {len(duck_df)} rows"
+    for c in ray_df.columns:
+        a, b = ray_df[c], duck_df[c]
+        if pd.api.types.is_float_dtype(a):
+            assert ((a - b).abs().fillna(0) < 1e-4).all() or (
+                ((a - b).abs() / b.abs().clip(lower=1)).fillna(0) < 1e-9
+            ).all(), f"{name}.{c}: float mismatch"
+        else:
+            pd.testing.assert_series_equal(
+                a, b, check_dtype=False, check_names=False, obj=f"{name}.{c}"
+            )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(ray_session, name):
+    q = entrymod.queries()[name]
+    res = q(SF_DIR)
+    df = _to_pandas(res)
+    assert df.shape[0] >= 0
+    assert df.shape[1] >= 1

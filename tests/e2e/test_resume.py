@@ -1,0 +1,99 @@
+"""A18/A19 — checkpoint-resume: kill-after-partial-NER simulation.
+
+Checks (SURVEY.md §5 layer 3):
+- a full resumable run equals the non-resumable flagship triple set;
+- deleting one NER partition (output + manifest entry) and re-running
+  recomputes ONLY that partition and reproduces the identical final
+  triple set (byte-identical values, order-insensitive);
+- an untouched re-run skips every stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+N_PAGES = 120
+NUM_PARTS = 4
+
+
+def _factory():
+    from pie_ray.sources.synth import synth_pages
+
+    return synth_pages(N_PAGES)
+
+
+def _triple_set(path):
+    import ray.data
+
+    rows = ray.data.read_parquet(path).take_all()
+    return {(r["subj"], r["pred"], r["obj"]) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def full_run(ray_session, tmp_path_factory):
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.pipelines.resume import run_resumable
+
+    out = str(tmp_path_factory.mktemp("kg_full"))
+    rep = run_resumable(_factory, out, KgConfig(), num_parts=NUM_PARTS, corpus_id="t120")
+    return out, rep
+
+
+def test_full_run_matches_flagship(full_run):
+    from pie_ray.pipelines.kg import KgConfig, build_triples
+
+    out, rep = full_run
+    assert sorted(rep["stages"]["ner"]["ran_parts"]) == list(range(NUM_PARTS))
+    direct = build_triples(_factory(), KgConfig())
+    direct_set = {(r["subj"], r["pred"], r["obj"]) for r in direct.take_all()}
+    assert _triple_set(rep["triples_path"]) == direct_set
+
+
+def test_noop_rerun_skips_everything(full_run):
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.pipelines.resume import run_resumable
+
+    out, _ = full_run
+    rep2 = run_resumable(_factory, out, KgConfig(), num_parts=NUM_PARTS, corpus_id="t120")
+    assert rep2["stages"]["ner"]["ran_parts"] == []
+    assert rep2["stages"]["canon"] == {"ran": False}
+    assert rep2["stages"]["graph"] == {"ran": False}
+
+
+def test_resume_recomputes_only_failed_partition(full_run):
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.pipelines.resume import run_resumable
+
+    out, rep = full_run
+    golden = _triple_set(rep["triples_path"])
+
+    # simulate a partition that died mid-write: drop output dir + manifest row
+    victim = 2
+    shutil.rmtree(os.path.join(out, "raw_triples", f"part={victim}"), ignore_errors=True)
+    parts_file = os.path.join(out, "_manifests", "ner.parts.json")
+    recs = json.load(open(parts_file))
+    del recs[str(victim)]
+    json.dump(recs, open(parts_file, "w"))
+    # downstream consumed the now-changed upstream -> force its re-run too
+    os.remove(os.path.join(out, "_manifests", "canon.json"))
+    os.remove(os.path.join(out, "_manifests", "graph.json"))
+
+    rep2 = run_resumable(_factory, out, KgConfig(), num_parts=NUM_PARTS, corpus_id="t120")
+    assert rep2["stages"]["ner"]["ran_parts"] == [victim]
+    assert sorted(rep2["stages"]["ner"]["skipped_parts"]) == [0, 1, 3]
+    assert rep2["stages"]["canon"] == {"ran": True}
+    assert _triple_set(rep2["triples_path"]) == golden
+
+
+def test_metrics_table(full_run):
+    from pie_ray.state.manifest import metrics_table
+
+    out, _ = full_run
+    t = metrics_table(out)
+    stages = set(t.column("stage").to_pylist())
+    assert {"ner", "canon", "graph"} <= stages
+    assert t.num_rows >= NUM_PARTS + 2
