@@ -24,7 +24,9 @@ def entry() -> Any:
     -> canonicalize. Returns the canonical triples Dataset."""
     from pie_ray.pipelines.kg import KgConfig, build_triples
     from pie_ray.sources.synth import synth_pages
+    from pie_ray.util import tune_data_context
 
+    tune_data_context()
     pages = synth_pages(ENTRY_N_PAGES)
     return build_triples(pages, KgConfig())
 
@@ -88,11 +90,22 @@ def _kg_graph(sf_dir: str):
     return adj.map_batches(flatten, batch_format="pyarrow")
 
 
+def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    def wrapper(sf_dir: str):
+        from pie_ray.util import tune_data_context
+
+        tune_data_context()
+        return fn(sf_dir)
+
+    wrapper.__name__ = getattr(fn, "__name__", "query")
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pie_ray.functions import dedup, relational, similarity, textops
     from pie_ray.functions.multimodal import q_media_features
 
-    return {
+    return {k: _tuned(v) for k, v in {
         # Part B relational (SQL-oracled)
         "filter_project": relational.q_filter_project,
         "string_funcs": relational.q_string_funcs,
@@ -132,7 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _kg_mentions,
         "kg_triples": _kg_triples,
         "kg_graph": _kg_graph,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -42,27 +42,31 @@ class KgConfig:
 
 
 def extract_stage(pages_ds, cfg: KgConfig):
-    """S1: T0 -> T1 (en only)."""
+    """S1: T0 -> T1 (lang-filtered inside the map so the whole
+    read/gen -> extract -> NER chain fuses onto the NER actor pool)."""
     from pie_ray.stages.extract import extract_batch
 
-    langs = list(cfg.langs)
-    ds = pages_ds.filter(expr=f"lang in {langs!r}" if len(langs) > 1 else f"lang == {langs[0]!r}")
-    return ds.map_batches(extract_batch, batch_format="pyarrow")
+    return pages_ds.map_batches(
+        extract_batch, fn_kwargs={"langs": tuple(cfg.langs)}, batch_format="pyarrow"
+    )
 
 
 def raw_triples_stage(extracted_ds, cfg: KgConfig):
-    """S2+S3 fused: T1 -> deduped raw triples (pre-canonicalization)."""
-    from pie_ray.stages.ner import NerTagger
-    from pie_ray.stages.triples import dedup_triples
+    """S2+S3 fused: T1 -> batch-combined raw triples (pre-canonicalization).
 
-    raw = extracted_ds.map_batches(
+    Only the per-batch combiner runs here — the ONE global (subj,pred,obj)
+    dedup shuffle happens post-canonicalization in S5 (it must run there
+    anyway, so a second global shuffle before linking would be pure cost;
+    linking tolerates non-distinct keys by construction)."""
+    from pie_ray.stages.ner import NerTagger
+
+    return extracted_ds.map_batches(
         NerTagger,
         fn_constructor_kwargs={"emit": "triples"},
         batch_format="pyarrow",
         batch_size=cfg.ner_batch_size,
         concurrency=cfg.ner_concurrency,
     )
-    return dedup_triples(raw)
 
 
 def link_stage(raw_triples_ds, cfg: KgConfig) -> dict[str, str]:
@@ -87,11 +91,14 @@ def canonicalize_stage(raw_triples_ds, canon_map: dict[str, str], cfg: KgConfig)
     from pie_ray.stages.triples import dedup_triples
 
     canon_ref = ray.put(canon_map)
+    # cap the pool at half the cluster so the downstream dedup-shuffle tasks
+    # are never starved behind this pool's CPU reservation
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
     mapped = raw_triples_ds.map_batches(
         CanonMapper,
         fn_constructor_kwargs={"canon_ref": canon_ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, max(2, min(16, ncpus // 2))),
     )
     return dedup_triples(mapped)
 

@@ -1,0 +1,97 @@
+"""E1 — the job entry point (SURVEY.md §3.1):
+
+    ray job submit -- python -m pie_ray.run \
+        --input /data/pages_parquet --output /data/kg_out \
+        --langs en --num-parts 256 --resume
+
+or, for a synthetic corpus (deterministic, ground truth by construction):
+
+    python -m pie_ray.run --synth 100000 --output /tmp/kg_out
+
+Owns the Ray session (the ONLY library-adjacent place that does, besides
+bench.py and the test fixture): inits local when standalone, attaches to the
+cluster under `ray job submit` (RAY_ADDRESS set by the job runner).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pie_ray.run", description="KG-construction pipeline")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="Parquet dir/file of T0 pages (url, warc_ts, html, text, lang)")
+    src.add_argument("--synth", type=int, metavar="N", help="synthesize N pages instead")
+    p.add_argument("--output", required=True, help="output root (triples/, graph/, _manifests/)")
+    p.add_argument("--langs", default="en", help="comma-separated language allowlist")
+    p.add_argument("--num-parts", type=int, default=16, help="NER resume partitions")
+    p.add_argument("--graph-parts", type=int, default=64, help="graph sink partitions")
+    p.add_argument("--ner-batch-size", type=int, default=256)
+    p.add_argument("--ner-actors", type=int, default=0, help="max NER actors (0 = auto)")
+    p.add_argument("--resume", action="store_true", help="skip partitions already done")
+    p.add_argument("--tau", type=float, default=0.35, help="linking Jaccard threshold")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    from pie_ray.util import tune_data_context
+
+    tune_data_context()
+
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.pipelines.resume import run_resumable
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    max_actors = args.ner_actors or max(2, n_cpus - 2)
+    cfg = KgConfig(
+        langs=tuple(args.langs.split(",")),
+        ner_batch_size=args.ner_batch_size,
+        ner_concurrency=(1, max_actors),
+        tau=args.tau,
+        num_graph_parts=args.graph_parts,
+    )
+
+    if args.synth is not None:
+        from pie_ray.sources.synth import synth_pages
+
+        n = args.synth
+        corpus_id = f"synth:{n}"
+
+        def factory():
+            return synth_pages(n, override_num_blocks=max(8, n_cpus * 2))
+
+    else:
+        path = args.input
+        corpus_id = f"parquet:{path}"
+
+        def factory():
+            return ray.data.read_parquet(path)
+
+    if not args.resume:
+        # fresh run: ignore stale manifests by wiping them
+        import shutil
+
+        shutil.rmtree(f"{args.output}/_manifests", ignore_errors=True)
+
+    t0 = time.perf_counter()
+    report = run_resumable(factory, args.output, cfg, num_parts=args.num_parts, corpus_id=corpus_id)
+    report["wall_s"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(report, indent=1))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -109,12 +109,18 @@ def html_to_text(html: bytes) -> str:
     return text.strip()
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, langs: tuple[str, ...] | None = None) -> pa.Table:
     """T0 pages -> T1 extracted. Stateless map_batches body (Arrow in/out).
 
-    Drops the wide ``html`` binary column immediately (it dominates bytes;
-    keeping it would blow up downstream object-store usage — SURVEY.md §4).
+    ``langs`` applies the A4 language filter INSIDE this map (a standalone
+    Filter op would break operator fusion into the downstream NER actor
+    pool, leaving the upstream generator/reader starved of CPUs behind the
+    pool's reservation). Drops the wide ``html`` binary column immediately
+    (it dominates bytes; keeping it would blow up downstream object-store
+    usage — SURVEY.md §4).
     """
+    if langs is not None:
+        batch = batch.filter(pc.is_in(batch.column("lang"), value_set=pa.array(langs)))
     html_col = batch.column("html")
     texts = [html_to_text(v) for v in html_col.to_pylist()]
     hashes = [sha256_hex(t) for t in texts]

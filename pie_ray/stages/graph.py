@@ -43,33 +43,44 @@ def _partial_edge_agg(batch: pa.Table) -> pa.Table:
     return gb.rename_columns(["src", "dst", "pred", "weight", "first_ts", "last_ts"])
 
 
-def aggregate_edges(triples_ds):
-    """A15 — T3 triples -> aggregated weighted edges (EDGES schema)."""
-    from ray.data.aggregate import Max, Min, Sum
+EDGE_BUCKETS = 64
 
-    partial = triples_ds.map_batches(
-        lambda t: _partial_edge_agg(_edges_from_triples(t)), batch_format="pyarrow"
-    )
-    final = partial.groupby(["src", "dst", "pred"]).aggregate(
-        Sum("weight", alias_name="weight"),
-        Min("first_ts", alias_name="first_ts"),
-        Max("last_ts", alias_name="last_ts"),
-    )
 
-    def _cast(t: pa.Table) -> pa.Table:
+def aggregate_edges(triples_ds, num_buckets: int = EDGE_BUCKETS):
+    """A15 — T3 triples -> aggregated weighted edges (EDGES schema).
+
+    Same bucketed-shuffle pattern as A9 dedup: shuffle on
+    ``hash(src) % num_buckets`` (src alone — so the SAME shuffle also
+    co-locates everything A16 adjacency needs, letting the planner fuse the
+    two stages into one exchange), then vectorized Arrow ``group_by`` per
+    bucket. High-cardinality Ray groupbys walk groups in Python — avoided."""
+    from pie_ray.util import hash64_array
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = _partial_edge_agg(_edges_from_triples(t))
+        buckets = (hash64_array(t.column("src").to_pylist(), salt=b"gpart") % num_buckets).astype(
+            "int32"
+        )
+        return t.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def agg_bucket(group: pa.Table) -> pa.Table:
+        gb = group.group_by(["src", "dst", "pred"]).aggregate(
+            [("weight", "sum"), ("first_ts", "min"), ("last_ts", "max")]
+        ).rename_columns(["src", "dst", "pred", "weight", "first_ts", "last_ts"])
         return pa.table(
             {
-                "src": t.column("src"),
-                "dst": t.column("dst"),
-                "pred": t.column("pred"),
-                "weight": pc.cast(t.column("weight"), pa.int64()),
-                "first_ts": t.column("first_ts").cast(pa.timestamp("us")),
-                "last_ts": t.column("last_ts").cast(pa.timestamp("us")),
+                "src": gb.column("src"),
+                "dst": gb.column("dst"),
+                "pred": gb.column("pred"),
+                "weight": pc.cast(gb.column("weight"), pa.int64()),
+                "first_ts": gb.column("first_ts").cast(pa.timestamp("us")),
+                "last_ts": gb.column("last_ts").cast(pa.timestamp("us")),
             },
             schema=schemas.EDGES,
         )
 
-    return final.map_batches(_cast, batch_format="pyarrow")
+    bucketed = triples_ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(agg_bucket, batch_format="pyarrow")
 
 
 def adjacency_group(group: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
@@ -112,10 +123,72 @@ def adjacency_group(group: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.T
     )
 
 
-def build_adjacency(edges_ds, num_parts: int = DEFAULT_NUM_PARTS):
-    """A16 — edges -> adjacency-list rows with partition assignment."""
-    return edges_ds.groupby("src").map_groups(
-        lambda g: adjacency_group(g, num_parts), batch_format="pyarrow"
+def adjacency_batch(t: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
+    """Vectorized A16 body: a src-complete edge batch -> adjacency rows.
+
+    Requires every src's edges to be entirely within the batch (true for
+    blocks produced by ``aggregate_edges`` — its shuffle key is src alone).
+    One Arrow sort + run-length detection; no per-group Python loop."""
+    if t.num_rows == 0:
+        return schemas.GRAPH.empty_table()
+    order = pc.sort_indices(
+        t, sort_keys=[("src", "ascending"), ("pred", "ascending"), ("dst", "ascending")]
+    )
+    t = t.take(order)
+    entries = pa.StructArray.from_arrays(
+        [
+            t.column("dst").combine_chunks(),
+            t.column("pred").combine_chunks(),
+            t.column("weight").combine_chunks(),
+            t.column("first_ts").combine_chunks(),
+            t.column("last_ts").combine_chunks(),
+        ],
+        fields=list(schemas.ADJ_ENTRY),
+    )
+    src = np.asarray(t.column("src").to_pylist(), dtype=object)
+    change = np.empty(len(src), bool)
+    change[0] = True
+    change[1:] = src[1:] != src[:-1]
+    starts = np.flatnonzero(change)
+    offsets = np.append(starts, len(src)).astype("int32")
+    adj = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), entries)
+    srcs = src[starts]
+    degree = np.diff(offsets).astype("int64")
+    part = (hash64_array(list(srcs), salt=b"part") % np.uint64(num_parts)).astype("int32")
+    return pa.table(
+        {
+            "src": pa.array(list(srcs), pa.string()),
+            "adj": adj,
+            "degree": pa.array(degree),
+            "part": pa.array(part),
+        },
+        schema=schemas.GRAPH,
+    )
+
+
+def build_adjacency(edges_ds, num_parts: int = DEFAULT_NUM_PARTS, assume_partitioned: bool = True):
+    """A16 — edges -> adjacency-list rows with partition assignment.
+
+    ``assume_partitioned=True`` (the pipeline path) reuses the src-bucketed
+    exchange ``aggregate_edges`` already performed — zero extra shuffle.
+    Pass False for arbitrary edge input: re-buckets by src first."""
+    if not assume_partitioned:
+        from pie_ray.util import hash64_array as _h
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = (_h(t.column("src").to_pylist(), salt=b"gpart") % EDGE_BUCKETS).astype("int32")
+            return t.append_column("bucket", pa.array(b, pa.int32()))
+
+        return (
+            edges_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(
+                lambda g: adjacency_batch(g.drop_columns(["bucket"]), num_parts),
+                batch_format="pyarrow",
+            )
+        )
+    return edges_ds.map_batches(
+        lambda t: adjacency_batch(t, num_parts), batch_format="pyarrow"
     )
 
 

@@ -198,6 +198,46 @@ def _labels_fingerprint(labels_ds) -> int:
     return int(parts.sum("fp"))
 
 
+LOCAL_LINK_THRESHOLD = 200_000
+
+
+def local_canon_map(
+    keys: list[str], bands: int = BANDS, rows: int = ROWS, tau: float = TAU
+) -> dict[str, str]:
+    """Driver-local MinHash-LSH + DSU: IDENTICAL banding / verify rule (and
+    therefore identical output) as the distributed path, minus the shuffle
+    rounds. Used when the distinct linked-entity count is small enough to
+    hold on the driver — entities are orders of magnitude fewer than corpus
+    rows, so this covers most runs; the distributed path is the escape
+    hatch above LOCAL_LINK_THRESHOLD."""
+    buckets: dict[bytes, list[str]] = {}
+    shing: dict[str, frozenset] = {}
+    for k in keys:
+        norm = k.split(":", 1)[1]
+        shing[k] = char_shingles(norm)
+        sig = minhash_signature(norm, bands * rows)
+        for b in range(bands):
+            bk = bytes([b]) + sig[b * rows : (b + 1) * rows].tobytes()
+            buckets.setdefault(bk, []).append(k)
+    dsu = DSU()
+    seen: set[tuple[str, str]] = set()
+    for ks in buckets.values():
+        ks = sorted(set(ks))
+        if len(ks) < 2:
+            continue
+        if len(ks) <= MAX_BAND_SIZE:
+            pairs = [(ks[i], ks[j]) for i in range(len(ks)) for j in range(i + 1, len(ks))]
+        else:  # hot band: chain preserves connectivity at O(n)
+            pairs = list(zip(ks, ks[1:]))
+        for a, b in pairs:
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            if jaccard(shing[a], shing[b]) >= tau:
+                dsu.union(a, b)
+    return dsu.canon_map()
+
+
 def build_canon_map(
     keys_ds,
     bands: int = BANDS,
@@ -208,8 +248,17 @@ def build_canon_map(
     """A10–A12 end to end: distinct keys -> {entity_key: canon_id}.
 
     Keys in no component are omitted (identity mapping is the default at
-    lookup time). Uses driver union-find below CC_DRIVER_THRESHOLD verified
-    edges, distributed hash-min above (or when forced)."""
+    lookup time). Size-adaptive: below LOCAL_LINK_THRESHOLD distinct keys
+    the whole link runs driver-local (same algorithm, no shuffles); above,
+    distributed LSH banding + driver union-find below CC_DRIVER_THRESHOLD
+    verified edges, distributed hash-min rounds beyond that."""
+    if not force_distributed:
+        mat = keys_ds.materialize()
+        if mat.count() <= LOCAL_LINK_THRESHOLD:
+            # keys need not be globally distinct (local_canon_map dedups)
+            keys = sorted({r["entity_key"] for r in mat.take_all()})
+            return local_canon_map(keys, bands, rows, tau)
+        keys_ds = mat
     pairs = candidate_pairs(keys_ds, bands, rows, tau).materialize()
     n_edges = pairs.count()
     if n_edges == 0:
@@ -272,8 +321,12 @@ class CanonMapper:
 
 
 def distinct_person_keys(raw_triples_ds):
-    """Distinct pre-canon person entity keys from raw triples (subjects are
-    always person keys; co_mentioned objects too). Stays a Dataset."""
+    """Per-batch-distinct pre-canon person entity keys from raw triples
+    (subjects are always person keys; co_mentioned objects too).
+
+    NOT globally distinct by design — both consumers dedup internally
+    (local_canon_map via set, band_pairs_group via sorted(set)), so the
+    global distinct shuffle is skipped entirely."""
     def keys_batch(t: pa.Table) -> pa.Table:
         subj = t.column("subj").to_pylist()
         pred = t.column("pred").to_pylist()
@@ -282,5 +335,4 @@ def distinct_person_keys(raw_triples_ds):
         ks.update(o for o, p in zip(obj, pred) if p == "co_mentioned_with")
         return pa.table({"entity_key": pa.array(sorted(ks), pa.string())})
 
-    keyed = raw_triples_ds.map_batches(keys_batch, batch_format="pyarrow")
-    return keyed.groupby("entity_key").count().select_columns(["entity_key"])
+    return raw_triples_ds.map_batches(keys_batch, batch_format="pyarrow")

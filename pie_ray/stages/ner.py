@@ -108,7 +108,7 @@ class NerTagger:
         )
 
     def _triples_table(self, urls, tss, texts) -> pa.Table:
-        from pie_ray.stages.triples import triples_for_doc
+        from pie_ray.stages.triples import _partial_dedup, triples_for_doc
 
         rows: dict[str, list] = {k: [] for k in schemas.TRIPLES.names}
         for url, ts, text in zip(urls, tss, texts):
@@ -119,11 +119,14 @@ class NerTagger:
                 rows["url"].append(url)
                 rows["warc_ts"].append(ts)
                 rows["score"].append(sc)
-        return pa.table(
+        t = pa.table(
             {name: pa.array(rows[name], type=schemas.TRIPLES.field(name).type)
              for name in schemas.TRIPLES.names},
             schema=schemas.TRIPLES,
         )
+        # combiner runs INSIDE the actor: a separate task-pool map stage
+        # would be starved for CPUs behind this pool's reservation
+        return _partial_dedup(t)
 
 
 def _sent_of(sbounds: list[tuple[int, int]], pos: int) -> int:

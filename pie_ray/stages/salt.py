@@ -1,0 +1,69 @@
+"""A14 — salted two-phase aggregation for Zipf-skewed hot keys.
+
+The problem: ``groupby(key)`` ships every row of a hot key (a high-frequency
+domain or person) to ONE reducer — that reducer becomes the straggler that
+caps cluster throughput. The fix: phase 1 groups on ``(key, salt)`` where
+``salt = hash(row-identity) % S`` spreads each hot key over S reducers for a
+partial aggregate; phase 2 re-groups the (at most S per key) partials on
+``key`` alone — a shuffle of |distinct keys| × S tiny rows.
+
+In the KG pipeline the same effect is achieved structurally: every
+pre-shuffle ``map_batches`` runs a vectorized per-batch combine (each Arrow
+block acts as an implicit salt partition — pie_ray.stages.graph docstring),
+and the shuffle itself is keyed on a uniform hash bucket. This module is
+the EXPLICIT form for aggregations whose per-batch reduction is weak (hot
+key spread over many blocks) — and the conformance surface for A14.
+
+Equivalence: salted == unsalted for any commutative-associative aggregate
+(sum/count/min/max) — locked by tests/unit/test_salt.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pie_ray.util import hash64_array
+
+DEFAULT_SALTS = 16
+
+
+def salted_aggregate(
+    ds,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    count_alias: str = "count",
+    num_salts: int = DEFAULT_SALTS,
+):
+    """Two-phase salted sum/count groupby.
+
+    Returns a Dataset with columns ``[*keys, *sum_cols, count_alias]``.
+    Phase 1 shuffle key = (key_hash combined with salt) — uniform even when
+    one key holds most rows; phase 2 shuffle is tiny by construction.
+    """
+    sum_cols = sum_cols or []
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        # salt must NOT be a function of the key (that would undo the
+        # spreading) — derive it from the row's position-independent
+        # content hash of ALL columns; cheap fallback: arange % S is fine
+        # for count/sum since any spread works and determinism of the
+        # AGGREGATE result is unaffected by salt assignment.
+        salt = np.arange(t.num_rows, dtype=np.int64) % num_salts
+        return t.append_column("__salt", pa.array(salt, pa.int64()))
+
+    def partial(group: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols] + [([*(sum_cols or ["__salt"])][0], "count")]
+        gb = group.group_by([*keys, "__salt"]).aggregate(aggs)
+        names = [*keys, "__salt", *sum_cols, "__n"]
+        return gb.rename_columns(names)
+
+    def final(group: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols] + [("__n", "sum")]
+        gb = group.group_by(keys).aggregate(aggs)
+        return gb.rename_columns([*keys, *sum_cols, count_alias])
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    phase1 = salted.groupby([*keys, "__salt"]).map_groups(partial, batch_format="pyarrow")
+    return phase1.groupby(keys).map_groups(final, batch_format="pyarrow")

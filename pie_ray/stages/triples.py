@@ -100,27 +100,40 @@ def _partial_dedup(batch: pa.Table, extra_keys: tuple[str, ...] = ()) -> pa.Tabl
     return gb.rename_columns([*keys, "warc_ts", "url", "score"])
 
 
-def dedup_triples(ds, extra_keys: tuple[str, ...] = ()):
+DEDUP_BUCKETS = 64
+
+
+def dedup_triples(ds, extra_keys: tuple[str, ...] = (), num_buckets: int = DEDUP_BUCKETS):
     """A9 — exact dedup of raw triples (Dataset of TRIPLES schema).
 
-    Two-phase: vectorized per-batch combine (Arrow ``Table.group_by``), then
-    the global hash shuffle over the already-shrunk rows. ``extra_keys``
-    scopes the dedup (e.g. ``("part",)`` for per-partition resume — the
-    downstream canonical dedup removes any cross-partition survivors, so the
-    final triple set is independent of partition batching).
+    Three-phase, all group work vectorized:
+      1. per-batch combine (Arrow ``Table.group_by``, C++ kernels);
+      2. hash shuffle on a LOW-cardinality bucket key
+         (``hash(subj,pred,obj) % num_buckets``) — every duplicate lands in
+         the same bucket, and Ray's groupby only ever sees ``num_buckets``
+         groups instead of one Python-level group per distinct triple;
+      3. per-bucket exact dedup, again via Arrow ``group_by``.
+
+    (Ray's built-in high-cardinality ``groupby().aggregate()`` walks groups
+    in Python — measured ~20× slower on ~100k distinct keys.)
+
+    ``extra_keys`` scopes the dedup (e.g. ``("part",)`` for per-partition
+    resume — the downstream canonical dedup removes any cross-partition
+    survivors, so the final triple set is independent of partition batching).
     """
-    from ray.data.aggregate import Max, Min
+    from pie_ray.util import hash64_array
 
-    partial = ds.map_batches(
-        lambda t: _partial_dedup(t, extra_keys), batch_format="pyarrow"
-    )
-    final = partial.groupby(["subj", "pred", "obj", *extra_keys]).aggregate(
-        Min("warc_ts", alias_name="warc_ts"),
-        Min("url", alias_name="url"),
-        Max("score", alias_name="score"),
-    )
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = _partial_dedup(t, extra_keys)
+        key = pc.binary_join_element_wise(
+            t.column("subj"), t.column("pred"), t.column("obj"),
+            *[pc.cast(t.column(k), pa.string()) for k in extra_keys], "\x1f",
+        )
+        buckets = (hash64_array(key.to_pylist(), salt=b"dedup") % num_buckets).astype("int32")
+        return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
-    def _cast(batch: pa.Table) -> pa.Table:
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        batch = _partial_dedup(group.drop_columns(["bucket"]), extra_keys)
         cols = {
             "subj": batch.column("subj"),
             "pred": batch.column("pred"),
@@ -135,4 +148,5 @@ def dedup_triples(ds, extra_keys: tuple[str, ...] = ()):
             schema = schema.append(pa.field(k, batch.column(k).type))
         return pa.table(cols, schema=schema)
 
-    return final.map_batches(_cast, batch_format="pyarrow")
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(dedup_bucket, batch_format="pyarrow")

@@ -55,3 +55,32 @@ def hash64_array(strs, salt: bytes = b"") -> np.ndarray:
 def part_of(key: str, num_parts: int) -> int:
     """Deterministic partition assignment hash(key) % P."""
     return stable_hash64(key, salt=b"part") % num_parts
+
+
+def tune_data_context() -> None:
+    """Right-size Ray Data's shuffle knobs to the actual cluster.
+
+    The 2.49 defaults (200 shuffle partitions, up to 64 aggregator actors)
+    are sized for large multi-node clusters; on a small cluster they spend
+    seconds spinning up aggregator actors per shuffle. Scale them to the
+    available CPUs instead — on a 256-node cluster this is a no-op (the
+    computed values meet or exceed the defaults). Idempotent; called by
+    pipeline/query entry points, never at import."""
+    import ray
+
+    try:
+        ncpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        ncpus = 0
+    if ncpus <= 0:
+        return
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.default_hash_shuffle_parallelism = min(
+        ctx.default_hash_shuffle_parallelism, max(8, 2 * ncpus)
+    )
+    ctx.max_hash_shuffle_aggregators = min(
+        ctx.max_hash_shuffle_aggregators, max(2, ncpus // 2)
+    )
+    ctx.min_parallelism = min(ctx.min_parallelism, max(8, 2 * ncpus))

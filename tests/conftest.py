@@ -18,5 +18,8 @@ def ray_session():
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    from pie_ray.util import tune_data_context
+
+    tune_data_context()
     yield
     ray.shutdown()

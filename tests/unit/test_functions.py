@@ -1,0 +1,115 @@
+"""Unit tests for pie_ray.functions (textops, dedup, similarity, multimodal)
+— pure-function parts that need no Ray session."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pie_ray.functions import dedup, textops
+from pie_ray.functions.multimodal import DecodeBackend, MediaFeaturizer
+
+
+def _doc_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+
+# ---- textops -------------------------------------------------------------
+
+
+def test_token_count_matches_split():
+    t = _doc_table(["one two three", "a  b", "", "  padded  out  "])
+    out = textops.token_count_batch(t)
+    assert out.column("n_tokens_ws").to_pylist() == [3, 2, 0, 2]
+
+
+def test_quality_scores_bounded():
+    t = _doc_table(["The quick brown fox jumps over the lazy dog." * 10, "!!!???"])
+    out = textops.quality_batch(t)
+    q = out.column("quality_score").to_pylist()
+    assert all(0.0 <= v <= 1.0 for v in q)
+    assert q[0] > q[1]  # prose beats punctuation soup
+
+
+def test_lang_id_english():
+    t = _doc_table(["the cat sat on the mat and then the dog and the bird went in"])
+    out = textops.lang_id_batch(t)
+    assert out.column("lang_pred").to_pylist() == ["en"]
+
+
+def test_fingerprint_deterministic_and_shift_stable():
+    a = "some rolling hash content that is long enough to window over"
+    t1 = textops.fingerprint_batch(_doc_table([a]))
+    t2 = textops.fingerprint_batch(_doc_table([a]))
+    assert t1.column("fingerprint").to_pylist() == t2.column("fingerprint").to_pylist()
+
+
+# ---- dedup ---------------------------------------------------------------
+
+
+def test_simhash_near_dup_closer_than_unrelated():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " extra"
+    c = "completely different words about ray data shuffles and parquet files"
+    ha, hb, hc = (dedup.simhash64(x) for x in (a, b, c))
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(ha, hb) < ham(ha, hc)
+
+
+def test_word_shingles_and_minhash_similarity():
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 wX"
+    sa, sb = dedup.word_shingles(a), dedup.word_shingles(b)
+    inter = len(sa & sb) / len(sa | sb)
+    siga, sigb = dedup.doc_minhash(a), dedup.doc_minhash(b)
+    est = (siga == sigb).mean()
+    assert abs(est - inter) < 0.25
+
+
+def test_doc_band_batch_identical_docs_collide():
+    t = _doc_table(["same text " * 20, "same text " * 20], ids=[1, 2])
+    bands = dedup.doc_band_batch(t)
+    by_key: dict[str, set] = {}
+    for bk, did in zip(bands.column("band_key").to_pylist(), bands.column("doc_id").to_pylist()):
+        by_key.setdefault(bk, set()).add(did)
+    assert any(v == {1, 2} for v in by_key.values())
+
+
+# ---- multimodal ----------------------------------------------------------
+
+
+def test_fake_decode_deterministic():
+    be = DecodeBackend("fake")
+    img1 = be.decode_image(b"payload", 8, 8)
+    img2 = be.decode_image(b"payload", 8, 8)
+    np.testing.assert_array_equal(img1, img2)
+    assert img1.shape == (8, 8, 3)
+
+
+def test_real_decode_raises():
+    be = DecodeBackend("real")
+    with pytest.raises(NotImplementedError):
+        be.decode_image(b"x", 4, 4)
+
+
+def test_featurizer_batch_shape():
+    from pie_ray.functions.multimodal import MEDIA_SCHEMA
+
+    t = pa.table(
+        {
+            "media_id": pa.array(["a", "b"], pa.string()),
+            "kind": pa.array(["image", "audio"], pa.string()),
+            "payload": pa.array([b"x" * 64, b"y" * 64], pa.binary()),
+            "mime": pa.array(["image/jpeg", "audio/wav"], pa.string()),
+            "width": pa.array([8, -1], pa.int32()),
+            "height": pa.array([8, -1], pa.int32()),
+            "duration_ms": pa.array([-1, 500], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = MediaFeaturizer("fake")(t)
+    assert out.num_rows == 2
+    assert len(out.column("features")[0].as_py()) == 64
+    assert "payload" not in out.column_names  # binary dropped post-featurize

@@ -1,0 +1,29 @@
+"""A14 salted aggregation == plain aggregation (SURVEY.md §5 layer 1)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def test_salted_equals_unsalted(ray_session):
+    import ray.data
+
+    from pie_ray.stages.salt import salted_aggregate
+
+    # Zipf-ish skew: key "hot" holds 90% of rows
+    n = 5000
+    keys = ["hot"] * 4500 + [f"k{i%37}" for i in range(500)]
+    vals = list(range(n))
+    ds = ray.data.from_arrow(
+        pa.table({"key": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())})
+    ).repartition(8)
+
+    out = salted_aggregate(ds, ["key"], ["v"], count_alias="n", num_salts=16)
+    got = {r["key"]: (r["v"], r["n"]) for r in out.take_all()}
+
+    expect: dict[str, list[int]] = {}
+    for k, v in zip(keys, vals):
+        e = expect.setdefault(k, [0, 0])
+        e[0] += v
+        e[1] += 1
+    assert got == {k: (s, c) for k, (s, c) in expect.items()}
