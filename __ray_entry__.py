@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_flags": relational.q_distinct,
         "union_all_counts": relational.q_union_all,
         "except_nations": relational.q_except_,
+        "intersect_nations": relational.q_intersect,
         "window_events": relational.q_window_events,
         # sampling (rows-only tolerance check)
         "sample_lineitem": relational.q_sample,
@@ -243,6 +244,11 @@ def oracle_sql() -> dict[str, str]:
         "except_nations": """
             SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
             EXCEPT
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        """,
+        "intersect_nations": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            INTERSECT
             SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
         """,
         "window_events": """

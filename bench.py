@@ -125,7 +125,7 @@ def main() -> dict:
     return out
 
 
-SCALING_PAGES = 240_000
+SCALING_PAGES = 1_000_000
 
 
 def run_scaling() -> dict:

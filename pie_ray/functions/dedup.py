@@ -114,19 +114,32 @@ def doc_band_batch(t: pa.Table) -> pa.Table:
     )
 
 
+DEDUP_LSH_BUCKETS = 128
+
+
 def _band_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(set(group.column("doc_id").to_pylist()))
+    """Candidate pairs for one hash-BUCKET of bands (complete band groups per
+    bucket; bands walked with a dict — Ray per-group dispatch is Python-level
+    and band_key cardinality is ~docs × bands)."""
+    by_band: dict[str, set[int]] = {}
+    for bk, did in zip(group.column("band_key").to_pylist(), group.column("doc_id").to_pylist()):
+        by_band.setdefault(bk, set()).add(did)
     a: list[int] = []
     b: list[int] = []
-    if len(ids) <= MAX_BUCKET:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-    else:  # hot bucket: chain keeps connectivity at O(n) edges
-        for i in range(len(ids) - 1):
-            a.append(ids[i])
-            b.append(ids[i + 1])
+    seen: set[tuple[int, int]] = set()
+    for ids_set in by_band.values():
+        if len(ids_set) < 2:
+            continue
+        ids = sorted(ids_set)
+        if len(ids) <= MAX_BUCKET:
+            pairs = ((ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids)))
+        else:  # hot bucket: chain keeps connectivity at O(n) edges
+            pairs = zip(ids, ids[1:])
+        for p in pairs:
+            if p not in seen:
+                seen.add(p)
+                a.append(p[0])
+                b.append(p[1])
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
@@ -159,9 +172,24 @@ def q_dedup_minhash(sf_dir: str):
     import ray
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    banded = docs.map_batches(doc_band_batch, batch_format="pyarrow")
-    cand = banded.groupby("band_key").map_groups(_band_pairs, batch_format="pyarrow")
-    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"]).materialize()
+
+    def band_and_bucket(t: pa.Table) -> pa.Table:
+        banded = doc_band_batch(t)
+        b = (
+            np.fromiter(
+                (stable_hash64(k) for k in banded.column("band_key").to_pylist()),
+                dtype=np.uint64,
+                count=banded.num_rows,
+            )
+            % DEDUP_LSH_BUCKETS
+        ).astype("int32")
+        return banded.append_column("bucket", pa.array(b, pa.int32()))
+
+    banded = docs.map_batches(band_and_bucket, batch_format="pyarrow")
+    cand = banded.groupby("bucket").map_groups(
+        lambda g: _band_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow"
+    )
+    cand = cand.materialize()
 
     # broadcast shingle sets for candidate docs only
     cand_rows = cand.take_all()
@@ -283,22 +311,41 @@ def q_dedup_embedding(sf_dir: str):
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_pylist()
+        # one shuffle group = many LSH signatures (shuffle key is sig % 256
+        # — Ray group dispatch is Python-level, keep its cardinality low);
+        # exact cosine within each signature's members
+        sigs = np.asarray(group.column("bucket").to_pylist())
+        ids = np.asarray(group.column("vec_id").to_pylist())
         mat = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
         a: list[int] = []
         b: list[int] = []
-        if len(ids) > 1:
-            sims = mat @ mat.T
+        for sig in np.unique(sigs):
+            sel = np.flatnonzero(sigs == sig)
+            if len(sel) < 2:
+                continue
+            sub = mat[sel]
+            sims = sub @ sub.T
             ii, jj = np.where(np.triu(sims >= EMB_TAU, k=1))
             for i, j in zip(ii, jj):
-                x, y = ids[i], ids[j]
+                x, y = int(ids[sel[i]]), int(ids[sel[j]])
                 a.append(min(x, y))
                 b.append(max(x, y))
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
     buckets = ds.map_batches(bucket_batch, batch_format="pyarrow")
-    pairs = buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    pair_rows = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"]).take_all()
+
+    def add_shuffle_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.append_column(
+            "skey", _pc.cast(_pc.bit_wise_and(t.column("bucket"), 255), pa.int32())
+        )
+
+    keyed = buckets.map_batches(add_shuffle_key, batch_format="pyarrow")
+    pairs = keyed.groupby("skey").map_groups(
+        lambda g: bucket_pairs(g.drop_columns(["skey"])), batch_format="pyarrow"
+    )
+    pair_rows = pairs.take_all()
     dsu = DSU()
     for r in pair_rows:
         dsu.union(f'{r["a"]:020d}', f'{r["b"]:020d}')

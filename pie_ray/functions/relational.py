@@ -312,6 +312,28 @@ def q_union_all(sf_dir: str):
     return cust.union(supp).groupby("nationkey").aggregate(Count(alias_name="n"))
 
 
+def q_intersect(sf_dir: str):
+    """Nation keys that have BOTH customers and suppliers (INTERSECT via
+    left_semi join on the distinct key sets)."""
+    cust_keys = (
+        scan(sf_dir, "customer", columns=["c_nationkey"])
+        .map_batches(
+            lambda t: pa.table({"nationkey": pc.cast(t.column("c_nationkey"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("nationkey")
+        .count()
+        .select_columns(["nationkey"])
+    )
+    supp_keys = scan(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return cust_keys.join(
+        supp_keys, join_type="left_semi", num_partitions=4, on=("nationkey",)
+    )
+
+
 def q_except_(sf_dir: str):
     """Nation keys that have customers but no suppliers (EXCEPT via anti-join
     on the distinct key sets)."""

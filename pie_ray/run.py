@@ -77,7 +77,10 @@ def main(argv: list[str] | None = None) -> int:
         corpus_id = f"parquet:{path}"
 
         def factory():
-            return ray.data.read_parquet(path)
+            from pie_ray.sources.pages import read_pages
+
+            # lang predicate pushed to the scan; extract re-filters (cheap)
+            return read_pages(path, langs=cfg.langs)
 
     if not args.resume:
         # fresh run: ignore stale manifests by wiping them

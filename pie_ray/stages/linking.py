@@ -106,13 +106,60 @@ def verify_pairs_batch(batch: pa.Table, tau: float = TAU) -> pa.Table:
     return batch.filter(pa.array(keep, pa.bool_()))
 
 
+LINK_BUCKETS = 128
+
+
+def band_bucket_pairs(group: pa.Table) -> pa.Table:
+    """All candidate pairs of one hash-BUCKET of bands (each bucket holds
+    complete band groups — shuffle key is hash(band_key)). Bands are walked
+    with a plain dict here instead of one Ray group per band_key: Ray's
+    per-group dispatch is Python-level and band_key cardinality ~= corpus
+    keys × bands."""
+    bks = group.column("band_key").to_pylist()
+    eks = group.column("entity_key").to_pylist()
+    by_band: dict[str, set[str]] = {}
+    for bk, ek in zip(bks, eks):
+        by_band.setdefault(bk, set()).add(ek)
+    out_a: list[str] = []
+    out_b: list[str] = []
+    seen: set[tuple[str, str]] = set()
+    for ks in by_band.values():
+        if len(ks) < 2:
+            continue
+        keys = sorted(ks)
+        if len(keys) <= MAX_BAND_SIZE:
+            pairs = (
+                (keys[i], keys[j])
+                for i in range(len(keys))
+                for j in range(i + 1, len(keys))
+            )
+        else:  # hot band: sorted chain preserves connectivity at O(n) edges
+            pairs = zip(keys, keys[1:])
+        for p in pairs:
+            if p not in seen:
+                seen.add(p)
+                out_a.append(p[0])
+                out_b.append(p[1])
+    return pa.table({"a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string())})
+
+
 def candidate_pairs(keys_ds, bands: int = BANDS, rows: int = ROWS, tau: float = TAU):
-    """Distinct entity_key Dataset -> verified similar pair Dataset (a, b)."""
-    banded = keys_ds.map_batches(
-        lambda t: band_rows_batch(t, bands, rows), batch_format="pyarrow"
-    )
-    pairs = banded.groupby("band_key").map_groups(
-        band_pairs_group, batch_format="pyarrow"
+    """Entity_key Dataset (need not be distinct) -> verified similar pair
+    Dataset (a, b). Shuffle key = hash(band_key) % LINK_BUCKETS (low
+    cardinality; bands of one key spread across buckets uniformly)."""
+    from pie_ray.util import hash64_array
+
+    def explode_and_bucket(t: pa.Table) -> pa.Table:
+        banded = band_rows_batch(t, bands, rows)
+        b = (
+            hash64_array(banded.column("band_key").to_pylist(), salt=b"lsh")
+            % LINK_BUCKETS
+        ).astype("int32")
+        return banded.append_column("bucket", pa.array(b, pa.int32()))
+
+    banded = keys_ds.map_batches(explode_and_bucket, batch_format="pyarrow")
+    pairs = banded.groupby("bucket").map_groups(
+        lambda g: band_bucket_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow"
     )
     return pairs.map_batches(
         lambda t: verify_pairs_batch(t, tau), batch_format="pyarrow"
@@ -198,7 +245,11 @@ def _labels_fingerprint(labels_ds) -> int:
     return int(parts.sum("fp"))
 
 
-LOCAL_LINK_THRESHOLD = 200_000
+# Bounds the driver-side pull in the local-link path. Counted over the
+# per-batch-distinct key STREAM (an upper bound on distinct keys): 2M short
+# entity keys ≈ 200 MB on the driver — safe; beyond it the distributed
+# banding path engages.
+LOCAL_LINK_THRESHOLD = 2_000_000
 
 
 def local_canon_map(
@@ -253,12 +304,18 @@ def build_canon_map(
     distributed LSH banding + driver union-find below CC_DRIVER_THRESHOLD
     verified edges, distributed hash-min rounds beyond that."""
     if not force_distributed:
-        mat = keys_ds.materialize()
-        if mat.count() <= LOCAL_LINK_THRESHOLD:
-            # keys need not be globally distinct (local_canon_map dedups)
-            keys = sorted({r["entity_key"] for r in mat.take_all()})
-            return local_canon_map(keys, bands, rows, tau)
-        keys_ds = mat
+        # stream the key batches to the driver, dedup on the fly, abort to
+        # the distributed path only if DISTINCT keys exceed the threshold
+        # (single pass, no materialize barrier)
+        keys_set: set[str] = set()
+        over = False
+        for batch in keys_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            keys_set.update(batch.column("entity_key").to_pylist())
+            if len(keys_set) > LOCAL_LINK_THRESHOLD:
+                over = True
+                break
+        if not over:
+            return local_canon_map(sorted(keys_set), bands, rows, tau)
     pairs = candidate_pairs(keys_ds, bands, rows, tau).materialize()
     n_edges = pairs.count()
     if n_edges == 0:
