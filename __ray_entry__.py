@@ -245,11 +245,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
             EXCEPT
             SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+            WHERE s_acctbal > 5000.0
         """,
         "intersect_nations": """
             SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
             INTERSECT
             SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+            WHERE s_acctbal > 5000.0
         """,
         "window_events": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -312,10 +312,8 @@ def q_union_all(sf_dir: str):
     return cust.union(supp).groupby("nationkey").aggregate(Count(alias_name="n"))
 
 
-def q_intersect(sf_dir: str):
-    """Nation keys that have BOTH customers and suppliers (INTERSECT via
-    left_semi join on the distinct key sets)."""
-    cust_keys = (
+def _distinct_nationkeys(sf_dir: str):
+    return (
         scan(sf_dir, "customer", columns=["c_nationkey"])
         .map_batches(
             lambda t: pa.table({"nationkey": pc.cast(t.column("c_nationkey"), pa.int64())}),
@@ -325,35 +323,60 @@ def q_intersect(sf_dir: str):
         .count()
         .select_columns(["nationkey"])
     )
-    supp_keys = scan(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
-        lambda t: pa.table({"nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+
+
+def _rich_supplier_nations(sf_dir: str) -> frozenset[int]:
+    """Small side of the set ops — collected once and broadcast (a hash join
+    against a handful of rows would leave empty right partitions AND shuffle
+    the big side for nothing)."""
+    rows = (
+        scan(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+        .filter(expr="s_acctbal > 5000.0")
+        .take_all()
+    )
+    return frozenset(int(r["s_nationkey"]) for r in rows)
+
+
+class _MemberFilter:
+    """Broadcast set-membership filter: the member set is ray.put() once and
+    resolved per actor; keep=True -> semi (INTERSECT), False -> anti (EXCEPT)."""
+
+    def __init__(self, members_ref, col: str, keep: bool):
+        import ray
+
+        self.members = ray.get(members_ref)
+        self.col = col
+        self.keep = keep
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(self.col), value_set=pa.array(sorted(self.members), pa.int64()))
+        if not self.keep:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+
+def _set_op(sf_dir: str, keep: bool):
+    import ray
+
+    members_ref = ray.put(_rich_supplier_nations(sf_dir))
+    return _distinct_nationkeys(sf_dir).map_batches(
+        _MemberFilter,
+        fn_constructor_kwargs={"members_ref": members_ref, "col": "nationkey", "keep": keep},
         batch_format="pyarrow",
+        concurrency=(1, 2),
     )
-    return cust_keys.join(
-        supp_keys, join_type="left_semi", num_partitions=4, on=("nationkey",)
-    )
+
+
+def q_intersect(sf_dir: str):
+    """Nation keys with BOTH customers and rich suppliers (INTERSECT via
+    broadcast semi-membership)."""
+    return _set_op(sf_dir, keep=True)
 
 
 def q_except_(sf_dir: str):
-    """Nation keys that have customers but no suppliers (EXCEPT via anti-join
-    on the distinct key sets)."""
-    cust_keys = (
-        scan(sf_dir, "customer", columns=["c_nationkey"])
-        .map_batches(
-            lambda t: pa.table({"nationkey": pc.cast(t.column("c_nationkey"), pa.int64())}),
-            batch_format="pyarrow",
-        )
-        .groupby("nationkey")
-        .count()
-        .select_columns(["nationkey"])
-    )
-    supp_keys = scan(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
-        lambda t: pa.table({"nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
-        batch_format="pyarrow",
-    )
-    return cust_keys.join(
-        supp_keys, join_type="left_anti", num_partitions=4, on=("nationkey",)
-    )
+    """Nation keys with customers but NO rich supplier (EXCEPT via broadcast
+    anti-membership)."""
+    return _set_op(sf_dir, keep=False)
 
 
 # ---------------------------------------------------------------------------
