@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_nations": relational.q_except_,
         "intersect_nations": relational.q_intersect,
         "window_events": relational.q_window_events,
+        "quantiles": relational.q_quantiles,
         # sampling (rows-only tolerance check)
         "sample_lineitem": relational.q_sample,
         # training-data text ops
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_simhash,
+        "ngram_jaccard": dedup.q_ngram_jaccard,
         "dedup_embedding": dedup.q_dedup_embedding,
         # similarity search
         "knn_cosine": similarity.q_knn,
@@ -273,6 +275,11 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "quantiles": """
+            SELECT quantile_cont(l_quantity, 0.5) AS median_qty,
+                   quantile_cont(l_quantity, 0.9) AS p90_qty
+            FROM lineitem
         """,
         "knn_cosine": """
             SELECT vec_id,

@@ -238,6 +238,59 @@ def _jac(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Direct n-gram Jaccard similarity over the LSH candidate space:
+    (a, b, jaccard) for every banded candidate pair — the verify channel of
+    the MinHash path exposed as its own operator (rows-only oracle)."""
+    import ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def band_and_bucket(t: pa.Table) -> pa.Table:
+        banded = doc_band_batch(t)
+        b = (
+            np.fromiter(
+                (stable_hash64(k) for k in banded.column("band_key").to_pylist()),
+                dtype=np.uint64,
+                count=banded.num_rows,
+            )
+            % DEDUP_LSH_BUCKETS
+        ).astype("int32")
+        return banded.append_column("bucket", pa.array(b, pa.int32()))
+
+    banded = docs.map_batches(band_and_bucket, batch_format="pyarrow")
+    cand = banded.groupby("bucket").map_groups(
+        lambda g: _band_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow"
+    )
+    cand_rows = cand.take_all()
+    ids = sorted({r["a"] for r in cand_rows} | {r["b"] for r in cand_rows})
+    id_set = set(ids)
+    shingle_map: dict[int, set[str]] = {}
+    for batch in docs.iter_batches(batch_format="pyarrow"):
+        for did, s in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if did in id_set:
+                shingle_map[did] = word_shingles(s)
+    seen: set[tuple[int, int]] = set()
+    a_out: list[int] = []
+    b_out: list[int] = []
+    j_out: list[float] = []
+    for r in cand_rows:
+        p = (r["a"], r["b"])
+        if p in seen:
+            continue
+        seen.add(p)
+        a_out.append(p[0])
+        b_out.append(p[1])
+        j_out.append(round(_jac(shingle_map.get(p[0], set()), shingle_map.get(p[1], set())), 6))
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) over word unigram+bigram features
 # ---------------------------------------------------------------------------

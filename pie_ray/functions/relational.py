@@ -379,6 +379,23 @@ def q_except_(sf_dir: str):
     return _set_op(sf_dir, keep=False)
 
 
+def q_quantiles(sf_dir: str):
+    """B3 approximate/order statistics: median and p90 (built-in Quantile)."""
+    from ray.data.aggregate import Quantile
+
+    ds = scan(sf_dir, "lineitem", columns=["l_quantity"])
+    res = ds.aggregate(
+        Quantile("l_quantity", q=0.5, alias_name="median_qty"),
+        Quantile("l_quantity", q=0.9, alias_name="p90_qty"),
+    )
+    return pa.table(
+        {
+            "median_qty": pa.array([float(res["median_qty"])], pa.float64()),
+            "p90_qty": pa.array([float(res["p90_qty"])], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # B9: sampling (rows-only oracle)
 # ---------------------------------------------------------------------------

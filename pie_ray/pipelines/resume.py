@@ -153,7 +153,17 @@ def run_resumable(
     else:
         report["stages"]["graph"] = {"ran": False}
 
+    # A20 — persist the lineage/metrics surface as a queryable table
+    import pyarrow.parquet as pq
+
+    pq.write_table(mf.metrics_table(out_dir), os.path.join(out_dir, "metrics.parquet"))
+
     report.update(
-        {"triples_path": triples_path, "graph_path": graph_path, "raw_dir": raw_dir}
+        {
+            "triples_path": triples_path,
+            "graph_path": graph_path,
+            "raw_dir": raw_dir,
+            "metrics_path": os.path.join(out_dir, "metrics.parquet"),
+        }
     )
     return report
