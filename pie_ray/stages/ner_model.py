@@ -69,7 +69,14 @@ TYPE_PRIORITY = {"EMAIL": 0, "ID": 1, "PHONE": 2, "ADDR": 3, "PER": 4}
 
 
 class NerModel:
-    """Holds weights, lexicon sets and compiled channel regexes."""
+    """Holds weights, lexicon sets and compiled channel regexes.
+
+    Emission rows are memoized per distinct token string (`_em_cache`):
+    features are a pure function of the token, and web text repeats tokens
+    heavily, so the steady-state per-token cost is one dict lookup. The
+    cache is per actor (built in __init__ → once per worker) and capped."""
+
+    _EM_CACHE_MAX = 262_144
 
     def __init__(self) -> None:
         self.first, self.last = gz.name_token_sets()
@@ -77,6 +84,7 @@ class NerModel:
         self.t = TRANSITIONS
         self.start = START
         self.channels = [(t, re.compile(p)) for t, p in CHANNEL_PATTERNS]
+        self._em_cache: dict[str, np.ndarray] = {}
 
     def features(self, tok: str) -> np.ndarray:
         f = np.zeros(N_FEATS, dtype=np.float32)
@@ -104,12 +112,23 @@ class NerModel:
             f[8] = 1.0
         return f
 
+    def _emission_row(self, tok: str) -> np.ndarray:
+        row = self._em_cache.get(tok)
+        if row is None:
+            row = self.features(tok) @ self.w
+            if len(self._em_cache) < self._EM_CACHE_MAX:
+                self._em_cache[tok] = row
+        return row
+
     def emissions(self, tokens: list[str]) -> np.ndarray:
-        """(L, 3) emission scores."""
+        """(L, 3) emission scores (memoized per distinct token)."""
         if not tokens:
             return np.zeros((0, N_LABELS), dtype=np.float32)
-        feats = np.stack([self.features(t) for t in tokens])
-        return feats @ self.w
+        get = self._emission_row
+        out = np.empty((len(tokens), N_LABELS), dtype=np.float32)
+        for i, t in enumerate(tokens):
+            out[i] = get(t)
+        return out
 
 
 def viterbi_batch(emissions: list[np.ndarray], trans: np.ndarray, start: np.ndarray):
@@ -136,7 +155,7 @@ def viterbi_batch(emissions: list[np.ndarray], trans: np.ndarray, start: np.ndar
     for t in range(1, maxlen):
         cand = dp[:, :, None] + trans[None, :, :]  # (n, from, to)
         best_from = cand.argmax(axis=1)  # (n, to)
-        best_score = np.take_along_axis(cand, best_from[:, None, :], axis=1)[:, 0, :]
+        best_score = cand.max(axis=1)
         # freeze dp for sentences already past their length: dp[i] then holds
         # the value at that sentence's true final step L_i - 1
         alive = (lens > t)[:, None]
