@@ -392,4 +392,13 @@ def distinct_person_keys(raw_triples_ds):
         ks.update(o for o, p in zip(obj, pred) if p == "co_mentioned_with")
         return pa.table({"entity_key": pa.array(sorted(ks), pa.string())})
 
-    return raw_triples_ds.map_batches(keys_batch, batch_format="pyarrow")
+    per_batch = raw_triples_ds.map_batches(keys_batch, batch_format="pyarrow")
+    # second-level fan-in: merge many small distinct sets into few blocks and
+    # re-dedup, so the driver-side pull in build_canon_map reads ~|distinct|
+    # rows instead of |blocks| x |distinct| (parallel work replacing serial)
+    def redistinct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"entity_key": pc.unique(t.column("entity_key"))})
+
+    return per_batch.repartition(16).map_batches(redistinct, batch_format="pyarrow")
