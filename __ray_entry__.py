@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_nations": relational.q_intersect,
         "window_events": relational.q_window_events,
         "quantiles": relational.q_quantiles,
+        "sessionize_events": relational.q_sessionize,
         # sampling (rows-only tolerance check)
         "sample_lineitem": relational.q_sample,
         # training-data text ops
@@ -275,6 +276,26 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end
+            FROM sess GROUP BY user_id, session_id
         """,
         "quantiles": """
             SELECT quantile_cont(l_quantity, 0.5) AS median_qty,

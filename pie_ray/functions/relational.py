@@ -379,6 +379,86 @@ def q_except_(sf_dir: str):
     return _set_op(sf_dir, keep=False)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def q_sessionize(sf_dir: str):
+    """B10 sessionized events: gap-based sessions per user (new session when
+    the gap to the previous event exceeds 30 min).
+
+    Scale shape: shuffle ONCE on hash(user_id) % 32 buckets, then the whole
+    sessionization is one vectorized pass per bucket (sort + diff + cumsum)
+    — no per-user Python dispatch, no window shuffle per user."""
+    import numpy as np
+
+    from pie_ray.util import hash64_array
+
+    ds = scan(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"sess")
+            % 32
+        ).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def sessionize_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                }
+            )
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.empty(n, bool)
+        gap[0] = False
+        gap[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        new_sess_flag = (~new_user) & gap
+        # session_id = cumsum of gap-breaks within each user run
+        cums = np.cumsum(new_sess_flag.astype(np.int64))
+        base = np.zeros(n, np.int64)
+        user_starts = np.flatnonzero(new_user)
+        base[user_starts] = cums[user_starts]
+        np.maximum.accumulate(base, out=base)
+        session_id = cums - base
+        # group (user, session) runs: boundaries where user or session changes
+        bound = np.empty(n, bool)
+        bound[0] = True
+        bound[1:] = new_user[1:] | (session_id[1:] != session_id[:-1])
+        starts = np.flatnonzero(bound)
+        ends = np.append(starts[1:], n)
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts], pa.int64()),
+                "session_id": pa.array(session_id[starts], pa.int64()),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "session_start": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
+                "session_end": pa.array(ts[ends - 1], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
+    )
+
+
 def q_quantiles(sf_dir: str):
     """B3 approximate/order statistics: median and p90 (built-in Quantile)."""
     from ray.data.aggregate import Quantile

@@ -178,16 +178,45 @@ def cc_driver(pairs_rows: list[tuple[str, str]]) -> dict[str, str]:
     return dsu.canon_map()
 
 
+CC_BUCKETS = 64
+
+
+def _min_label_by_node(ds, src_col: str, lab_col: str):
+    """(src_col, lab_col) rows -> (node, label=min) via the bucketed-shuffle
+    pattern: hash(node) % CC_BUCKETS shuffle, vectorized Arrow group_by min
+    inside each bucket (node cardinality is the graph's node count — Ray's
+    per-group Python dispatch is avoided)."""
+    from pie_ray.util import hash64_array
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # per-batch combine first: shrink shuffle rows to distinct nodes/batch
+        gb = t.group_by([src_col]).aggregate([(lab_col, "min")])
+        gb = gb.rename_columns([src_col, lab_col])
+        b = (hash64_array(gb.column(src_col).to_pylist(), salt=b"cc") % CC_BUCKETS).astype(
+            "int32"
+        )
+        return gb.append_column("bucket", pa.array(b, pa.int32()))
+
+    def min_bucket(g: pa.Table) -> pa.Table:
+        gb = g.group_by([src_col]).aggregate([(lab_col, "min")])
+        return gb.rename_columns(["node", "label"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: min_bucket(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+
 def cc_distributed(pairs_ds, max_rounds: int = 20):
-    """Alternating-groupby hash-min label propagation (scale path).
+    """Alternating-shuffle hash-min label propagation (scale path).
 
-    labels(node) starts as node; each round every node takes the min label
-    over itself and its neighbors; converges in O(component diameter)
-    rounds (alias clusters: <= 3). Returns Dataset (node, label).
-    """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min
-
+    labels(node) starts as min(node, neighbors); each round every node takes
+    the min label over itself and its neighbors; converges in O(component
+    diameter) rounds (alias clusters: <= 3). All aggregates use the bucketed
+    shuffle + vectorized Arrow group_by (no per-node Python dispatch); the
+    per-round edge⋈label propagation is Ray's hash join. Returns Dataset
+    (node, label). BTS (ICDE'24) is the load-balancing anchor (PAPERS.md)."""
     edges = pairs_ds.map_batches(
         lambda t: pa.table(
             {
@@ -198,15 +227,22 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
         batch_format="pyarrow",
     ).materialize()
 
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
-    labels = labels.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t.column("src"),
-                "label": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
-            }
+    labels = _min_label_by_node(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [t.column("src").combine_chunks(), t.column("src").combine_chunks()]
+                    ),
+                    "lab": pa.concat_arrays(
+                        [t.column("src").combine_chunks(), t.column("dst").combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        "src",
+        "lab",
     ).materialize()
 
     for _ in range(max_rounds):
@@ -219,10 +255,8 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
             lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
             batch_format="pyarrow",
         )
-        new_labels = (
-            msgs.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+        new_labels = _min_label_by_node(
+            msgs.union(labels), "node", "label"
         ).materialize()
         # convergence check: fingerprint of (node, label) assignments
         old_fp = _labels_fingerprint(labels)
