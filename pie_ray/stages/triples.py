@@ -63,28 +63,55 @@ def triples_for_doc(domain: str, mentions: list[dict]) -> list[tuple[str, str, s
 
 
 def emit_triples_grouped(group: pa.Table) -> pa.Table:
-    """A8 as a ``groupby("url").map_groups`` body over T2 mentions — the
-    unfused path (used when T2 is checkpointed and re-read; the fused
-    NerTagger(emit='triples') path avoids this shuffle)."""
+    """A8 over a batch of WHOLE documents' T2 mentions — the unfused path
+    (used when T2 is checkpointed and re-read). The batch may contain many
+    urls; each url's mentions must be complete within it (guaranteed by
+    ``emit_triples_from_mentions``'s hash(url) bucket shuffle)."""
     from pie_ray.normalize import url_domain
 
-    url = group.column("url")[0].as_py()
-    ts = group.column("warc_ts")[0].as_py()
-    mentions = group.select(
-        ["ent_type", "surface", "norm", "begin", "end", "sent_id", "score"]
+    cols = group.select(
+        ["url", "warc_ts", "ent_type", "surface", "norm", "begin", "end", "sent_id", "score"]
     ).to_pylist()
+    by_url: dict[str, list[dict]] = {}
+    ts_of: dict[str, object] = {}
+    for m in cols:
+        by_url.setdefault(m["url"], []).append(m)
+        ts_of[m["url"]] = m["warc_ts"]
     rows = {k: [] for k in schemas.TRIPLES.names}
-    for s, p, o, sc in triples_for_doc(url_domain(url), mentions):
-        rows["subj"].append(s)
-        rows["pred"].append(p)
-        rows["obj"].append(o)
-        rows["url"].append(url)
-        rows["warc_ts"].append(ts)
-        rows["score"].append(sc)
+    for url in sorted(by_url):
+        for s, p, o, sc in triples_for_doc(url_domain(url), by_url[url]):
+            rows["subj"].append(s)
+            rows["pred"].append(p)
+            rows["obj"].append(o)
+            rows["url"].append(url)
+            rows["warc_ts"].append(ts_of[url])
+            rows["score"].append(sc)
     return pa.table(
         {n: pa.array(rows[n], type=schemas.TRIPLES.field(n).type)
          for n in schemas.TRIPLES.names},
         schema=schemas.TRIPLES,
+    )
+
+
+def emit_triples_from_mentions(mentions_ds, num_buckets: int = 64):
+    """A8 unfused: T2 mentions Dataset -> raw triples. ONE shuffle keyed on
+    hash(url) % num_buckets co-locates each document's mentions; the batch
+    fn then walks urls with a dict (no per-url Ray group dispatch)."""
+    from pie_ray.util import hash64_array
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (hash64_array(t.column("url").to_pylist(), salt=b"emit") % num_buckets).astype(
+            "int32"
+        )
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    return (
+        mentions_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: emit_triples_grouped(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
     )
 
 
