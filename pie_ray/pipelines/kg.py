@@ -131,7 +131,7 @@ def run_pipeline(pages_ds, out_dir: str, cfg: KgConfig | None = None) -> dict:
     triples.write_parquet(triples_path)
     adj = graph_stage(triples, cfg)
     graph_path = f"{out_dir}/graph"
-    write_graph(adj, graph_path)
+    write_graph(adj, graph_path, num_parts=cfg.num_graph_parts)
     return {
         "triples_path": triples_path,
         "graph_path": graph_path,

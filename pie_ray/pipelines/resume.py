@@ -144,7 +144,7 @@ def run_resumable(
             import shutil
 
             shutil.rmtree(graph_path)
-        write_graph(adj, graph_path)
+        write_graph(adj, graph_path, num_parts=cfg.num_graph_parts)
         mf.stage_record(
             out_dir, "graph", down_fp, triples.count(), n_nodes,
             time.perf_counter() - t2,

@@ -192,6 +192,13 @@ def build_adjacency(edges_ds, num_parts: int = DEFAULT_NUM_PARTS, assume_partiti
     )
 
 
-def write_graph(adj_ds, out_dir: str) -> None:
-    """A17 — partitioned Parquet sink (one directory per part)."""
+def write_graph(adj_ds, out_dir: str, num_parts: int = DEFAULT_NUM_PARTS) -> None:
+    """A17 — partitioned Parquet sink (one directory per part). Records the
+    partition-count in a sidecar so point lookups can recompute
+    ``hash(src) % P`` without scanning (pipelines/graph_query.py)."""
+    import json
+    import os
+
     adj_ds.write_parquet(out_dir, partition_cols=["part"])
+    with open(os.path.join(out_dir, "_GRAPH_META.json"), "w") as f:
+        json.dump({"num_parts": num_parts, "partition_rule": "blake2b64(src, salt=b'part') % num_parts"}, f)

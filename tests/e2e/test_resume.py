@@ -89,6 +89,33 @@ def test_resume_recomputes_only_failed_partition(full_run):
     assert _triple_set(rep2["triples_path"]) == golden
 
 
+def test_dead_partition_dir_is_overwritten(full_run):
+    """A partition dir left by a killed write (no manifest entry) must be
+    discarded and rebuilt, not appended to."""
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.pipelines.resume import run_resumable
+
+    out, rep = full_run
+    golden = _triple_set(rep["triples_path"])
+
+    victim = 1
+    pdir = os.path.join(out, "raw_triples", f"part={victim}")
+    # corrupt: drop the manifest entry but LEAVE (garbage) output in place
+    with open(os.path.join(pdir, "garbage.parquet.tmp"), "w") as f:
+        f.write("not parquet")
+    parts_file = os.path.join(out, "_manifests", "ner.parts.json")
+    recs = json.load(open(parts_file))
+    del recs[str(victim)]
+    json.dump(recs, open(parts_file, "w"))
+    os.remove(os.path.join(out, "_manifests", "canon.json"))
+    os.remove(os.path.join(out, "_manifests", "graph.json"))
+
+    rep2 = run_resumable(_factory, out, KgConfig(), num_parts=NUM_PARTS, corpus_id="t120")
+    assert rep2["stages"]["ner"]["ran_parts"] == [victim]
+    assert not os.path.exists(os.path.join(pdir, "garbage.parquet.tmp"))
+    assert _triple_set(rep2["triples_path"]) == golden
+
+
 def test_metrics_table(full_run):
     from pie_ray.state.manifest import metrics_table
 
