@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_nations": relational.q_intersect,
         "window_events": relational.q_window_events,
         "quantiles": relational.q_quantiles,
+        "topk_per_group": relational.q_topk_per_group,
+        "above_avg_balance": relational.q_above_avg_balance,
         "sessionize_events": relational.q_sessionize,
         # sampling (rows-only tolerance check)
         "sample_lineitem": relational.q_sample,
@@ -276,6 +278,19 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "topk_per_group": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice, rnk FROM (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "above_avg_balance": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
         """,
         "sessionize_events": """
             WITH flagged AS (

@@ -379,6 +379,77 @@ def q_except_(sf_dir: str):
     return _set_op(sf_dir, keep=False)
 
 
+def q_topk_per_group(sf_dir: str):
+    """Window-rank parity: top-3 orders by totalprice per priority class.
+
+    Shuffle on the group key, vectorized per-group top-k inside the batch
+    (sort + run-boundary slicing) — no per-group Python dispatch, no global
+    sort."""
+    import numpy as np
+
+    ds = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def topk_batch(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("o_orderpriority", "ascending"),
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        prio = np.asarray(g.column("o_orderpriority").to_pylist(), dtype=object)
+        n = len(prio)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = prio[1:] != prio[:-1]
+        # rank within group = index - start_of_group
+        starts = np.flatnonzero(new)
+        base = np.zeros(n, np.int64)
+        base[starts] = starts
+        np.maximum.accumulate(base, out=base)
+        rank = np.arange(n) - base
+        keep = rank < 3
+        out = g.filter(pa.array(keep))
+        return out.append_column(
+            "rnk", pa.array((rank[keep] + 1).astype(np.int64))
+        )
+
+    # orders per priority are > batch size, so co-locate each priority first
+    return ds.groupby("o_orderpriority").map_groups(topk_batch, batch_format="pyarrow")
+
+
+def q_above_avg_balance(sf_dir: str):
+    """Customers with balance above their nation's average — the per-nation
+    averages (a tiny aggregate) are computed first and broadcast into the
+    filter map (no second shuffle of the big side)."""
+    import ray
+
+    from ray.data.aggregate import Mean
+
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    avgs = {
+        r["c_nationkey"]: r["avg_bal"]
+        for r in cust.groupby("c_nationkey")
+        .aggregate(Mean("c_acctbal", alias_name="avg_bal"))
+        .take_all()
+    }
+    ref = ray.put(avgs)
+
+    class AboveAvg:
+        def __init__(self):
+            self.avgs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t.column("c_nationkey").to_pylist()
+            bal = t.column("c_acctbal").to_pylist()
+            keep = [b > self.avgs.get(k, float("inf")) for k, b in zip(nk, bal)]
+            return t.select(["c_custkey", "c_name"]).filter(pa.array(keep, pa.bool_()))
+
+    return cust.map_batches(AboveAvg, batch_format="pyarrow", concurrency=(1, 2))
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
