@@ -52,9 +52,15 @@ def run_resumable(
     cfg=None,
     num_parts: int = DEFAULT_NUM_PARTS,
     corpus_id: str = "corpus",
+    parts_per_round: int | None = None,
 ) -> dict:
     """Run S1..S6 with checkpoint-resume. ``pages_ds_factory()`` must return
     the same logical T0 Dataset every call (deterministic source).
+
+    ``parts_per_round`` bounds how many NER partitions run per executor
+    round: each round is written + manifest-recorded before the next starts,
+    so a kill loses at most one round's work (None = all todo partitions in
+    one round — fastest, but a mid-run kill restarts the whole leg).
 
     Returns artifact paths + per-stage skipped/ran flags."""
     import ray.data
@@ -73,14 +79,25 @@ def run_resumable(
     raw_dir = os.path.join(out_dir, "raw_triples")
     done = mf.done_parts(out_dir, "ner", ner_fp)
     todo = [p for p in range(num_parts) if p not in done]
-    t0 = time.perf_counter()
-    if todo:
+    rounds = (
+        [todo]
+        if not todo or parts_per_round is None
+        else [todo[i : i + parts_per_round] for i in range(0, len(todo), parts_per_round)]
+    )
+    import shutil
+
+    for chunk in rounds:
+        if not chunk:
+            continue
+        t0 = time.perf_counter()
         pages = pages_ds_factory()
         parted = pages.map_batches(_assign_part(num_parts), batch_format="pyarrow")
-        if len(todo) < num_parts:
-            todo_arr = pa.array(todo, pa.int32())
+        if len(chunk) < num_parts:
+            chunk_arr = pa.array(chunk, pa.int32())
             parted = parted.map_batches(
-                lambda t: t.filter(pc.is_in(t.column("part"), value_set=todo_arr)),
+                lambda t, _a=chunk_arr: t.filter(
+                    pc.is_in(t.column("part"), value_set=_a)
+                ),
                 batch_format="pyarrow",
             )
         extracted = extract_stage(parted, cfg)
@@ -97,16 +114,15 @@ def run_resumable(
         raw = dedup_triples(raw, extra_keys=("part",)).materialize()
         # OVERWRITE semantics per re-run partition dir (idempotent retry:
         # a dir without a matching manifest entry is dead output)
-        import shutil
-
-        for p in todo:
+        for p in chunk:
             pdir = os.path.join(raw_dir, f"part={p}")
             if os.path.exists(pdir):
                 shutil.rmtree(pdir)
         raw.write_parquet(raw_dir, partition_cols=["part"])
         counts = {r["part"]: r["count()"] for r in raw.groupby("part").count().take_all()}
         wall = time.perf_counter() - t0
-        for p in todo:
+        # manifests recorded only now — AFTER this round's output is durable
+        for p in chunk:
             mf.part_record(out_dir, "ner", p, ner_fp, -1, int(counts.get(p, 0)), wall)
     report["stages"]["ner"] = {"ran_parts": todo, "skipped_parts": sorted(done)}
 
