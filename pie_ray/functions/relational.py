@@ -277,8 +277,21 @@ def q_anti_join(sf_dir: str):
 
 
 def q_topk_orders(sf_dir: str):
+    """Global top-10 by price: per-batch partial top-k pushdown (each block
+    contributes at most k rows), then the tiny global sort+limit — a full
+    dataset sort for a top-k would shuffle everything for nothing."""
     ds = scan(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 10:
+            return t
+        idx = pc.select_k_unstable(
+            t, 10, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx)
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    return partial.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
 # ---------------------------------------------------------------------------
@@ -390,6 +403,8 @@ def q_topk_per_group(sf_dir: str):
     ds = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
 
     def topk_batch(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column("rnk", pa.array([], pa.int64()))
         order = pc.sort_indices(
             g,
             sort_keys=[
@@ -416,8 +431,15 @@ def q_topk_per_group(sf_dir: str):
             "rnk", pa.array((rank[keep] + 1).astype(np.int64))
         )
 
-    # orders per priority are > batch size, so co-locate each priority first
-    return ds.groupby("o_orderpriority").map_groups(topk_batch, batch_format="pyarrow")
+    def local_topk(t: pa.Table) -> pa.Table:
+        # partial per-batch top-3 per group: each block ships <= 3 rows per
+        # group into the shuffle, so a billion-row hot group can't overwhelm
+        # one reducer
+        out = topk_batch(t)
+        return out.drop_columns(["rnk"])
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    return partial.groupby("o_orderpriority").map_groups(topk_batch, batch_format="pyarrow")
 
 
 def q_above_avg_balance(sf_dir: str):
