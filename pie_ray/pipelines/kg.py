@@ -1,20 +1,22 @@
 """E1 — the flagship KG-construction pipeline (SURVEY.md §3.1).
 
-Stages (S1..S6), all streaming Ray Data; parquet checkpoints at shuffle /
-resume boundaries when ``out_dir`` is given:
+Stages (S1..S6), all streaming Ray Data:
 
-  S1 extract : read pages -> lang filter -> html_to_text (stateless tasks)
-  S2+S3 ner  : NerTagger actor pool, FUSED mention->triple emission
-               (doc-local pairing; no per-url shuffle), then exact dedup of
-               raw triples (shuffle #1, with per-batch combining)
-  S4 link    : distinct person keys -> MinHash-LSH banding (shuffle #2) ->
-               verified pairs -> connected components -> canon map
+  S1-S3      : read/gen -> lang-filtered extract -> NerTagger actor pool
+               with FUSED triple emission + per-batch combine — ONE fused
+               operator on the pool, zero shuffles (the exact dedup runs
+               once, post-canonicalization, where it is mandatory anyway)
+  S4 link    : per-batch-distinct person keys -> size-adaptive MinHash-LSH
+               (driver-local below 2M distinct keys; bucketed band shuffle
+               + hash-min connected components above) -> canon map
   S5 canon   : broadcast canon map (ray.put once), rewrite subj/obj,
-               re-dedup canonical triples (shuffle #3, tiny)
-  S6 graph   : edge aggregation (combiner + shuffle #4) -> adjacency
-               groupby (shuffle #5) -> partitioned parquet sink
+               ONE global exact dedup (bucket shuffle #1)
+  S6 graph   : edge aggregation (bucket shuffle #2 on src) -> adjacency
+               built on the SAME exchange (no extra shuffle) ->
+               partitioned parquet sink
 
-Never calls ray.init — the session is owned by the caller.
+Never calls ray.init — the session is owned by the caller; checkpointed /
+resumable variant lives in pie_ray.pipelines.resume.
 """
 
 from __future__ import annotations
@@ -36,8 +38,6 @@ class KgConfig:
     tau: float = 0.35
     num_graph_parts: int = 64
     force_distributed_cc: bool = False
-    checkpoint: bool = False
-    out_dir: str | None = None
     extra: dict = field(default_factory=dict)
 
 
