@@ -38,6 +38,10 @@ class KgConfig:
     tau: float = 0.35
     num_graph_parts: int = 64
     force_distributed_cc: bool = False
+    # >0 on GPU clusters: each NER actor reserves this many GPUs and the
+    # decode batches run on the accelerator (the numpy scorer is the CPU
+    # fallback; the stage shape — actor pool, batched decode — is identical)
+    ner_num_gpus: float = 0.0
     extra: dict = field(default_factory=dict)
 
 
@@ -60,12 +64,16 @@ def raw_triples_stage(extracted_ds, cfg: KgConfig):
     linking tolerates non-distinct keys by construction)."""
     from pie_ray.stages.ner import NerTagger
 
+    kwargs = {}
+    if cfg.ner_num_gpus:
+        kwargs["num_gpus"] = cfg.ner_num_gpus
     return extracted_ds.map_batches(
         NerTagger,
         fn_constructor_kwargs={"emit": "triples"},
         batch_format="pyarrow",
         batch_size=cfg.ner_batch_size,
         concurrency=cfg.ner_concurrency,
+        **kwargs,
     )
 
 

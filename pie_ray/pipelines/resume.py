@@ -53,6 +53,7 @@ def run_resumable(
     num_parts: int = DEFAULT_NUM_PARTS,
     corpus_id: str = "corpus",
     parts_per_round: int | None = None,
+    persist_mentions: bool = False,
 ) -> dict:
     """Run S1..S6 with checkpoint-resume. ``pages_ds_factory()`` must return
     the same logical T0 Dataset every call (deterministic source).
@@ -61,6 +62,12 @@ def run_resumable(
     round: each round is written + manifest-recorded before the next starts,
     so a kill loses at most one round's work (None = all todo partitions in
     one round — fastest, but a mid-run kill restarts the whole leg).
+
+    ``persist_mentions=True`` additionally writes the T2 mention table
+    (partitioned like the raw triples) and derives triples FROM it via the
+    unfused ``emit_triples_from_mentions`` path — the SURVEY §3.1 layout
+    where T2 is a durable, independently consumable artifact. Default off:
+    the fused path skips T2 I/O entirely.
 
     Returns artifact paths + per-stage skipped/ran flags."""
     import ray.data
@@ -101,16 +108,37 @@ def run_resumable(
                 batch_format="pyarrow",
             )
         extracted = extract_stage(parted, cfg)
-        raw = extracted.map_batches(
-            NerTagger,
-            fn_constructor_kwargs={"emit": "triples"},
-            batch_format="pyarrow",
-            batch_size=cfg.ner_batch_size,
-            concurrency=cfg.ner_concurrency,
-        )
-        # part is a pure function of url — recomputed here rather than
-        # threaded through the NER stage
-        raw = raw.map_batches(_assign_part(num_parts), batch_format="pyarrow")
+        if persist_mentions:
+            from pie_ray.stages.triples import emit_triples_from_mentions
+
+            mentions = extracted.map_batches(
+                NerTagger,
+                batch_format="pyarrow",
+                batch_size=cfg.ner_batch_size,
+                concurrency=cfg.ner_concurrency,
+            )
+            mentions = mentions.map_batches(
+                _assign_part(num_parts), batch_format="pyarrow"
+            ).materialize()
+            mdir = os.path.join(out_dir, "mentions")
+            for p in chunk:
+                pdir = os.path.join(mdir, f"part={p}")
+                if os.path.exists(pdir):
+                    shutil.rmtree(pdir)
+            mentions.write_parquet(mdir, partition_cols=["part"])
+            raw = emit_triples_from_mentions(mentions.drop_columns(["part"]))
+            raw = raw.map_batches(_assign_part(num_parts), batch_format="pyarrow")
+        else:
+            raw = extracted.map_batches(
+                NerTagger,
+                fn_constructor_kwargs={"emit": "triples"},
+                batch_format="pyarrow",
+                batch_size=cfg.ner_batch_size,
+                concurrency=cfg.ner_concurrency,
+            )
+            # part is a pure function of url — recomputed here rather than
+            # threaded through the NER stage
+            raw = raw.map_batches(_assign_part(num_parts), batch_format="pyarrow")
         raw = dedup_triples(raw, extra_keys=("part",)).materialize()
         # OVERWRITE semantics per re-run partition dir (idempotent retry:
         # a dir without a matching manifest entry is dead output)

@@ -116,6 +116,29 @@ def test_dead_partition_dir_is_overwritten(full_run):
     assert _triple_set(rep2["triples_path"]) == golden
 
 
+def test_persist_mentions_variant(ray_session, tmp_path):
+    """persist_mentions=True writes T2 and yields the same final triples."""
+    import ray.data
+
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.pipelines.resume import run_resumable
+
+    out = str(tmp_path / "kg_m")
+    rep = run_resumable(
+        _factory, out, KgConfig(), num_parts=NUM_PARTS, corpus_id="t120m",
+        persist_mentions=True,
+    )
+    mentions = ray.data.read_parquet(os.path.join(out, "mentions"))
+    assert mentions.count() > 0
+    assert {"url", "ent_type", "surface", "norm", "begin", "end"} <= set(
+        mentions.schema().names
+    )
+    from pie_ray.pipelines.kg import build_triples
+
+    direct = {(r["subj"], r["pred"], r["obj"]) for r in build_triples(_factory()).take_all()}
+    assert _triple_set(rep["triples_path"]) == direct
+
+
 def test_metrics_table(full_run):
     from pie_ray.state.manifest import metrics_table
 
