@@ -102,7 +102,7 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pie_ray.functions import dedup, relational, similarity, textops
+    from pie_ray.functions import dedup, relational, similarity, temporal, textops
     from pie_ray.functions.multimodal import q_media_features
 
     return {k: _tuned(v) for k, v in {
@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": relational.q_topk_per_group,
         "above_avg_balance": relational.q_above_avg_balance,
         "sessionize_events": relational.q_sessionize,
+        "asof_prev_event": temporal.q_asof_prev_event,
+        "range_join_events": temporal.q_range_join_events,
         # sampling (rows-only tolerance check)
         "sample_lineitem": relational.q_sample,
         # training-data text ops
@@ -278,6 +280,19 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "asof_prev_event": """
+            SELECT event_id, user_id,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+            FROM events
+        """,
+        "range_join_events": """
+            SELECT e1.event_id, e1.user_id,
+                   (SELECT count(*) FROM events e2
+                    WHERE e2.user_id = e1.user_id AND e2.event_id <> e1.event_id
+                      AND e2.ts BETWEEN e1.ts - INTERVAL 1 HOUR AND e1.ts + INTERVAL 1 HOUR
+                   ) AS n_within_1h
+            FROM events e1
         """,
         "topk_per_group": """
             SELECT o_orderkey, o_orderpriority, o_totalprice, rnk FROM (
