@@ -69,9 +69,6 @@ DOC_SHINGLE_W = 5
 DOC_TAU = 0.7
 MAX_BUCKET = 200
 
-_MERSENNE61 = np.uint64((1 << 61) - 1)
-
-
 def _doc_perms(num: int = DOC_NUM_PERMS) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(7177)
     a = rng.integers(1, 1 << 62, size=num, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
@@ -141,29 +138,6 @@ def _band_pairs(group: pa.Table) -> pa.Table:
                 a.append(p[0])
                 b.append(p[1])
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
-
-class _PairVerifier:
-    """Stateful verify stage: holds the doc_id → shingle-set map, broadcast
-    once via ray.put (small side: only docs that appear in ANY candidate
-    pair; at web scale this is the rare near-dup tail, not the corpus)."""
-
-    def __init__(self, docs_ref, tau: float):
-        import ray
-
-        self.docs: dict[int, set[str]] = ray.get(docs_ref)
-        self.tau = tau
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        a = t.column("a").to_pylist()
-        b = t.column("b").to_pylist()
-        keep = []
-        for x, y in zip(a, b):
-            sa, sb = self.docs.get(x, set()), self.docs.get(y, set())
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            keep.append(union > 0 and inter / union >= self.tau)
-        return t.filter(pa.array(keep, pa.bool_()))
 
 
 def q_dedup_minhash(sf_dir: str):

@@ -30,7 +30,6 @@ from pie_ray.util import stable_hash64
 # punct runs, whitespace runs (public pattern family; simplified, ASCII-safe)
 _BPE_RX = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
 
-_WORD_RX = re.compile(r"\S+")
 
 
 def token_count_batch(t: pa.Table) -> pa.Table:

@@ -83,46 +83,6 @@ def aggregate_edges(triples_ds, num_buckets: int = EDGE_BUCKETS):
     return bucketed.groupby("bucket").map_groups(agg_bucket, batch_format="pyarrow")
 
 
-def adjacency_group(group: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
-    """A16 map_groups body: one src's edges -> one adjacency row."""
-    src = group.column("src")[0].as_py()
-    order = pc.sort_indices(
-        group, sort_keys=[("pred", "ascending"), ("dst", "ascending")]
-    )
-    g = group.take(order)
-    adj = pa.array(
-        [
-            [
-                {
-                    "dst": d,
-                    "pred": p,
-                    "weight": w,
-                    "first_ts": f,
-                    "last_ts": l,
-                }
-                for d, p, w, f, l in zip(
-                    g.column("dst").to_pylist(),
-                    g.column("pred").to_pylist(),
-                    g.column("weight").to_pylist(),
-                    g.column("first_ts").to_pylist(),
-                    g.column("last_ts").to_pylist(),
-                )
-            ]
-        ],
-        type=pa.list_(schemas.ADJ_ENTRY),
-    )
-    part = int(hash64_array([src], salt=b"part")[0] % np.uint64(num_parts))
-    return pa.table(
-        {
-            "src": pa.array([src], pa.string()),
-            "adj": adj,
-            "degree": pa.array([group.num_rows], pa.int64()),
-            "part": pa.array([part], pa.int32()),
-        },
-        schema=schemas.GRAPH,
-    )
-
-
 def adjacency_batch(t: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
     """Vectorized A16 body: a src-complete edge batch -> adjacency rows.
 

@@ -75,25 +75,6 @@ def band_rows_batch(batch: pa.Table, bands: int = BANDS, rows: int = ROWS) -> pa
                      "entity_key": pa.array(out_key, pa.string())})
 
 
-def band_pairs_group(group: pa.Table) -> pa.Table:
-    """A11 — candidate pairs within one band group (a < b), hot-band capped."""
-    keys = sorted(set(group.column("entity_key").to_pylist()))
-    pairs_a: list[str] = []
-    pairs_b: list[str] = []
-    if len(keys) <= MAX_BAND_SIZE:
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                pairs_a.append(keys[i])
-                pairs_b.append(keys[j])
-    else:
-        # hot band: sorted chain preserves connectivity at O(n) edges
-        for i in range(len(keys) - 1):
-            pairs_a.append(keys[i])
-            pairs_b.append(keys[i + 1])
-    return pa.table({"a": pa.array(pairs_a, pa.string()),
-                     "b": pa.array(pairs_b, pa.string())})
-
-
 def verify_pairs_batch(batch: pa.Table, tau: float = TAU) -> pa.Table:
     """A11 verify — keep candidate pairs with TRUE Jaccard >= tau."""
     a = batch.column("a").to_pylist()
@@ -416,7 +397,7 @@ def distinct_person_keys(raw_triples_ds):
     (subjects are always person keys; co_mentioned objects too).
 
     NOT globally distinct by design — both consumers dedup internally
-    (local_canon_map via set, band_pairs_group via sorted(set)), so the
+    (local_canon_map via set, band_bucket_pairs via sorted(set)), so the
     global distinct shuffle is skipped entirely."""
     def keys_batch(t: pa.Table) -> pa.Table:
         subj = t.column("subj").to_pylist()
