@@ -179,7 +179,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type,
-                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -191,13 +191,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "pricing_summary": """
+            -- money cols are 2-decimal fixed point; sum them as exact scaled
+            -- BIGINTs so the result is bit-identical to the engine's int64
+            -- partial-aggregate path regardless of summation order
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
-                   SUM(l_extendedprice) AS sum_base_price,
-                   SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-                   AVG(l_quantity) AS avg_qty,
-                   AVG(l_discount) AS avg_disc,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(100 - round(l_discount*100) AS BIGINT)) / 10000.0 AS sum_disc_price,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(100 - round(l_discount*100) AS BIGINT)
+                       * CAST(100 + round(l_tax*100) AS BIGINT)) / 1000000.0 AS sum_charge,
+                   SUM(l_quantity) / COUNT(*) AS avg_qty,
+                   SUM(CAST(round(l_discount*100) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -206,7 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "join_customer_orders": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_orders,
-                   SUM(o_totalprice) AS sum_price
+                   SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -230,7 +236,8 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_join": """
             SELECT o_orderpriority,
                    COUNT(*) AS n_items,
-                   SUM(l_extendedprice * (1 - l_discount)) AS sum_revenue
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(100 - round(l_discount*100) AS BIGINT)) / 10000.0 AS sum_revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
@@ -264,7 +271,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,
                    COUNT(*) AS n_events,
-                   SUM(value) AS sum_value
+                   SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "token_count": """

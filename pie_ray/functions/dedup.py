@@ -140,12 +140,12 @@ def _band_pairs(group: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
-def q_dedup_minhash(sf_dir: str):
-    """(doc_id, cluster_id) for every document; cluster = min doc_id of its
-    near-dup component (singletons map to themselves)."""
-    import ray
+def _banded_candidates(docs):
+    """documents Dataset -> globally-distinct candidate pair Dataset (a, b).
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    Fully distributed: band explode + bucket shuffle proposes pairs inside
+    complete-band buckets; a second (small) bucketed shuffle on hash(a,b)
+    dedups pairs that the same doc pair generated in several bands."""
 
     def band_and_bucket(t: pa.Table) -> pa.Table:
         banded = doc_band_batch(t)
@@ -163,46 +163,137 @@ def q_dedup_minhash(sf_dir: str):
     cand = banded.groupby("bucket").map_groups(
         lambda g: _band_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow"
     )
-    cand = cand.materialize()
 
-    # broadcast shingle sets for candidate docs only
-    cand_rows = cand.take_all()
-    cand_ids = sorted({r["a"] for r in cand_rows} | {r["b"] for r in cand_rows})
-    id_set = set(cand_ids)
-    shingle_map: dict[int, set[str]] = {}
-    for batch in docs.iter_batches(batch_format="pyarrow"):
-        for did, s in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if did in id_set:
-                shingle_map[did] = word_shingles(s)
-    verified = [
-        (r["a"], r["b"])
-        for r in cand_rows
-        if _jac(shingle_map.get(r["a"], set()), shingle_map.get(r["b"], set())) >= DOC_TAU
-    ]
-    dsu = DSU()
-    for x, y in verified:
-        dsu.union(f"{x:020d}", f"{y:020d}")
-    cmap = {int(k): int(v) for k, v in dsu.canon_map().items()}
-    cref = ray.put(cmap)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        h = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)) % 64
+        return t.append_column("pbucket", pa.array(h.astype(np.int32), pa.int32()))
 
-    class Assign:
-        def __init__(self):
-            self.cmap = ray.get(cref)
+    def uniq_pairs(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["pbucket"]).group_by(["a", "b"]).aggregate([])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            return pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "cluster_id": pa.array(
-                        [self.cmap.get(i, i) for i in ids], pa.int64()
-                    ),
-                }
-            )
-
-    return docs.select_columns(["doc_id"]).map_batches(
-        Assign, batch_format="pyarrow", concurrency=(1, 4)
+    return (
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(uniq_pairs, batch_format="pyarrow")
     )
+
+
+def _shingle_table(docs):
+    """Map stage: (doc_id, sh=list<uint64>) — each doc's distinct word-shingle
+    hashes. Hashed-shingle Jaccard equals string-shingle Jaccard up to 2^-64
+    collisions; the u64 lists stream through joins without re-reading text."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        blobs = []
+        for s in texts:
+            sh = word_shingles(s)
+            if sh:
+                u = np.unique(np.fromiter((stable_hash64(x) for x in sh), np.uint64, len(sh)))
+                blobs.append(u.tobytes())  # binary blob: list types can't ride a join
+            else:
+                blobs.append(b"")
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "sh": pa.array(blobs, pa.binary())}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _verified_pairs(docs, emit_jaccard: bool = False):
+    """Distributed verify: candidates ⋈ shingles(a) ⋈ shingles(b), true
+    Jaccard per pair inside the batch. No driver-side doc scan (the round-1
+    take_all()/iter_batches anti-pattern this replaces)."""
+    cand = _banded_candidates(docs)
+    sh = _shingle_table(docs)
+
+    def _rename_sh_a(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["sh_a" if c == "sh" else c for c in t.column_names])
+        if "doc_id" in t.column_names:
+            t = t.drop_columns(["doc_id"])
+        return t
+
+    j1 = cand.join(sh, join_type="inner", num_partitions=16, on=("a",), right_on=("doc_id",))
+    j1 = j1.map_batches(_rename_sh_a, batch_format="pyarrow")
+    j2 = j1.join(sh, join_type="inner", num_partitions=16, on=("b",), right_on=("doc_id",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_sh = t.column("sh_a").to_pylist()
+        b_sh = t.column("sh").to_pylist()
+        jac = [
+            _jac_sorted(np.frombuffer(x, np.uint64), np.frombuffer(y, np.uint64))
+            for x, y in zip(a_sh, b_sh)
+        ]
+        cols = {"a": t.column("a"), "b": t.column("b")}
+        if emit_jaccard:
+            cols["jaccard"] = pa.array([round(j, 6) for j in jac], pa.float64())
+            return pa.table(cols)
+        keep = pa.array([j >= DOC_TAU for j in jac], pa.bool_())
+        return pa.table(cols).filter(keep)
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def _assign_components(ids_ds, pairs_ds, id_col: str):
+    """(id) Dataset + verified pair Dataset -> (id, cluster_id) for EVERY id
+    (cluster = min member id; singletons map to themselves). Size-adaptive
+    like linking.build_canon_map: driver union-find below the edge
+    threshold, distributed hash-min label propagation above it."""
+    import ray
+
+    from pie_ray.stages.linking import CC_DRIVER_THRESHOLD, cc_distributed
+
+    pairs_ds = pairs_ds.materialize()
+    n_edges = pairs_ds.count()
+    if n_edges <= CC_DRIVER_THRESHOLD:
+        dsu = DSU()
+        for batch in pairs_ds.iter_batches(batch_format="pyarrow"):
+            for x, y in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+                dsu.union(f"{x:020d}", f"{y:020d}")
+        cmap = {int(k): int(v) for k, v in dsu.canon_map().items()}
+        keys = pa.array(sorted(cmap), pa.int64())
+        vals = pa.array([cmap[k] for k in sorted(cmap)], pa.int64())
+        cref = ray.put((keys, vals))
+
+        class Assign:
+            def __init__(self):
+                self.keys, self.vals = ray.get(cref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                # vectorized broadcast lookup: index_in + take, null -> own id
+                idx = pc.index_in(t.column(id_col), value_set=self.keys)
+                mapped = pc.coalesce(self.vals.take(idx), t.column(id_col))
+                return pa.table({id_col: t.column(id_col), "cluster_id": mapped})
+
+        return ids_ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+    # scale path: labels from distributed CC, assignment via left join
+    labels = cc_distributed(pairs_ds)
+    joined = ids_ds.join(
+        labels, join_type="left_outer", num_partitions=16, on=(id_col,), right_on=("node",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster_id": pc.coalesce(t.column("label"), t.column(id_col)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_dedup_minhash(sf_dir: str):
+    """(doc_id, cluster_id) for every document; cluster = min doc_id of its
+    near-dup component (singletons map to themselves). Every stage is
+    distributed: banding shuffle -> pair dedup -> shingle joins -> verify ->
+    size-adaptive components -> broadcast/join assignment."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    verified = _verified_pairs(docs)
+    return _assign_components(docs.select_columns(["doc_id"]), verified, "doc_id")
 
 
 def _jac(a: set, b: set) -> float:
@@ -212,57 +303,21 @@ def _jac(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _jac_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two sorted-unique uint64 arrays (vectorized intersect)."""
+    if len(a) == 0 and len(b) == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (len(a) + len(b) - inter)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Direct n-gram Jaccard similarity over the LSH candidate space:
     (a, b, jaccard) for every banded candidate pair — the verify channel of
-    the MinHash path exposed as its own operator (rows-only oracle)."""
-    import ray
-
+    the MinHash path exposed as its own operator (rows-only oracle).
+    Fully distributed (shingle-set joins), same as q_dedup_minhash."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def band_and_bucket(t: pa.Table) -> pa.Table:
-        banded = doc_band_batch(t)
-        b = (
-            np.fromiter(
-                (stable_hash64(k) for k in banded.column("band_key").to_pylist()),
-                dtype=np.uint64,
-                count=banded.num_rows,
-            )
-            % DEDUP_LSH_BUCKETS
-        ).astype("int32")
-        return banded.append_column("bucket", pa.array(b, pa.int32()))
-
-    banded = docs.map_batches(band_and_bucket, batch_format="pyarrow")
-    cand = banded.groupby("bucket").map_groups(
-        lambda g: _band_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow"
-    )
-    cand_rows = cand.take_all()
-    ids = sorted({r["a"] for r in cand_rows} | {r["b"] for r in cand_rows})
-    id_set = set(ids)
-    shingle_map: dict[int, set[str]] = {}
-    for batch in docs.iter_batches(batch_format="pyarrow"):
-        for did, s in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if did in id_set:
-                shingle_map[did] = word_shingles(s)
-    seen: set[tuple[int, int]] = set()
-    a_out: list[int] = []
-    b_out: list[int] = []
-    j_out: list[float] = []
-    for r in cand_rows:
-        p = (r["a"], r["b"])
-        if p in seen:
-            continue
-        seen.add(p)
-        a_out.append(p[0])
-        b_out.append(p[1])
-        j_out.append(round(_jac(shingle_map.get(p[0], set()), shingle_map.get(p[1], set())), 6))
-    return pa.table(
-        {
-            "a": pa.array(a_out, pa.int64()),
-            "b": pa.array(b_out, pa.int64()),
-            "jaccard": pa.array(j_out, pa.float64()),
-        }
-    )
+    return _verified_pairs(docs, emit_jaccard=True)
 
 
 # ---------------------------------------------------------------------------
@@ -372,26 +427,7 @@ def q_dedup_embedding(sf_dir: str):
     pairs = keyed.groupby("skey").map_groups(
         lambda g: bucket_pairs(g.drop_columns(["skey"])), batch_format="pyarrow"
     )
-    pair_rows = pairs.take_all()
-    dsu = DSU()
-    for r in pair_rows:
-        dsu.union(f'{r["a"]:020d}', f'{r["b"]:020d}')
-    cmap = {int(k): int(v) for k, v in dsu.canon_map().items()}
-    cref = ray.put(cmap)
-
-    class Assign:
-        def __init__(self):
-            self.cmap = ray.get(cref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("vec_id").to_pylist()
-            return pa.table(
-                {
-                    "vec_id": t.column("vec_id"),
-                    "cluster_id": pa.array([self.cmap.get(i, i) for i in ids], pa.int64()),
-                }
-            )
-
-    return ds.select_columns(["vec_id"]).map_batches(
-        Assign, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    # size-adaptive components + vectorized assignment (shared with the
+    # document near-dup path): driver DSU below the edge threshold,
+    # distributed hash-min + join above it
+    return _assign_components(ds.select_columns(["vec_id"]), pairs, "vec_id")

@@ -32,6 +32,52 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# ---------------------------------------------------------------------------
+# Exact money arithmetic + low-cardinality partial aggregation
+#
+# The driver's correctness gate hashes values EXACTLY, so float aggregates
+# must be bit-identical to the DuckDB oracle. Money columns in the TPC-H-ish
+# testdata are 2-decimal fixed-point stored as float64; summing them as
+# scaled int64 ("cents") is exact and order-independent, and the matching
+# oracle SQL sums CAST(round(x*100) AS BIGINT) the same way. Final division
+# back to dollars is one correctly-rounded double op on both sides.
+#
+# For group keys with a handful of distinct values (return flags, market
+# segments, order priorities) a Ray hash-shuffle groupby pays seconds of
+# aggregator startup to move a few hundred partial rows. Instead: per-batch
+# Arrow ``group_by`` partials inside ``map_batches`` (vectorized, exact
+# int64 sums), then ONE tiny driver-side combine of ≤ blocks × groups rows.
+# At 100 TB the partials stay proportional to #groups, not #rows.
+# ---------------------------------------------------------------------------
+
+
+def cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Exact scaled-int conversion of a 2-decimal money column."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def lowcard_group_agg(ds, keys: list[str], sum_cols: list[str], count_alias: str | None = None):
+    """Partial-aggregate ``sum_cols`` (int64) + row count per ``keys`` inside
+    each batch, then combine the tiny partials once on the driver.
+
+    Returns a pyarrow Table with columns ``keys + [f"{c}__sum"] + [count]``
+    sorted by keys. Caller derives the final (float) output columns."""
+    aggs = [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(keys).aggregate(aggs)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts)
+    final = merged.group_by(keys).aggregate(
+        [(f"{c}_sum", "sum") for c in sum_cols] + [(f"{keys[0]}_count", "sum")]
+    )
+    final = final.rename_columns(
+        keys + [f"{c}__sum" for c in sum_cols] + [count_alias or "__count"]
+    )
+    return final.sort_by([(k, "ascending") for k in keys])
+
+
 def scan(sf_dir: str, name: str, columns: list[str] | None = None):
     """B1 — parquet scan with column pruning pushed to the reader."""
     return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
@@ -107,8 +153,14 @@ def q_json_extract(sf_dir: str):
     ds = scan(sf_dir, "events", columns=["event_type", "props"]).map_batches(
         fn, batch_format="pyarrow"
     )
-    out = ds.groupby("event_type").aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
-    return out
+    agg = lowcard_group_agg(ds, keys=["event_type"], sum_cols=["k"], count_alias="n")
+    return pa.table(
+        {
+            "event_type": agg.column("event_type"),
+            "sum_k": agg.column("k__sum"),
+            "n": agg.column("n"),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -164,34 +216,57 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def derive(t: pa.Table) -> pa.Table:
-        price = t.column("l_extendedprice")
-        disc = t.column("l_discount")
-        tax = t.column("l_tax")
-        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), tax))
+        # exact fixed-point: price in cents, discount/tax in percent points;
+        # disc_price in 1e-4 dollars, charge in 1e-6 dollars — int64 sums are
+        # exact and independent of summation order (bit-stable vs the oracle)
+        p = cents(t.column("l_extendedprice"))
+        d = cents(t.column("l_discount"))
+        x = cents(t.column("l_tax"))
+        dp4 = pc.multiply(p, pc.subtract(pa.scalar(100, pa.int64()), d))
+        ch6 = pc.multiply(dp4, pc.add(pa.scalar(100, pa.int64()), x))
         return pa.table(
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "l_linestatus": t.column("l_linestatus"),
-                "l_quantity": t.column("l_quantity"),
-                "l_extendedprice": price,
-                "l_discount": disc,
-                "disc_price": disc_price,
-                "charge": charge,
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "price_c": p,
+                "dp4": dp4,
+                "ch6": ch6,
+                "disc_c": d,
             }
         )
 
     ds = ds.map_batches(derive, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Sum("charge", alias_name="sum_charge"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
+    agg = lowcard_group_agg(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["qty", "price_c", "dp4", "ch6", "disc_c"],
+        count_alias="count_order",
     )
-    return out.sort(["l_returnflag", "l_linestatus"])
+    n = agg.column("count_order")
+    qty = pc.cast(agg.column("qty__sum"), pa.float64())
+    return pa.table(
+        {
+            "l_returnflag": agg.column("l_returnflag"),
+            "l_linestatus": agg.column("l_linestatus"),
+            "sum_qty": qty,
+            "sum_base_price": pc.divide(
+                pc.cast(agg.column("price_c__sum"), pa.float64()), pa.scalar(100.0)
+            ),
+            "sum_disc_price": pc.divide(
+                pc.cast(agg.column("dp4__sum"), pa.float64()), pa.scalar(10000.0)
+            ),
+            "sum_charge": pc.divide(
+                pc.cast(agg.column("ch6__sum"), pa.float64()), pa.scalar(1000000.0)
+            ),
+            "avg_qty": pc.divide(qty, pc.cast(n, pa.float64())),
+            "avg_disc": pc.divide(
+                pc.cast(agg.column("disc_c__sum"), pa.float64()),
+                pc.multiply(pa.scalar(100.0), pc.cast(n, pa.float64())),
+            ),
+            "count_order": n,
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -206,9 +281,29 @@ def q_join_customer_orders(sf_dir: str):
     joined = orders.join(
         cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="sum_price"),
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "price_c": cents(t.column("o_totalprice")),
+            }
+        )
+
+    agg = lowcard_group_agg(
+        joined.map_batches(derive, batch_format="pyarrow"),
+        keys=["c_mktsegment"],
+        sum_cols=["price_c"],
+        count_alias="n_orders",
+    )
+    return pa.table(
+        {
+            "c_mktsegment": agg.column("c_mktsegment"),
+            "n_orders": agg.column("n_orders"),
+            "sum_price": pc.divide(
+                pc.cast(agg.column("price_c__sum"), pa.float64()), pa.scalar(100.0)
+            ),
+        }
     )
 
 
@@ -219,14 +314,18 @@ class _BroadcastLookup:
     def __init__(self, lookup_ref, key: str, out_col: str):
         import ray
 
-        self.lookup: dict = ray.get(lookup_ref)
+        lookup: dict = ray.get(lookup_ref)
+        ks = sorted(lookup)
+        self.keys = pa.array(ks)
+        self.vals = pa.array([lookup[k] for k in ks])
         self.key = key
         self.out_col = out_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        keys = t.column(self.key).to_pylist()
-        vals = [self.lookup.get(k) for k in keys]
-        return t.append_column(self.out_col, pa.array(vals))
+        # vectorized broadcast lookup (index_in + take); misses stay null,
+        # matching dict.get(k) -> None
+        idx = pc.index_in(t.column(self.key).combine_chunks(), value_set=self.keys)
+        return t.append_column(self.out_col, pc.take(self.vals, idx))
 
 
 def q_broadcast_join_nation_region(sf_dir: str):
@@ -461,13 +560,22 @@ def q_above_avg_balance(sf_dir: str):
 
     class AboveAvg:
         def __init__(self):
-            self.avgs = ray.get(ref)
+            avgs = ray.get(ref)
+            ks = sorted(avgs)
+            self.keys = pa.array(ks, pa.int64())
+            self.vals = pa.array([avgs[k] for k in ks], pa.float64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            nk = t.column("c_nationkey").to_pylist()
-            bal = t.column("c_acctbal").to_pylist()
-            keep = [b > self.avgs.get(k, float("inf")) for k, b in zip(nk, bal)]
-            return t.select(["c_custkey", "c_name"]).filter(pa.array(keep, pa.bool_()))
+            # vectorized broadcast lookup; a missing nation -> null avg ->
+            # null comparison -> filtered out (same as the old get(k, inf))
+            idx = pc.index_in(
+                pc.cast(t.column("c_nationkey").combine_chunks(), pa.int64()),
+                value_set=self.keys,
+            )
+            keep = pc.greater(t.column("c_acctbal"), pc.take(self.vals, idx))
+            return t.select(["c_custkey", "c_name"]).filter(
+                pc.fill_null(keep, False)
+            )
 
     return cust.map_batches(AboveAvg, batch_format="pyarrow", concurrency=(1, 2))
 
@@ -593,14 +701,25 @@ def q_window_events(sf_dir: str):
             {
                 "window_start": pc.floor_temporal(t.column("ts"), unit="hour"),
                 "event_type": t.column("event_type"),
-                "value": t.column("value"),
+                "value_c": cents(t.column("value")),
             }
         )
 
     ds = ds.map_batches(fn, batch_format="pyarrow")
-    return ds.groupby(["window_start", "event_type"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
+    # group count = hours-in-corpus × event types — small at any corpus size,
+    # so the partial-agg + driver combine path applies
+    agg = lowcard_group_agg(
+        ds, keys=["window_start", "event_type"], sum_cols=["value_c"], count_alias="n_events"
+    )
+    return pa.table(
+        {
+            "window_start": agg.column("window_start"),
+            "event_type": agg.column("event_type"),
+            "n_events": agg.column("n_events"),
+            "sum_value": pc.divide(
+                pc.cast(agg.column("value_c__sum"), pa.float64()), pa.scalar(100.0)
+            ),
+        }
     )
 
 
@@ -615,16 +734,26 @@ def q_order_lineitem_join(sf_dir: str):
     li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        # revenue in exact 1e-4 dollars: cents * (100 - discount points)
+        rev4 = pc.multiply(
+            cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), cents(t.column("l_discount"))),
         )
-        return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": rev})
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev4": rev4})
 
     li = li.map_batches(revenue, batch_format="pyarrow")
     joined = li.join(
         orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
-    return joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_items"),
-        Sum("revenue", alias_name="sum_revenue"),
+    agg = lowcard_group_agg(
+        joined, keys=["o_orderpriority"], sum_cols=["rev4"], count_alias="n_items"
+    )
+    return pa.table(
+        {
+            "o_orderpriority": agg.column("o_orderpriority"),
+            "n_items": agg.column("n_items"),
+            "sum_revenue": pc.divide(
+                pc.cast(agg.column("rev4__sum"), pa.float64()), pa.scalar(10000.0)
+            ),
+        }
     )

