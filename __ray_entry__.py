@@ -128,12 +128,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": relational.q_topk_per_group,
         "above_avg_balance": relational.q_above_avg_balance,
         "sessionize_events": relational.q_sessionize,
+        "grouped_quantiles": relational.q_grouped_quantiles,
+        "cumsum_user_value": relational.q_cumsum_user_value,
         "asof_prev_event": temporal.q_asof_prev_event,
         "range_join_events": temporal.q_range_join_events,
-        # sampling (rows-only tolerance check)
+        # sampling (random: rows-only; hash-deterministic: SQL-oracled)
         "sample_lineitem": relational.q_sample,
+        "sample_hash": relational.q_sample_hash,
         # training-data text ops
         "token_count": textops.q_token_count,
+        "word_counts": textops.q_word_counts,
         "text_quality": textops.q_quality,
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_fingerprint,
@@ -282,6 +286,51 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_bpe
             FROM documents
         """,
+        "text_quality": r"""
+            -- quality_score is computed as ONE exact integer ratio
+            -- (2w(2*b1+b2+b3) + min(5k, 2w)) / 10w — same formulation as the
+            -- engine, so the double is bit-identical (a float sum of the
+            -- weighted terms drifts in the last ulp)
+            WITH q AS (
+              SELECT doc_id,
+                length(text) AS n_chars,
+                CASE WHEN length(text)=0 THEN 0.0
+                     ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                          / length(text) END AS alpha_ratio,
+                CASE WHEN length(text)=0 THEN 0
+                     ELSE length(text) - length(regexp_replace(text,
+                          '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) END AS n_punct,
+                CASE WHEN trim(text)='' THEN LIST_VALUE()
+                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS words
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_chars, alpha_ratio,
+                CASE WHEN n_chars=0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END AS punct_ratio,
+                len(words) AS n_words,
+                len(list_filter(words, w -> w IN
+                    ('the','a','an','and','or','of','to','in','is','are','was','were',
+                     'be','been','it','this','that','for','on','with','as','at','by','from')
+                )) AS n_stop
+              FROM q
+            )
+            SELECT doc_id,
+                CAST(n_chars AS BIGINT) AS n_chars,
+                alpha_ratio,
+                punct_ratio,
+                CASE WHEN n_words=0 THEN 0.0 ELSE n_stop * 1.0 / n_words END AS stopword_ratio,
+                CASE WHEN n_words=0
+                     THEN (2*CASE WHEN alpha_ratio > 0.6 THEN 1 ELSE 0 END
+                           + CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END
+                           + CASE WHEN n_chars > 100 AND n_chars < 100000 THEN 1 ELSE 0 END)
+                          / 5.0
+                     ELSE (2*n_words*(2*CASE WHEN alpha_ratio > 0.6 THEN 1 ELSE 0 END
+                                      + CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END
+                                      + CASE WHEN n_chars > 100 AND n_chars < 100000
+                                             THEN 1 ELSE 0 END)
+                           + least(5*n_stop, 2*n_words)) * 1.0 / (10*n_words)
+                END AS quality_score
+            FROM r
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5,
                    MIN(doc_id) AS keep_doc_id,
@@ -338,6 +387,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_cont(l_quantity, 0.5) AS median_qty,
                    quantile_cont(l_quantity, 0.9) AS p90_qty
             FROM lineitem
+        """,
+        "grouped_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   quantile_cont(l_quantity, 0.9) AS p90_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "cumsum_user_value": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_value
+            FROM events
+        """,
+        "word_counts": r"""
+            SELECT word, COUNT(*) AS n FROM (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+              FROM documents WHERE trim(text) <> ''
+            ) GROUP BY word HAVING COUNT(*) >= 10
+        """,
+        "sample_hash": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
         """,
         "knn_cosine": """
             SELECT vec_id,

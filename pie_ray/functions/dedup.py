@@ -140,12 +140,9 @@ def _band_pairs(group: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
-def _banded_candidates(docs):
-    """documents Dataset -> globally-distinct candidate pair Dataset (a, b).
-
-    Fully distributed: band explode + bucket shuffle proposes pairs inside
-    complete-band buckets; a second (small) bucketed shuffle on hash(a,b)
-    dedups pairs that the same doc pair generated in several bands."""
+def _banded_candidates_raw(docs):
+    """documents Dataset -> candidate pair Dataset (a, b); pairs proposed by
+    several bands may repeat across buckets (callers dedup)."""
 
     def band_and_bucket(t: pa.Table) -> pa.Table:
         banded = doc_band_batch(t)
@@ -160,9 +157,13 @@ def _banded_candidates(docs):
         return banded.append_column("bucket", pa.array(b, pa.int32()))
 
     banded = docs.map_batches(band_and_bucket, batch_format="pyarrow")
-    cand = banded.groupby("bucket").map_groups(
+    return banded.groupby("bucket").map_groups(
         lambda g: _band_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow"
     )
+
+
+def _distinct_pairs(cand):
+    """Small bucketed shuffle on hash(a,b) -> globally distinct (a, b)."""
 
     def add_pair_bucket(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -202,11 +203,82 @@ def _shingle_table(docs):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def _verified_pairs(docs, emit_jaccard: bool = False):
-    """Distributed verify: candidates ⋈ shingles(a) ⋈ shingles(b), true
-    Jaccard per pair inside the batch. No driver-side doc scan (the round-1
-    take_all()/iter_batches anti-pattern this replaces)."""
-    cand = _banded_candidates(docs)
+# Below this many candidate pairs the verify runs driver-side over a
+# DISTRIBUTED, candidate-filtered shingle scan (bounded pull: only candidate
+# docs' shingle blobs reach the driver, never the corpus). Above it, the
+# join-based fully distributed verify engages. Mirrors linking.py's
+# LOCAL_LINK_THRESHOLD size-adaptive design; each hash-join exchange costs
+# seconds of aggregator spin-up, which dominates when pairs are few.
+VERIFY_DRIVER_PAIRS = 200_000
+
+
+def _candidate_shingles(docs, cand_ids: np.ndarray):
+    """Distributed map: (doc_id, shingle blob) for candidate docs ONLY —
+    non-candidates are filtered inside the scan tasks."""
+    ids_arr = pa.array(np.sort(cand_ids).astype(np.int64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("doc_id"), value_set=ids_arr)
+        t = t.filter(keep)
+        texts = t.column("text").to_pylist()
+        blobs = []
+        for s in texts:
+            sh = word_shingles(s)
+            if sh:
+                u = np.unique(np.fromiter((stable_hash64(x) for x in sh), np.uint64, len(sh)))
+                blobs.append(u.tobytes())
+            else:
+                blobs.append(b"")
+        return pa.table({"doc_id": t.column("doc_id"), "sh": pa.array(blobs, pa.binary())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _verified_pairs(docs, emit_jaccard: bool = False, force_distributed: bool = False):
+    """Size-adaptive verify of LSH candidate pairs by true Jaccard.
+
+    Small pair sets (the common case — near-dup candidates are a tiny
+    fraction of the corpus): verify on the driver against a distributed
+    candidate-filtered shingle scan (both pulls bounded by the candidate
+    count, never a full-corpus driver scan). Large pair sets: fully
+    distributed via two hash joins against the shingle table."""
+    cand = _banded_candidates_raw(docs).materialize()
+    if not force_distributed and cand.count() <= VERIFY_DRIVER_PAIRS:
+        pairs = sorted({(r["a"], r["b"]) for r in cand.take_all()})
+        if not pairs:
+            cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            if emit_jaccard:
+                cols["jaccard"] = pa.array([], pa.float64())
+            return ray.data.from_arrow(pa.table(cols))
+        ids = np.unique(np.array([p[0] for p in pairs] + [p[1] for p in pairs]))
+        sh_map = {
+            r["doc_id"]: np.frombuffer(r["sh"], np.uint64)
+            for r in _candidate_shingles(docs, ids).take_all()
+        }
+        empty = np.empty(0, np.uint64)
+        jac = [_jac_sorted(sh_map.get(a, empty), sh_map.get(b, empty)) for a, b in pairs]
+        a_arr = pa.array([p[0] for p in pairs], pa.int64())
+        b_arr = pa.array([p[1] for p in pairs], pa.int64())
+        if emit_jaccard:
+            tbl = pa.table(
+                {
+                    "a": a_arr,
+                    "b": b_arr,
+                    "jaccard": pa.array([round(j, 6) for j in jac], pa.float64()),
+                }
+            )
+        else:
+            keep = pa.array([j >= DOC_TAU for j in jac], pa.bool_())
+            tbl = pa.table({"a": a_arr, "b": b_arr}).filter(keep)
+        return ray.data.from_arrow(tbl)
+
+    # ---- scale path: join-based verify ----------------------------------
+    # materialize barriers between the all-to-all exchanges: each exchange
+    # holds its own hash-shuffle aggregator actors for its whole lifetime,
+    # and running groupby + two joins concurrently deadlocks a small CPU
+    # budget. The materialized sets are candidate-pair-sized (tiny vs
+    # corpus); the big shingle table itself is never materialized.
+    cand = _distinct_pairs(cand).materialize()
     sh = _shingle_table(docs)
 
     def _rename_sh_a(t: pa.Table) -> pa.Table:
@@ -216,7 +288,7 @@ def _verified_pairs(docs, emit_jaccard: bool = False):
         return t
 
     j1 = cand.join(sh, join_type="inner", num_partitions=16, on=("a",), right_on=("doc_id",))
-    j1 = j1.map_batches(_rename_sh_a, batch_format="pyarrow")
+    j1 = j1.map_batches(_rename_sh_a, batch_format="pyarrow").materialize()
     j2 = j1.join(sh, join_type="inner", num_partitions=16, on=("b",), right_on=("doc_id",))
 
     def verify(t: pa.Table) -> pa.Table:
@@ -257,17 +329,18 @@ def _assign_components(ids_ds, pairs_ds, id_col: str):
         vals = pa.array([cmap[k] for k in sorted(cmap)], pa.int64())
         cref = ray.put((keys, vals))
 
-        class Assign:
-            def __init__(self):
-                self.keys, self.vals = ray.get(cref)
+        def assign(t: pa.Table, lookup_ref=None) -> pa.Table:
+            # task map (warm workers, no actor-pool spin-up); vectorized
+            # broadcast lookup: index_in + take, null -> own id. ray.get of
+            # an already-local plasma object is ~free per batch.
+            keys_, vals_ = ray.get(lookup_ref)
+            idx = pc.index_in(t.column(id_col), value_set=keys_)
+            mapped = pc.coalesce(vals_.take(idx), t.column(id_col))
+            return pa.table({id_col: t.column(id_col), "cluster_id": mapped})
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                # vectorized broadcast lookup: index_in + take, null -> own id
-                idx = pc.index_in(t.column(id_col), value_set=self.keys)
-                mapped = pc.coalesce(self.vals.take(idx), t.column(id_col))
-                return pa.table({id_col: t.column(id_col), "cluster_id": mapped})
-
-        return ids_ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+        return ids_ds.map_batches(
+            assign, fn_kwargs={"lookup_ref": cref}, batch_format="pyarrow"
+        )
 
     # scale path: labels from distributed CC, assignment via left join
     labels = cc_distributed(pairs_ds)

@@ -660,6 +660,87 @@ def q_sessionize(sf_dir: str):
     )
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """B3 depth: exact per-group order statistics (median / p90 per return
+    flag). Group keys are low-cardinality, so one group fits a worker and
+    `map_groups` + np.percentile is exact; billion-row groups would switch
+    to a distributed sort or t-digest sketch (documented trade-off)."""
+    import numpy as np
+
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def qb(g: pa.Table) -> pa.Table:
+        v = g.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": pa.array([g.column("l_returnflag")[0].as_py()]),
+                "median_qty": pa.array([float(np.percentile(v, 50))]),
+                "p90_qty": pa.array([float(np.percentile(v, 90))]),
+            }
+        )
+
+    return ds.groupby("l_returnflag").map_groups(qb, batch_format="pyarrow")
+
+
+def q_cumsum_user_value(sf_dir: str):
+    """B10 depth: running total per user ordered by (ts, event_id) — the
+    same ONE-shuffle bucket pattern as sessionize (hash(user) % 32), with a
+    vectorized per-bucket sort + segmented cumsum. Values sum as exact
+    int64 cents so the doubles match the SQL window oracle bit-for-bit."""
+    import numpy as np
+
+    from pie_ray.util import hash64_array
+
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"cum") % 32
+        ).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def cum_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        vc = cents(g.column("value")).to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "cum_value": pa.array([], pa.float64()),
+                }
+            )
+        cs = np.cumsum(vc)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        base = np.zeros(n, np.int64)
+        starts = np.flatnonzero(new)
+        base[starts] = cs[starts] - vc[starts]
+        np.maximum.accumulate(base, out=base)
+        cum = cs - base
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "cum_value": pa.array(cum.astype(np.float64) / 100.0),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cum_bucket, batch_format="pyarrow")
+    )
+
+
 def q_quantiles(sf_dir: str):
     """B3 approximate/order statistics: median and p90 (built-in Quantile)."""
     from ray.data.aggregate import Quantile
@@ -685,6 +766,27 @@ def q_quantiles(sf_dir: str):
 def q_sample(sf_dir: str):
     ds = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     return ds.random_sample(0.1, seed=20240817)
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic ~1/16 sample: keep rows whose md5(orderkey_linenumber)
+    starts with '0'. Unlike random_sample this is reproducible across runs,
+    partitioning and engines — the form of sampling a 100 TB pipeline wants
+    for repeatable holdouts — and exactly SQL-expressible (md5 prefix)."""
+    import hashlib
+
+    ds = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_pylist()
+        ln = t.column("l_linenumber").to_pylist()
+        keep = [
+            hashlib.md5(f"{o}_{n}".encode()).hexdigest()[0] == "0"
+            for o, n in zip(ok, ln)
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -74,12 +74,15 @@ def quality_batch(t: pa.Table) -> pa.Table:
     alpha_ratio = np.empty(len(texts), np.float64)
     punct_ratio = np.empty(len(texts), np.float64)
     stop_ratio = np.empty(len(texts), np.float64)
+    n_words = np.empty(len(texts), np.int64)
+    n_stop = np.empty(len(texts), np.int64)
     for i, s in enumerate(texts):
         s = s or ""
         n = len(s)
         n_chars[i] = n
         if n == 0:
             alpha_ratio[i] = punct_ratio[i] = stop_ratio[i] = 0.0
+            n_words[i] = n_stop[i] = 0
             continue
         arr = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
         is_alpha = ((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))
@@ -87,17 +90,22 @@ def quality_batch(t: pa.Table) -> pa.Table:
         alpha_ratio[i] = is_alpha.mean()
         punct_ratio[i] = is_punct.mean()
         words = s.lower().split()
-        stop_ratio[i] = (
-            sum(1 for w in words if w in _STOPWORDS) / len(words) if words else 0.0
-        )
-    score = np.clip(
-        0.4 * (alpha_ratio > 0.6)
-        + 0.2 * (punct_ratio < 0.1)
-        + 0.2 * np.clip(stop_ratio / 0.4, 0, 1)
-        + 0.2 * ((n_chars > 100) & (n_chars < 100_000)),
-        0.0,
-        1.0,
+        n_words[i] = len(words)
+        n_stop[i] = sum(1 for w in words if w in _STOPWORDS)
+        stop_ratio[i] = n_stop[i] / n_words[i] if words else 0.0
+    # score = 0.4*[alpha>0.6] + 0.2*[punct<0.1] + 0.2*min(stop/0.4, 1)
+    #       + 0.2*[100<chars<100k], computed as ONE exact integer ratio
+    #       (2w(2*b1+b2+b3) + min(5k, 2w)) / 10w so the value is a single
+    #       correctly-rounded division — bit-identical to the SQL oracle
+    #       (a float sum of the four terms drifts in the last ulp)
+    base = (
+        2 * (alpha_ratio > 0.6).astype(np.int64)
+        + (punct_ratio < 0.1).astype(np.int64)
+        + ((n_chars > 100) & (n_chars < 100_000)).astype(np.int64)
     )
+    num = 2 * n_words * base + np.minimum(5 * n_stop, 2 * n_words)
+    den = 10 * n_words
+    score = np.where(n_words > 0, num / np.maximum(den, 1), base / 5.0)
     return pa.table(
         {
             "doc_id": doc_ids,
@@ -192,3 +200,50 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
 def q_fingerprint(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide word counts — the explode/flat_map shape of LM-data prep
+# (vocabulary building, heavy-hitter filtering). Per-batch partial counts
+# BEFORE the shuffle (each batch ships its distinct words once, not every
+# token), then the usual hash-bucket shuffle + vectorized Arrow sum.
+# ---------------------------------------------------------------------------
+
+WORD_COUNT_MIN = 10
+WC_BUCKETS = 64
+
+
+def q_word_counts(sf_dir: str):
+    """(word, n) for every whitespace-token word appearing >= WORD_COUNT_MIN
+    times corpus-wide. Vocabulary is high-cardinality: counts combine
+    per-batch first, shuffle on hash(word) % 64 buckets."""
+    from collections import Counter
+
+    from pie_ray.util import hash64_array
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update((s or "").lower().split())
+        words = list(c.keys())
+        tb = pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+        b = (hash64_array(words, salt=b"wc") % WC_BUCKETS).astype("int32")
+        return tb.append_column("bucket", pa.array(b, pa.int32()))
+
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        gb = g.drop_columns(["bucket"]).group_by(["word"]).aggregate([("n", "sum")])
+        gb = gb.rename_columns(["word", "n"])
+        return gb.filter(pc.greater_equal(gb.column("n"), pa.scalar(WORD_COUNT_MIN, pa.int64())))
+
+    return (
+        ds.map_batches(explode_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sum_bucket, batch_format="pyarrow")
+    )

@@ -40,7 +40,12 @@ def neighbors(graph_dir: str, src: str, num_parts: int | None = None) -> list[di
     t = t.filter(pc.equal(t.column("src"), src))
     if t.num_rows == 0:
         return []
-    return t.column("adj")[0].as_py()
+    # concatenate all matching rows — a writer that emitted a split src
+    # must not silently lose edges here
+    out: list[dict] = []
+    for row in t.column("adj"):
+        out.extend(row.as_py())
+    return out
 
 
 def degree_topk(graph_dir: str, k: int = 10) -> list[tuple[str, int]]:

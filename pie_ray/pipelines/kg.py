@@ -92,31 +92,32 @@ def link_stage(raw_triples_ds, cfg: KgConfig) -> dict[str, str]:
 
 
 def canonicalize_stage(raw_triples_ds, canon_map: dict[str, str], cfg: KgConfig):
-    """S5: rewrite through canon map (broadcast), re-dedup -> final T3."""
+    """S5: rewrite through canon map (broadcast), re-dedup -> final T3.
+
+    A plain-function task map (no actor pool): the vectorized rewrite has no
+    per-actor state worth a pool, tasks reuse warm Ray workers (no spin-up
+    serial cost), and nothing here can starve the dedup shuffle."""
     import ray
 
-    from pie_ray.stages.linking import CanonMapper
+    from pie_ray.stages.linking import canonicalize_batch
     from pie_ray.stages.triples import dedup_triples
 
     canon_ref = ray.put(canon_map)
-    # cap the pool at half the cluster so the downstream dedup-shuffle tasks
-    # are never starved behind this pool's CPU reservation
-    ncpus = int(ray.cluster_resources().get("CPU", 4))
     mapped = raw_triples_ds.map_batches(
-        CanonMapper,
-        fn_constructor_kwargs={"canon_ref": canon_ref},
+        canonicalize_batch,
+        fn_kwargs={"canon_ref": canon_ref},
         batch_format="pyarrow",
-        concurrency=(1, max(2, min(16, ncpus // 2))),
     )
     return dedup_triples(mapped)
 
 
 def graph_stage(triples_ds, cfg: KgConfig):
-    """S6: T3 -> adjacency dataset (caller writes or consumes)."""
-    from pie_ray.stages.graph import aggregate_edges, build_adjacency
+    """S6: T3 -> adjacency dataset (caller writes or consumes). Edge
+    aggregation and adjacency build are fused into one src-bucketed
+    exchange (src-completeness is structural, not a block-size bet)."""
+    from pie_ray.stages.graph import aggregate_edges_to_adjacency
 
-    edges = aggregate_edges(triples_ds)
-    return build_adjacency(edges, cfg.num_graph_parts)
+    return aggregate_edges_to_adjacency(triples_ds, cfg.num_graph_parts)
 
 
 def build_triples(pages_ds, cfg: KgConfig | None = None):

@@ -34,6 +34,20 @@ def _fingerprint(*parts: object) -> str:
     return f"{stable_hash64('|'.join(str(p) for p in parts)):016x}"
 
 
+def _prune_unmanifested_parts(dir_: str, valid_parts: set[int]) -> None:
+    """Delete part=k subdirectories not covered by a current-fingerprint
+    manifest entry (read-side enforcement of the manifest contract)."""
+    import re
+    import shutil
+
+    if not os.path.isdir(dir_):
+        return
+    for name in os.listdir(dir_):
+        m = re.fullmatch(r"part=(\d+)", name)
+        if m and int(m.group(1)) not in valid_parts:
+            shutil.rmtree(os.path.join(dir_, name), ignore_errors=True)
+
+
 def _assign_part(num_parts: int):
     def fn(t: pa.Table) -> pa.Table:
         from pie_ray.util import hash64_array
@@ -81,8 +95,20 @@ def run_resumable(
     os.makedirs(out_dir, exist_ok=True)
     report: dict = {"stages": {}}
 
+    # a factory that accepts `parts` prunes the scan/generation to the
+    # round's partitions (synth_pages_for_parts / read_pages_parts); a plain
+    # zero-arg factory still works — the post-scan filter below guards it
+    import inspect
+
+    factory_takes_parts = "parts" in inspect.signature(pages_ds_factory).parameters
+
     # ---- S1+S2: per-partition extract -> NER -> raw triples -------------
-    ner_fp = _fingerprint(corpus_id, "ner", num_parts, cfg.langs, cfg.ner_batch_size)
+    # persist_mentions is part of the fingerprint: toggling it must re-run
+    # partitions, else the durable T2 mentions table would silently miss the
+    # partitions done before the toggle
+    ner_fp = _fingerprint(
+        corpus_id, "ner", num_parts, cfg.langs, cfg.ner_batch_size, persist_mentions
+    )
     raw_dir = os.path.join(out_dir, "raw_triples")
     done = mf.done_parts(out_dir, "ner", ner_fp)
     todo = [p for p in range(num_parts) if p not in done]
@@ -97,7 +123,7 @@ def run_resumable(
         if not chunk:
             continue
         t0 = time.perf_counter()
-        pages = pages_ds_factory()
+        pages = pages_ds_factory(parts=chunk) if factory_takes_parts else pages_ds_factory()
         parted = pages.map_batches(_assign_part(num_parts), batch_format="pyarrow")
         if len(chunk) < num_parts:
             chunk_arr = pa.array(chunk, pa.int32())
@@ -153,6 +179,16 @@ def run_resumable(
         for p in chunk:
             mf.part_record(out_dir, "ner", p, ner_fp, -1, int(counts.get(p, 0)), wall)
     report["stages"]["ner"] = {"ran_parts": todo, "skipped_parts": sorted(done)}
+
+    # prune partition dirs with no manifest entry under the CURRENT
+    # fingerprint before the downstream read — a fresh run that lowered
+    # num_parts, or a changed fingerprint, leaves stale part=k dirs whose
+    # triples would otherwise silently mix into link/canon/graph (the
+    # manifest contract: an unmanifested partition dir is dead output)
+    valid = mf.done_parts(out_dir, "ner", ner_fp)
+    _prune_unmanifested_parts(raw_dir, valid)
+    if persist_mentions:
+        _prune_unmanifested_parts(os.path.join(out_dir, "mentions"), valid)
 
     # ---- downstream: stage-level checkpoints over the small triple set --
     raw_triples = ray.data.read_parquet(raw_dir)

@@ -64,29 +64,40 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.synth is not None:
-        from pie_ray.sources.synth import synth_pages
+        from pie_ray.sources.synth import synth_pages, synth_pages_for_parts
 
         n = args.synth
         corpus_id = f"synth:{n}"
+        nblocks = max(8, n_cpus * 2)
 
-        def factory():
-            return synth_pages(n, override_num_blocks=max(8, n_cpus * 2))
+        def factory(parts=None):
+            if parts is None:
+                return synth_pages(n, override_num_blocks=nblocks)
+            # resume round: generate only the todo partitions' pages
+            return synth_pages_for_parts(
+                n, parts, args.num_parts, override_num_blocks=nblocks
+            )
 
     else:
         path = args.input
         corpus_id = f"parquet:{path}"
 
-        def factory():
-            from pie_ray.sources.pages import read_pages
+        def factory(parts=None):
+            from pie_ray.sources.pages import read_pages, read_pages_parts
 
             # lang predicate pushed to the scan; extract re-filters (cheap)
-            return read_pages(path, langs=cfg.langs)
+            if parts is None:
+                return read_pages(path, langs=cfg.langs)
+            return read_pages_parts(path, parts, args.num_parts, langs=cfg.langs)
 
     if not args.resume:
-        # fresh run: ignore stale manifests by wiping them
+        # fresh run: wipe manifests AND their outputs together — stale
+        # part dirs under raw_triples/ or mentions/ must not survive a
+        # manifest wipe (they would read as dead-but-present output)
         import shutil
 
-        shutil.rmtree(f"{args.output}/_manifests", ignore_errors=True)
+        for sub in ("_manifests", "raw_triples", "mentions"):
+            shutil.rmtree(f"{args.output}/{sub}", ignore_errors=True)
 
     t0 = time.perf_counter()
     report = run_resumable(factory, args.output, cfg, num_parts=args.num_parts, corpus_id=corpus_id)

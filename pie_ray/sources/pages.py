@@ -30,3 +30,48 @@ def read_pages(
     if override_num_blocks:
         kwargs["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet(path, columns=columns or T0_COLUMNS, **kwargs)
+
+
+def read_pages_parts(
+    path: str,
+    parts,
+    num_parts: int,
+    langs: tuple[str, ...] | None = None,
+    columns: list[str] | None = None,
+):
+    """Partition-pruned T0 scan for resumable runs.
+
+    If the table carries a ``part`` column (a corpus written by a resumable
+    sink), ``part IN parts`` is pushed into the parquet scan — pruned
+    partitions never leave storage. Otherwise the part predicate
+    (hash(url) % num_parts) cannot be a parquet filter; it is applied as a
+    vectorized post-scan filter inside the read tasks (distributed, but the
+    pruned rows are still read — persist a ``part`` column at write time to
+    get true input pruning)."""
+    filt = pc.field("lang").isin(list(langs)) if langs else None
+    try:
+        schema_names = set(pa_ds.dataset(path, partitioning="hive").schema.names)
+    except Exception:
+        schema_names = set()
+    plist = [int(p) for p in parts]
+    if "part" in schema_names:
+        part_filt = pc.field("part").isin(plist)
+        filt = part_filt if filt is None else (filt & part_filt)
+        cols = columns or T0_COLUMNS
+        return ray.data.read_parquet(path, columns=cols, filter=filt, partitioning="hive")
+
+    ds = ray.data.read_parquet(
+        path, columns=columns or T0_COLUMNS, **({"filter": filt} if filt is not None else {})
+    )
+
+    def part_filter(t):
+        from pie_ray.util import hash64_array
+
+        pr = hash64_array(t.column("url").to_pylist(), salt=b"part") % num_parts
+        import numpy as np
+        import pyarrow as pa
+
+        keep = np.isin(pr, np.asarray(plist, dtype=np.uint64))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(part_filter, batch_format="pyarrow")

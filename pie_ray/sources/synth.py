@@ -188,6 +188,44 @@ def synth_pages(n: int, seed: int = gz.SEED, *, override_num_blocks: int | None 
     return ds.map_batches(gen_batch, batch_format="numpy", batch_size=256)
 
 
+def page_url(idx: int, seed: int = gz.SEED) -> str:
+    """URL of page ``idx`` WITHOUT generating its body (the domain is the
+    generator's first RNG draw, so this is ~100x cheaper than gen_page)."""
+    rng = random.Random(row_seed(seed, "pages", idx))
+    return f"https://{gz.zipf_domain(rng.random())}/doc{idx}"
+
+
+def synth_pages_for_parts(
+    n: int,
+    parts,
+    num_parts: int,
+    seed: int = gz.SEED,
+    *,
+    override_num_blocks: int | None = None,
+):
+    """Partition-pruned synth source for resumable runs: generates full page
+    bodies ONLY for rows whose ``part = hash(url) % num_parts`` is in
+    ``parts``. The cheap url derivation runs for every index inside the
+    distributed generator task; the expensive body generation is skipped for
+    pruned rows — a resume round touching k of P partitions costs ~k/P of a
+    full synth pass instead of a full regenerate-then-filter."""
+    import ray.data
+
+    from pie_ray.util import hash64_array
+
+    pset = frozenset(int(p) for p in parts)
+
+    def gen_batch(batch: dict[str, np.ndarray]) -> pa.Table:
+        ids = batch["id"]
+        urls = [page_url(int(i), seed) for i in ids]
+        pr = hash64_array(urls, salt=b"part") % num_parts
+        kept = [int(i) for i, p in zip(ids, pr) if int(p) in pset]
+        return pages_table(kept, seed)
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen_batch, batch_format="numpy", batch_size=256)
+
+
 def write_corpus(path: str, n: int, seed: int = gz.SEED, num_blocks: int | None = None) -> None:
     """Materialize a synthetic corpus to partitioned Parquet (bench input)."""
     synth_pages(n, seed, override_num_blocks=num_blocks).write_parquet(path)

@@ -83,6 +83,48 @@ def aggregate_edges(triples_ds, num_buckets: int = EDGE_BUCKETS):
     return bucketed.groupby("bucket").map_groups(agg_bucket, batch_format="pyarrow")
 
 
+def aggregate_edges_to_adjacency(
+    triples_ds, num_parts: int = DEFAULT_NUM_PARTS, num_buckets: int = EDGE_BUCKETS
+):
+    """A15+A16 fused: triples -> adjacency on ONE src-bucketed exchange.
+
+    The adjacency build requires every src's edges in one batch. Running it
+    inside the same ``map_groups`` body as the edge aggregate makes that a
+    structural guarantee (one function call sees the whole bucket) instead
+    of an assumption about Ray's block slicing — a bucket whose aggregated
+    edge table exceeds target_max_block_size would otherwise be split
+    mid-src downstream and emit duplicate src rows with partial adjacency."""
+    from pie_ray.util import hash64_array as _h
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = _partial_edge_agg(_edges_from_triples(t))
+        buckets = (_h(t.column("src").to_pylist(), salt=b"gpart") % num_buckets).astype("int32")
+        return t.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def agg_and_adj(group: pa.Table) -> pa.Table:
+        gb = (
+            group.drop_columns(["bucket"])
+            .group_by(["src", "dst", "pred"])
+            .aggregate([("weight", "sum"), ("first_ts", "min"), ("last_ts", "max")])
+            .rename_columns(["src", "dst", "pred", "weight", "first_ts", "last_ts"])
+        )
+        edges = pa.table(
+            {
+                "src": gb.column("src"),
+                "dst": gb.column("dst"),
+                "pred": gb.column("pred"),
+                "weight": pc.cast(gb.column("weight"), pa.int64()),
+                "first_ts": gb.column("first_ts").cast(pa.timestamp("us")),
+                "last_ts": gb.column("last_ts").cast(pa.timestamp("us")),
+            },
+            schema=schemas.EDGES,
+        )
+        return adjacency_batch(edges, num_parts)
+
+    bucketed = triples_ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(agg_and_adj, batch_format="pyarrow")
+
+
 def adjacency_batch(t: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
     """Vectorized A16 body: a src-complete edge batch -> adjacency rows.
 
@@ -126,12 +168,14 @@ def adjacency_batch(t: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table
     )
 
 
-def build_adjacency(edges_ds, num_parts: int = DEFAULT_NUM_PARTS, assume_partitioned: bool = True):
+def build_adjacency(edges_ds, num_parts: int = DEFAULT_NUM_PARTS, assume_partitioned: bool = False):
     """A16 — edges -> adjacency-list rows with partition assignment.
 
-    ``assume_partitioned=True`` (the pipeline path) reuses the src-bucketed
-    exchange ``aggregate_edges`` already performed — zero extra shuffle.
-    Pass False for arbitrary edge input: re-buckets by src first."""
+    Default re-buckets by src (correct for arbitrary edge input). The
+    pipeline path uses ``aggregate_edges_to_adjacency`` instead, which fuses
+    the build into the edge-aggregate exchange; ``assume_partitioned=True``
+    remains for callers that GUARANTEE src-complete input batches (it is an
+    assumption Ray's block slicing does not protect at large block sizes)."""
     if not assume_partitioned:
         from pie_ray.util import hash64_array as _h
 

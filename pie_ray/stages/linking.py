@@ -345,6 +345,69 @@ def build_canon_map(
 # ---- A13: canonicalize --------------------------------------------------
 
 
+def _canon_rewrite(batch: pa.Table, keys: pa.Array, vals: pa.Array) -> pa.Table:
+    """Vectorized canonicalization body (shared by the task map and the
+    actor-pool form): remap subj (and co-mention obj) through the broadcast
+    (keys, vals) arrays, re-order co-mention pairs, drop self-loops."""
+    import pyarrow.compute as pc
+
+    def remap(col):
+        idx = pc.index_in(col, value_set=keys)
+        return pc.coalesce(pc.take(vals, idx), col)
+
+    subj = remap(batch.column("subj").combine_chunks())
+    obj_raw = batch.column("obj").combine_chunks()
+    is_co = pc.equal(batch.column("pred"), pa.scalar("co_mentioned_with"))
+    obj = pc.if_else(is_co, remap(obj_raw), obj_raw)
+    lt = pc.less(subj, obj)
+    new_subj = pc.if_else(pc.and_(is_co, pc.invert(lt)), obj, subj)
+    new_obj = pc.if_else(pc.and_(is_co, pc.invert(lt)), subj, obj)
+    keep = pc.or_(pc.invert(is_co), pc.not_equal(subj, obj))
+    out = pa.table(
+        {
+            "subj": new_subj,
+            "pred": batch.column("pred"),
+            "obj": new_obj,
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "score": batch.column("score"),
+        }
+    )
+    return out.filter(keep)
+
+
+# one live canon map per worker process: the task-pool canonicalize resolves
+# the broadcast ObjectRef once per worker (plasma get is zero-copy local
+# after the first fetch) and memoizes the derived Arrow arrays here
+_CANON_CACHE: dict[bytes, tuple[pa.Array, pa.Array]] = {}
+
+_EMPTY_STR = pa.array([], pa.string())
+
+
+def _canon_arrays(canon_ref) -> tuple[pa.Array, pa.Array]:
+    if canon_ref is None:
+        return _EMPTY_STR, _EMPTY_STR
+    key = canon_ref.binary()
+    hit = _CANON_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        canon: dict[str, str] = ray.get(canon_ref)
+        ks = sorted(canon)
+        hit = (pa.array(ks, pa.string()), pa.array([canon[k] for k in ks], pa.string()))
+        _CANON_CACHE.clear()
+        _CANON_CACHE[key] = hit
+    return hit
+
+
+def canonicalize_batch(batch: pa.Table, canon_ref=None) -> pa.Table:
+    """Task-pool A13: plain-function map (runs on existing Ray workers, no
+    actor-pool spin-up — the rewrite is pure vectorized Arrow, so there is
+    no per-actor state worth paying a pool for)."""
+    keys, vals = _canon_arrays(canon_ref)
+    return _canon_rewrite(batch, keys, vals)
+
+
 class CanonMapper:
     """Broadcast map-side canonicalization: the canon map is ray.put() once
     and each actor resolves the ObjectRef in __init__ (never per batch).
@@ -365,32 +428,7 @@ class CanonMapper:
         self.vals = pa.array([canon[k] for k in ks], pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        def remap(col):
-            idx = pc.index_in(col, value_set=self.keys)
-            return pc.coalesce(pc.take(self.vals, idx), col)
-
-        subj = remap(batch.column("subj").combine_chunks())
-        obj_raw = batch.column("obj").combine_chunks()
-        is_co = pc.equal(batch.column("pred"), pa.scalar("co_mentioned_with"))
-        obj = pc.if_else(is_co, remap(obj_raw), obj_raw)
-        # keep co-mention pairs ordered (subj < obj); drop self-loops
-        lt = pc.less(subj, obj)
-        new_subj = pc.if_else(pc.and_(is_co, pc.invert(lt)), obj, subj)
-        new_obj = pc.if_else(pc.and_(is_co, pc.invert(lt)), subj, obj)
-        keep = pc.or_(pc.invert(is_co), pc.not_equal(subj, obj))
-        out = pa.table(
-            {
-                "subj": new_subj,
-                "pred": batch.column("pred"),
-                "obj": new_obj,
-                "url": batch.column("url"),
-                "warc_ts": batch.column("warc_ts"),
-                "score": batch.column("score"),
-            }
-        )
-        return out.filter(keep)
+        return _canon_rewrite(batch, self.keys, self.vals)
 
 
 def distinct_person_keys(raw_triples_ds):

@@ -15,6 +15,7 @@ batch.
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -67,6 +68,27 @@ CHANNEL_PATTERNS: list[tuple[str, str]] = [
 ]
 TYPE_PRIORITY = {"EMAIL": 0, "ID": 1, "PHONE": 2, "ADDR": 3, "PER": 4}
 
+# A7 deployment seam: learned weights ship as an .npz next to the module
+# (keys: emission_w, transitions, start). The committed fixture is generated
+# from the constants above by scripts/gen_ner_weights.py; swapping in a
+# trained file changes behavior without touching code. Constants remain the
+# in-code fallback so the engine still runs if the file is absent.
+DEFAULT_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "ner_weights.npz")
+
+
+def load_weights(path: str | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(emission_w, transitions, start) from an .npz, or the built-in
+    constants when no file exists."""
+    p = path or DEFAULT_WEIGHTS_PATH
+    if os.path.exists(p):
+        z = np.load(p)
+        return (
+            z["emission_w"].astype(np.float32),
+            z["transitions"].astype(np.float32),
+            z["start"].astype(np.float32),
+        )
+    return EMISSION_W, TRANSITIONS, START
+
 
 class NerModel:
     """Holds weights, lexicon sets and compiled channel regexes.
@@ -78,11 +100,11 @@ class NerModel:
 
     _EM_CACHE_MAX = 262_144
 
-    def __init__(self) -> None:
+    def __init__(self, weights_path: str | None = None) -> None:
         self.first, self.last = gz.name_token_sets()
-        self.w = EMISSION_W
-        self.t = TRANSITIONS
-        self.start = START
+        # weights load from .npz ONCE per actor (this runs in __init__ of the
+        # NerTagger actor, never per batch)
+        self.w, self.t, self.start = load_weights(weights_path)
         self.channels = [(t, re.compile(p)) for t, p in CHANNEL_PATTERNS]
         self._em_cache: dict[str, np.ndarray] = {}
 

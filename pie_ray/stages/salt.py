@@ -51,10 +51,14 @@ def salted_aggregate(
         # for count/sum since any spread works and determinism of the
         # AGGREGATE result is unaffected by salt assignment.
         salt = np.arange(t.num_rows, dtype=np.int64) % num_salts
-        return t.append_column("__salt", pa.array(salt, pa.int64()))
+        t = t.append_column("__salt", pa.array(salt, pa.int64()))
+        # count via a never-null ones column: pyarrow "count" defaults to
+        # only_valid, so counting a nullable summed column would drop null
+        # rows and break the salted == unsalted row-count equivalence
+        return t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
 
     def partial(group: pa.Table) -> pa.Table:
-        aggs = [(c, "sum") for c in sum_cols] + [([*(sum_cols or ["__salt"])][0], "count")]
+        aggs = [(c, "sum") for c in sum_cols] + [("__one", "sum")]
         gb = group.group_by([*keys, "__salt"]).aggregate(aggs)
         names = [*keys, "__salt", *sum_cols, "__n"]
         return gb.rename_columns(names)

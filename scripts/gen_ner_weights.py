@@ -1,0 +1,41 @@
+"""Generate the committed NER weight fixture (pie_ray/stages/ner_weights.npz)
+from the in-code constants — the A7 deployment seam's reference weights.
+
+Run after changing EMISSION_W / TRANSITIONS / START in ner_model.py:
+
+    python scripts/gen_ner_weights.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pie_ray.stages.ner_model import (  # noqa: E402
+    DEFAULT_WEIGHTS_PATH,
+    EMISSION_W,
+    START,
+    TRANSITIONS,
+)
+
+
+def main() -> None:
+    np.savez(
+        DEFAULT_WEIGHTS_PATH,
+        emission_w=EMISSION_W,
+        transitions=TRANSITIONS,
+        start=START,
+    )
+    z = np.load(DEFAULT_WEIGHTS_PATH)
+    assert np.array_equal(z["emission_w"], EMISSION_W)
+    assert np.array_equal(z["transitions"], TRANSITIONS)
+    assert np.array_equal(z["start"], START)
+    print(f"wrote {DEFAULT_WEIGHTS_PATH} ({os.path.getsize(DEFAULT_WEIGHTS_PATH)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

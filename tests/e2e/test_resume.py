@@ -20,7 +20,16 @@ N_PAGES = 120
 NUM_PARTS = 4
 
 
-def _factory():
+def _factory(parts=None):
+    from pie_ray.sources.synth import synth_pages, synth_pages_for_parts
+
+    if parts is None:
+        return synth_pages(N_PAGES)
+    # partition-pruned resume input: only the todo partitions are generated
+    return synth_pages_for_parts(N_PAGES, parts, NUM_PARTS)
+
+
+def _factory_noparts():
     from pie_ray.sources.synth import synth_pages
 
     return synth_pages(N_PAGES)
@@ -147,3 +156,66 @@ def test_metrics_table(full_run):
     stages = set(t.column("stage").to_pylist())
     assert {"ner", "canon", "graph"} <= stages
     assert t.num_rows >= NUM_PARTS + 2
+
+
+def test_parts_pruned_source_generates_only_todo_parts(ray_session):
+    """synth_pages_for_parts yields exactly the rows whose hash-part is in
+    the requested set — the resume round's scan is input-pruned, not a full
+    regenerate-then-filter."""
+    from pie_ray.sources.synth import page_url, synth_pages_for_parts
+    from pie_ray.util import part_of
+
+    want = {i for i in range(N_PAGES) if part_of(page_url(i), NUM_PARTS) == 2}
+    ds = synth_pages_for_parts(N_PAGES, [2], NUM_PARTS)
+    urls = [r["url"] for r in ds.take_all()]
+    got = {int(u.rsplit("doc", 1)[1]) for u in urls}
+    assert got == want
+    assert 0 < len(got) < N_PAGES
+
+
+def test_zero_arg_factory_still_supported(ray_session, tmp_path):
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.pipelines.resume import run_resumable
+
+    out = str(tmp_path / "kg_legacy")
+    rep = run_resumable(
+        _factory_noparts, out, KgConfig(), num_parts=NUM_PARTS, corpus_id="t120"
+    )
+    assert sorted(rep["stages"]["ner"]["ran_parts"]) == list(range(NUM_PARTS))
+
+
+def test_stale_partition_dir_pruned_before_downstream(full_run):
+    """A part=k dir with no manifest entry under the current fingerprint
+    (e.g. left by an earlier higher-num_parts run) must not leak its
+    triples into link/canon/graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.pipelines.resume import run_resumable
+
+    out, rep = full_run
+    golden = _triple_set(rep["triples_path"])
+
+    stale = os.path.join(out, "raw_triples", "part=9")
+    os.makedirs(stale, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "subj": ["per:stale entity"],
+                "pred": ["has_email"],
+                "obj": ["stale@example.com"],
+                "url": ["https://stale.example/doc0"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "score": pa.array([1.0], pa.float32()),
+            }
+        ),
+        os.path.join(stale, "junk.parquet"),
+    )
+    # force downstream re-run so the stale dir would be consumed if present
+    os.remove(os.path.join(out, "_manifests", "canon.json"))
+    os.remove(os.path.join(out, "_manifests", "graph.json"))
+
+    rep2 = run_resumable(_factory, out, KgConfig(), num_parts=NUM_PARTS, corpus_id="t120")
+    assert not os.path.exists(stale)
+    assert _triple_set(rep2["triples_path"]) == golden

@@ -135,3 +135,28 @@ def test_knn_lsh_recall_vs_brute_force(ray_session, sf_dir):
     assert len(approx_rows) == 10, "LSH must return a full top-k, not a starved probe set"
     recall = len(exact & approx) / 10
     assert recall >= 0.9, f"LSH recall {recall} < 0.9 at {sf_dir}"
+
+
+def test_dedup_verify_paths_equivalent(ray_session):
+    """The driver-side (small) and join-based (scale) verify paths produce
+    identical (a, b, jaccard) sets — the size-adaptive switch cannot change
+    results."""
+    import ray.data
+
+    from pie_ray.functions.dedup import _verified_pairs
+
+    def load():
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    small = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in _verified_pairs(load(), emit_jaccard=True).take_all()
+    )
+    dist = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in _verified_pairs(load(), emit_jaccard=True, force_distributed=True).take_all()
+    )
+    assert small == dist
+    assert len(small) > 0

@@ -74,3 +74,32 @@ def test_corpus_mention_prf():
     p = tp / (tp + fp)
     r = tp / (tp + fn)
     assert p >= 0.98 and r >= 0.98, (p, r)
+
+
+def test_weights_load_from_npz(tmp_path):
+    """A7 seam: NerModel weights come from the committed .npz; a modified
+    file changes the model without touching code, and the fixture equals the
+    in-code constants."""
+    import numpy as np
+
+    from pie_ray.stages.ner_model import (
+        DEFAULT_WEIGHTS_PATH,
+        EMISSION_W,
+        START,
+        TRANSITIONS,
+        NerModel,
+        load_weights,
+    )
+
+    import os
+
+    assert os.path.exists(DEFAULT_WEIGHTS_PATH), "committed weight fixture missing"
+    w, t, s = load_weights()
+    assert np.array_equal(w, EMISSION_W)
+    assert np.array_equal(t, TRANSITIONS)
+    assert np.array_equal(s, START)
+
+    alt = tmp_path / "alt.npz"
+    np.savez(alt, emission_w=EMISSION_W * 2, transitions=TRANSITIONS, start=START)
+    m = NerModel(weights_path=str(alt))
+    assert np.array_equal(m.w, EMISSION_W * 2)

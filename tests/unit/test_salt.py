@@ -27,3 +27,24 @@ def test_salted_equals_unsalted(ray_session):
         e[0] += v
         e[1] += 1
     assert got == {k: (s, c) for k, (s, c) in expect.items()}
+
+
+def test_salted_counts_null_rows(ray_session):
+    """Rows with a null summed value still count toward count_alias (the
+    phase-1 count must not use pyarrow's only_valid default on sum_cols)."""
+    import ray.data
+
+    from pie_ray.stages.salt import salted_aggregate
+
+    vals = [1, None, 3, None, None, 6]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = salted_aggregate(ds, ["key"], ["v"], count_alias="n", num_salts=4)
+    got = {r["key"]: (r["v"], r["n"]) for r in out.take_all()}
+    assert got == {"a": (4, 3), "b": (6, 3)}
