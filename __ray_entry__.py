@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_balance": relational.q_above_avg_balance,
         "sessionize_events": relational.q_sessionize,
         "grouped_quantiles": relational.q_grouped_quantiles,
+        "string_agg_nations": relational.q_string_agg,
+        "pivot_revenue": relational.q_pivot_revenue,
         "cumsum_user_value": relational.q_cumsum_user_value,
         "asof_prev_event": temporal.q_asof_prev_event,
         "range_join_events": temporal.q_range_join_events,
@@ -138,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data text ops
         "token_count": textops.q_token_count,
         "word_counts": textops.q_word_counts,
+        "tfidf_top_terms": textops.q_tfidf_top_terms,
         "text_quality": textops.q_quality,
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_fingerprint,
@@ -150,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.q_knn,
         "knn_lsh": similarity.q_knn_lsh,
+        "knn_ivf": similarity.q_knn_ivf,
         # multimodal plumbing (deterministic fake decode)
         "media_features": q_media_features,
         # KG pipeline stages (non-SQL)
@@ -394,6 +398,22 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.9) AS p90_qty
             FROM lineitem GROUP BY l_returnflag
         """,
+        "string_agg_nations": """
+            SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   COUNT(*) AS n_nations
+            FROM nation GROUP BY n_regionkey
+        """,
+        "pivot_revenue": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END) / 100.0
+                       AS sum_price_F,
+                   SUM(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END) / 100.0
+                       AS sum_price_O
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "cumsum_user_value": """
             SELECT event_id, user_id,
                    SUM(CAST(round(value*100) AS BIGINT)) OVER (
@@ -406,6 +426,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
               FROM documents WHERE trim(text) <> ''
             ) GROUP BY word HAVING COUNT(*) >= 10
+        """,
+        "tfidf_top_terms": r"""
+            -- rank computed from tf * ln(N/df) (same libm ln as the
+            -- engine); output columns are ints/strings only, so the value
+            -- hash never compares floats
+            WITH terms AS (
+              SELECT doc_id, word, COUNT(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+                FROM documents WHERE trim(text) <> ''
+              ) GROUP BY doc_id, word
+            ), df AS (
+              SELECT word, COUNT(*) AS df FROM terms GROUP BY word
+            ), scored AS (
+              SELECT t.doc_id, t.word, t.tf, d.df,
+                     row_number() OVER (
+                         PARTITION BY t.doc_id
+                         ORDER BY t.tf * ln((SELECT COUNT(*) FROM documents) * 1.0
+                                            / d.df) DESC,
+                                  t.word
+                     ) AS rnk
+              FROM terms t JOIN df d USING (word)
+            )
+            SELECT doc_id, word, tf, df, CAST(rnk AS BIGINT) AS rnk
+            FROM scored WHERE rnk <= 3
         """,
         "sample_hash": """
             SELECT l_orderkey, l_linenumber, l_quantity

@@ -660,6 +660,66 @@ def q_sessionize(sf_dir: str):
     )
 
 
+def q_string_agg(sf_dir: str):
+    """B4 depth: grouped string aggregation — comma-joined sorted region
+    names per nation-key bucket of suppliers... simpler: nation names per
+    region. Low-cardinality keys -> partial list-collect per batch is
+    unnecessary; one small groupby of a dimension table."""
+    ds = scan(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+
+    def agg(g: pa.Table) -> pa.Table:
+        names = sorted(g.column("n_name").to_pylist())
+        return pa.table(
+            {
+                "n_regionkey": pa.array(
+                    [g.column("n_regionkey")[0].as_py()], pa.int64()
+                ),
+                "nations": pa.array([",".join(names)], pa.string()),
+                "n_nations": pa.array([len(names)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("n_regionkey").map_groups(agg, batch_format="pyarrow")
+
+
+def q_pivot_revenue(sf_dir: str):
+    """Pivot via conditional aggregation: one row per l_returnflag, one
+    column per linestatus, values = exact cents sums (same int64
+    partial-agg path as pricing_summary, then a driver-side reshape of the
+    tiny grouped table)."""
+    ds = scan(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "price_c": cents(t.column("l_extendedprice")),
+            }
+        )
+
+    agg = lowcard_group_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["price_c"],
+    )
+    flags = agg.column("l_returnflag").to_pylist()
+    stats = agg.column("l_linestatus").to_pylist()
+    sums = agg.column("price_c__sum").to_pylist()
+    by_flag: dict[str, dict[str, int]] = {}
+    for f, s, v in zip(flags, stats, sums):
+        by_flag.setdefault(f, {})[s] = v
+    out_flags = sorted(by_flag)
+    cols: dict[str, object] = {"l_returnflag": pa.array(out_flags, pa.string())}
+    for status in sorted({s for s in stats}):
+        cols[f"sum_price_{status}"] = pa.array(
+            [by_flag[f].get(status, 0) / 100.0 for f in out_flags], pa.float64()
+        )
+    return pa.table(cols)
+
+
 def q_grouped_quantiles(sf_dir: str):
     """B3 depth: exact per-group order statistics (median / p90 per return
     flag). Group keys are low-cardinality, so one group fits a worker and

@@ -172,6 +172,124 @@ def knn_lsh(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, n_tables: int =
     return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8, seed: int = 6060) -> np.ndarray:
+    """Deterministic k-means-lite on a (unit-normalized) sample: seeded
+    init, fixed iteration count, empty clusters re-seeded from the farthest
+    points. Driver-side on a SAMPLE only (the index build of IVF)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(k, n)
+    cents = sample[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T  # cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cents)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members) == 0:
+                far = sims.max(axis=1).argmin()
+                new[c] = sample[far]
+            else:
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                new[c] = m / nm if nm > 0 else sample[0]
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
+class _IvfScorer:
+    """Actor-pool stage: per batch, assign rows to their nearest centroid,
+    keep rows whose centroid is in the query's probe list, exact cosine +
+    batch-local top-k on survivors."""
+
+    def __init__(self, cents_ref, probe_ref, query_ref, k: int):
+        import ray
+
+        self.cents = ray.get(cents_ref)
+        self.probe = ray.get(probe_ref)  # sorted int array
+        self.q = ray.get(query_ref)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        assign = (unit @ self.cents.T).argmax(axis=1)
+        mask = np.isin(assign, self.probe)
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        sims = unit[mask] @ self.q
+        k = min(self.k, len(sims))
+        idx = np.argpartition(-sims, k - 1)[:k]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").filter(pa.array(mask)).take(pa.array(idx)),
+                "sim": pa.array(np.round(sims[idx], 6)),
+            }
+        )
+
+
+def knn_ivf(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, nprobe_frac: float = 0.75):
+    """IVF-style ANN: coarse k-means centroids from a deterministic sample,
+    probe the nprobe centroids nearest the query, exact re-rank inside.
+    The inverted-list partitioning is implicit (assignment recomputed per
+    batch — at 10^9 rows the assignment would be precomputed once into a
+    `centroid_id` column and pushed into the parquet partitioning).
+
+    nprobe_frac defaults high (0.75): the synthetic near-random embeddings
+    are the worst case for coarse quantization (recall 1.0 measured at
+    0.75, 0.2-0.7 at 0.5); real clustered corpora probe far fewer lists."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    n_cent = int(np.clip(int(np.sqrt(max(4, n_rows))), 4, 4096))
+    stride = max(1, n_rows // 4096)  # ≤4096-vector sample for the index build
+
+    def stride_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist())
+        return t.filter(pa.array((ids % stride) == 0))
+
+    sample_rows = ds.map_batches(stride_sample, batch_format="pyarrow").take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    sn = np.linalg.norm(sample, axis=1)
+    sn[sn == 0] = 1.0
+    sample = sample / sn[:, None]
+    cents = kmeans_centroids(sample, n_cent)
+    nprobe = max(1, int(len(cents) * nprobe_frac))
+    probe = np.sort(np.argsort(-(cents @ q))[:nprobe])
+
+    scored = ds.map_batches(
+        _IvfScorer,
+        fn_constructor_kwargs={
+            "cents_ref": ray.put(cents),
+            "probe_ref": ray.put(probe),
+            "query_ref": ray.put(q),
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF coarse-quantization ANN (rows-only oracle; recall vs knn_cosine
+    gated >= 0.9 in tests)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_rows = ds.count()
+    first = ds.filter(expr="vec_id == 0").take(1)
+    q = np.asarray(first[0]["embedding"], dtype=np.float64)
+    return knn_ivf(ds, q, n_rows=n_rows, k=10)
+
+
 def q_knn_lsh(sf_dir: str):
     """Scale-path ANN: occupancy-sized multi-table hyperplane LSH with
     Hamming-2 multi-probe, exact cosine re-rank of the candidate union.

@@ -211,6 +211,8 @@ def q_fingerprint(sf_dir: str):
 
 WORD_COUNT_MIN = 10
 WC_BUCKETS = 64
+TFIDF_TOP_K = 3
+TFIDF_DF_BROADCAST_MAX = 2_000_000  # vocab entries broadcastable to workers
 
 
 def q_word_counts(sf_dir: str):
@@ -246,4 +248,158 @@ def q_word_counts(sf_dir: str):
         ds.map_batches(explode_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sum_bucket, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the canonical two-pass text-analytics
+# pipeline: per-doc term counts, corpus document frequencies, broadcast
+# idf, per-doc rank. Output columns are ALL integers/strings (rank computed
+# from the float score internally) so the driver's exact value-hash never
+# sees a float.
+# ---------------------------------------------------------------------------
+
+
+def _term_counts(docs):
+    """(doc_id, word, tf) — one row per distinct word per doc."""
+    from collections import Counter
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        words_out: list[str] = []
+        tf_out: list[int] = []
+        for did, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            c = Counter((s or "").lower().split())
+            for w, n in c.items():
+                ids_out.append(did)
+                words_out.append(w)
+                tf_out.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "word": pa.array(words_out, pa.string()),
+                "tf": pa.array(tf_out, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 terms per doc by tf-idf (score = tf * ln(N/df)); emits
+    (doc_id, word, tf, df, rnk). Two passes over documents: pass 1 builds
+    the document-frequency table (word-bucket shuffle), which broadcasts
+    when the vocabulary fits (else a hash join would slot in); pass 2
+    scores and ranks per doc-bucket. Ties broken by word so the ranking is
+    deterministic; idf uses math.log (libm), matching the SQL ln()."""
+    import math
+
+    import ray as _ray
+
+    from pie_ray.util import hash64_array
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    # pass 1: document frequencies (df = #docs containing word)
+    def add_word_bucket(t: pa.Table) -> pa.Table:
+        b = (hash64_array(t.column("word").to_pylist(), salt=b"df") % WC_BUCKETS).astype(
+            "int32"
+        )
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def df_bucket(g: pa.Table) -> pa.Table:
+        gb = g.drop_columns(["bucket"]).group_by(["word"]).aggregate([("doc_id", "count")])
+        return gb.rename_columns(["word", "df"])
+
+    df_ds = (
+        _term_counts(docs)
+        .map_batches(add_word_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(df_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    if df_ds.count() > TFIDF_DF_BROADCAST_MAX:  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "vocabulary exceeds broadcast budget; wire the hash-join scoring path"
+        )
+    df_rows = df_ds.take_all()
+    words_sorted = sorted(r["word"] for r in df_rows)
+    df_by_word = {r["word"]: r["df"] for r in df_rows}
+    keys = pa.array(words_sorted, pa.string())
+    dfs = pa.array([df_by_word[w] for w in words_sorted], pa.int64())
+    idfs = pa.array(
+        [math.log(n_docs / df_by_word[w]) for w in words_sorted], pa.float64()
+    )
+    lookup_ref = _ray.put((keys, dfs, idfs))
+
+    # pass 2: score per (doc, word), rank per doc inside doc-hash buckets
+    def score(t: pa.Table, ref=None) -> pa.Table:
+        keys_, dfs_, idfs_ = _ray.get(ref)
+        idx = pc.index_in(t.column("word").combine_chunks(), value_set=keys_)
+        df_col = dfs_.take(idx)
+        idf_col = idfs_.take(idx)
+        scores = pc.multiply(pc.cast(t.column("tf"), pa.float64()), idf_col)
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "word": t.column("word"),
+                "tf": t.column("tf"),
+                "df": df_col,
+                "score": scores,
+            }
+        )
+        b = (
+            np.asarray(out.column("doc_id").to_pylist(), dtype=np.uint64) % WC_BUCKETS
+        ).astype("int32")
+        return out.append_column("bucket", pa.array(b, pa.int32()))
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("score", "descending"),
+                ("word", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        base = np.zeros(n, np.int64)
+        base[starts] = starts
+        np.maximum.accumulate(base, out=base)
+        rank = np.arange(n) - base + 1
+        keep = rank <= TFIDF_TOP_K
+        g = g.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "word": g.column("word"),
+                "tf": g.column("tf"),
+                "df": g.column("df"),
+                "rnk": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return (
+        _term_counts(docs)
+        .map_batches(score, fn_kwargs={"ref": lookup_ref}, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
     )

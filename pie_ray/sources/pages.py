@@ -41,24 +41,43 @@ def read_pages_parts(
 ):
     """Partition-pruned T0 scan for resumable runs.
 
-    If the table carries a ``part`` column (a corpus written by a resumable
-    sink), ``part IN parts`` is pushed into the parquet scan — pruned
-    partitions never leave storage. Otherwise the part predicate
+    If the corpus is laid out as hive ``part=k/`` directories (written by a
+    resumable sink), only the requested partitions' DIRECTORIES are read —
+    pruned partitions never leave storage. Otherwise the part predicate
     (hash(url) % num_parts) cannot be a parquet filter; it is applied as a
     vectorized post-scan filter inside the read tasks (distributed, but the
-    pruned rows are still read — persist a ``part`` column at write time to
+    pruned rows are still read — persist the hive layout at write time to
     get true input pruning)."""
+    import os
+
     filt = pc.field("lang").isin(list(langs)) if langs else None
-    try:
-        schema_names = set(pa_ds.dataset(path, partitioning="hive").schema.names)
-    except Exception:
-        schema_names = set()
     plist = [int(p) for p in parts]
-    if "part" in schema_names:
-        part_filt = pc.field("part").isin(plist)
-        filt = part_filt if filt is None else (filt & part_filt)
-        cols = columns or T0_COLUMNS
-        return ray.data.read_parquet(path, columns=cols, filter=filt, partitioning="hive")
+    if os.path.isdir(path):
+        part_dirs = [
+            os.path.join(path, f"part={k}")
+            for k in plist
+            if os.path.isdir(os.path.join(path, f"part={k}"))
+        ]
+        has_hive = any(
+            name.startswith("part=") for name in os.listdir(path)
+        )
+        if has_hive:
+            # a list of paths must be FILES for the parquet reader
+            part_files = [
+                os.path.join(d, f)
+                for d in part_dirs
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if not part_files:  # none of the requested partitions exist
+                return ray.data.from_arrow(
+                    pa_ds.dataset(path, partitioning="hive").schema.empty_table()
+                )
+            return ray.data.read_parquet(
+                part_files,
+                columns=columns or T0_COLUMNS,
+                **({"filter": filt} if filt is not None else {}),
+            )
 
     ds = ray.data.read_parquet(
         path, columns=columns or T0_COLUMNS, **({"filter": filt} if filt is not None else {})

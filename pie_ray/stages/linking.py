@@ -446,13 +446,16 @@ def distinct_person_keys(raw_triples_ds):
         ks.update(o for o, p in zip(obj, pred) if p == "co_mentioned_with")
         return pa.table({"entity_key": pa.array(sorted(ks), pa.string())})
 
-    per_batch = raw_triples_ds.map_batches(keys_batch, batch_format="pyarrow")
-    # second-level fan-in: merge many small distinct sets into few blocks and
-    # re-dedup, so the driver-side pull in build_canon_map reads ~|distinct|
-    # rows instead of |blocks| x |distinct| (parallel work replacing serial)
+    # fan-in WITHOUT an exchange: a second map with a large batch_size
+    # coalesces many small per-batch distinct sets into few blocks and
+    # re-dedups (pure pipelining — no repartition; an exchange's aggregator
+    # spin-up dominated the serial tail of every run, measured round 2).
+    # Both consumers still re-dedup internally, so this is purely a size
+    # optimization for the driver-side pull.
     def redistinct(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return pa.table({"entity_key": pc.unique(t.column("entity_key"))})
 
-    return per_batch.repartition(16).map_batches(redistinct, batch_format="pyarrow")
+    per_batch = raw_triples_ds.map_batches(keys_batch, batch_format="pyarrow")
+    return per_batch.map_batches(redistinct, batch_format="pyarrow", batch_size=262_144)

@@ -80,7 +80,11 @@ def tune_data_context() -> None:
     ctx.default_hash_shuffle_parallelism = min(
         ctx.default_hash_shuffle_parallelism, max(8, 2 * ncpus)
     )
+    # aggregator ACTORS spin up per exchange and dominate small-cluster
+    # shuffle latency; 8 is plenty for the bounded-bucket shuffles this
+    # engine emits (every groupby keys on <=256 buckets). On big clusters
+    # the min() keeps the (already higher) defaults.
     ctx.max_hash_shuffle_aggregators = min(
-        ctx.max_hash_shuffle_aggregators, max(2, ncpus // 2)
+        ctx.max_hash_shuffle_aggregators, max(2, min(8, ncpus // 2))
     )
     ctx.min_parallelism = min(ctx.min_parallelism, max(8, 2 * ncpus))

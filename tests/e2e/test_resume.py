@@ -219,3 +219,36 @@ def test_stale_partition_dir_pruned_before_downstream(full_run):
     rep2 = run_resumable(_factory, out, KgConfig(), num_parts=NUM_PARTS, corpus_id="t120")
     assert not os.path.exists(stale)
     assert _triple_set(rep2["triples_path"]) == golden
+
+
+def test_read_pages_parts_roundtrip(ray_session, tmp_path):
+    """read_pages_parts returns exactly the rows of the requested partitions
+    for both layouts: a plain T0 parquet (hash-filter fallback) and a
+    part-partitioned one (filter pushed into the scan)."""
+    import pyarrow.parquet as pq
+
+    from pie_ray.sources.pages import read_pages_parts
+    from pie_ray.sources.synth import pages_table
+    from pie_ray.util import part_of
+
+    t = pages_table(range(60))
+    plain = str(tmp_path / "plain.parquet")
+    pq.write_table(t, plain)
+
+    want = {
+        u for u in t.column("url").to_pylist() if part_of(u, NUM_PARTS) in (1, 3)
+    }
+    got = {r["url"] for r in read_pages_parts(plain, [1, 3], NUM_PARTS).take_all()}
+    assert got == want and got
+
+    # hive layout with a part column -> predicate pushed into the scan
+    parts_col = [part_of(u, NUM_PARTS) for u in t.column("url").to_pylist()]
+    import pyarrow as pa
+
+    t2 = t.append_column("part", pa.array(parts_col, pa.int32()))
+    hive = str(tmp_path / "hive")
+    import ray.data
+
+    ray.data.from_arrow(t2).write_parquet(hive, partition_cols=["part"])
+    got2 = {r["url"] for r in read_pages_parts(hive, [1, 3], NUM_PARTS).take_all()}
+    assert got2 == want

@@ -160,3 +160,19 @@ def test_dedup_verify_paths_equivalent(ray_session):
     )
     assert small == dist
     assert len(small) > 0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_knn_ivf_recall_vs_brute_force(ray_session, sf_dir):
+    import ray.data
+
+    from pie_ray.functions.similarity import knn_brute_force, knn_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_rows = ds.count()
+    q = np.asarray(ds.filter(expr="vec_id == 0").take(1)[0]["embedding"], dtype=np.float64)
+    exact = {r["vec_id"] for r in knn_brute_force(ds, q, k=10).take_all()}
+    rows = knn_ivf(ds, q, n_rows=n_rows, k=10).take_all()
+    assert len(rows) == 10
+    recall = len({r["vec_id"] for r in rows} & exact) / 10
+    assert recall >= 0.9, f"IVF recall {recall} < 0.9 at {sf_dir}"
