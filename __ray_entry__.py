@@ -90,6 +90,17 @@ def _kg_graph(sf_dir: str):
     return adj.map_batches(flatten, batch_format="pyarrow")
 
 
+def _kg_pagerank(sf_dir: str):
+    """Iterative graph analytics over the canonical KG: weighted PageRank
+    on the aggregated edge list (broadcast-rank rounds; rows-only)."""
+    from pie_ray.pipelines.kg import KgConfig, build_triples
+    from pie_ray.sources.synth import synth_pages
+    from pie_ray.stages.graph import aggregate_edges, pagerank
+
+    triples = build_triples(synth_pages(ENTRY_N_PAGES), KgConfig())
+    return pagerank(aggregate_edges(triples), iters=8)
+
+
 def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     def wrapper(sf_dir: str):
         from pie_ray.util import tune_data_context
@@ -103,7 +114,11 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pie_ray.functions import dedup, relational, similarity, temporal, textops
-    from pie_ray.functions.multimodal import q_media_features
+    from pie_ray.functions.multimodal import (
+        q_media_features,
+        q_media_frames,
+        q_media_resize,
+    )
 
     return {k: _tuned(v) for k, v in {
         # Part B relational (SQL-oracled)
@@ -131,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": relational.q_grouped_quantiles,
         "string_agg_nations": relational.q_string_agg,
         "pivot_revenue": relational.q_pivot_revenue,
+        "count_distinct_cust": relational.q_count_distinct,
+        "rollup_revenue": relational.q_rollup_revenue,
+        "moving_avg_events": relational.q_moving_avg,
         "cumsum_user_value": relational.q_cumsum_user_value,
         "asof_prev_event": temporal.q_asof_prev_event,
         "range_join_events": temporal.q_range_join_events,
@@ -156,11 +174,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.q_knn_ivf,
         # multimodal plumbing (deterministic fake decode)
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         # KG pipeline stages (non-SQL)
         "kg_extract": _kg_extract,
         "kg_mentions": _kg_mentions,
         "kg_triples": _kg_triples,
         "kg_graph": _kg_graph,
+        "kg_pagerank": _kg_pagerank,
     }.items()}
 
 
@@ -413,6 +434,25 @@ def oracle_sql() -> dict[str, str]:
                        THEN CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END) / 100.0
                        AS sum_price_O
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "count_distinct_cust": """
+            SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "moving_avg_events": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value*100) AS BIGINT)) OVER w * 1.0
+                       / (100.0 * COUNT(*) OVER w) AS avg_value_3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "cumsum_user_value": """
             SELECT event_id, user_id,

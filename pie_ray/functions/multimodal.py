@@ -153,3 +153,105 @@ def q_media_features(sf_dir: str):
     """Featurize a deterministic synthetic media table (sf_dir unused —
     media payloads are generated, not part of the TPC-H-ish testdata)."""
     return featurize_media(synth_media(64))
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (H, W, C) -> (out_h, out_w, C).
+    Real resize math — index maps computed once, one fancy-index gather —
+    independent of whether the pixels came from a real or fake decode."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
+class MediaResizer:
+    """Actor-pool stage: decode image/video-poster -> resize to a fixed
+    (target_w, target_h) -> emit raw RGB bytes + dims. Payload bytes in,
+    normalized raw frames out (the shape of a training-data image-prep
+    stage); audio rows pass through untouched feature-less."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, mode: str = "fake"):
+        self.backend = DecodeBackend(mode)
+        self.tw = target_w
+        self.th = target_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, kinds = t.column("media_id").to_pylist(), t.column("kind").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        ws, hs = t.column("width").to_pylist(), t.column("height").to_pylist()
+        out_ids: list[str] = []
+        out_bytes: list[bytes] = []
+        for mid, kind, p, w, h in zip(ids, kinds, payloads, ws, hs):
+            if kind == "audio":
+                continue
+            img = self.backend.decode_image(p, w, h)
+            out_ids.append(mid)
+            out_bytes.append(resize_nearest(img, self.tw, self.th).tobytes())
+        n = len(out_ids)
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.string()),
+                "rgb": pa.array(out_bytes, pa.binary()),
+                "width": pa.array([self.tw] * n, pa.int32()),
+                "height": pa.array([self.th] * n, pa.int32()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: video rows -> k evenly spaced frames, one OUTPUT
+    ROW PER FRAME (flat_map expansion; frame timestamps derived from
+    duration). Each frame decodes independently — with a real codec this is
+    a seek+decode per timestamp; the fake decode is seeded per
+    (payload, frame_index) so frames differ deterministically."""
+
+    def __init__(self, n_frames: int = 4, mode: str = "fake"):
+        self.backend = DecodeBackend(mode)
+        self.n_frames = n_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "ts_ms": [], "rgb": []}
+        for mid, kind, p, w, h, dur in zip(
+            t.column("media_id").to_pylist(),
+            t.column("kind").to_pylist(),
+            t.column("payload").to_pylist(),
+            t.column("width").to_pylist(),
+            t.column("height").to_pylist(),
+            t.column("duration_ms").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            dur = max(dur, 1)
+            for fi in range(self.n_frames):
+                ts = (fi * dur) // self.n_frames
+                frame = self.backend.decode_image(
+                    (p or b"") + fi.to_bytes(4, "little"), w, h
+                )
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["ts_ms"].append(ts)
+                out["rgb"].append(frame.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "ts_ms": pa.array(out["ts_ms"], pa.int64()),
+                "rgb": pa.array(out["rgb"], pa.binary()),
+            }
+        )
+
+
+def q_media_resize(sf_dir: str):
+    """Resize pipeline over the synthetic media table (rows-only)."""
+    return synth_media(64).map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )
+
+
+def q_media_frames(sf_dir: str):
+    """Frame-sampling pipeline over the synthetic media table (rows-only;
+    one row per sampled frame of each video)."""
+    return synth_media(64).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )

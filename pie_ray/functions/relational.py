@@ -660,6 +660,146 @@ def q_sessionize(sf_dir: str):
     )
 
 
+def q_count_distinct(sf_dir: str):
+    """B4 depth: COUNT(DISTINCT customer) per order priority — exact
+    two-phase distinct: per-batch distinct pairs, bucketed shuffle on
+    hash(custkey) dedups globally, tiny per-priority count partials."""
+    import numpy as np
+
+    from pie_ray.util import hash64_array
+
+    ds = scan(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+
+    def partial_distinct(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["o_orderpriority", "o_custkey"]).aggregate([])
+        b = (
+            np.asarray(gb.column("o_custkey").to_pylist(), dtype=np.uint64) % 64
+        ).astype("int32")
+        return gb.append_column("bucket", pa.array(b, pa.int32()))
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        gb = g.drop_columns(["bucket"]).group_by(["o_orderpriority", "o_custkey"]).aggregate([])
+        out = gb.group_by(["o_orderpriority"]).aggregate([("o_custkey", "count")])
+        return out.rename_columns(["o_orderpriority", "n_cust"])
+
+    partials = (
+        ds.map_batches(partial_distinct, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    merged: dict[str, int] = {}
+    for r in partials:
+        merged[r["o_orderpriority"]] = merged.get(r["o_orderpriority"], 0) + r["n_cust"]
+    keys = sorted(merged)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(keys, pa.string()),
+            "n_cust": pa.array([merged[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUPING SETS / ROLLUP parity: revenue at (flag, status), (flag) and
+    grand-total levels, absent keys as 'ALL' — three exact partial-agg
+    passes over the same derived cents column."""
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "price_c": cents(t.column("l_extendedprice")),
+            }
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow").materialize()
+    lvl2 = lowcard_group_agg(
+        derived, keys=["l_returnflag", "l_linestatus"], sum_cols=["price_c"]
+    )
+    lvl1 = lowcard_group_agg(derived, keys=["l_returnflag"], sum_cols=["price_c"])
+    total = int(pc.sum(lvl1.column("price_c__sum")).as_py())
+    flags = lvl2.column("l_returnflag").to_pylist() + lvl1.column("l_returnflag").to_pylist() + ["ALL"]
+    stats = lvl2.column("l_linestatus").to_pylist() + ["ALL"] * lvl1.num_rows + ["ALL"]
+    sums = (
+        lvl2.column("price_c__sum").to_pylist()
+        + lvl1.column("price_c__sum").to_pylist()
+        + [total]
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "l_linestatus": pa.array(stats, pa.string()),
+            "sum_price": pa.array([s / 100.0 for s in sums], pa.float64()),
+        }
+    )
+
+
+def q_moving_avg(sf_dir: str):
+    """B10 depth: trailing 3-event moving average of value per user
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — one bucket shuffle on
+    hash(user), vectorized sliding window via cumsum differences over
+    exact cents."""
+    import numpy as np
+
+    from pie_ray.util import hash64_array
+
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"mavg") % 32
+        ).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def mavg_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        vc = cents(g.column("value")).to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "avg_value_3": pa.array([], pa.float64()),
+                }
+            )
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new)
+        base = np.zeros(n, np.int64)
+        base[starts] = starts
+        np.maximum.accumulate(base, out=base)  # start index of each user run
+        pos = np.arange(n) - base  # 0-based position within the user run
+        cs = np.concatenate([[0], np.cumsum(vc)])  # cs[i] = sum of vc[:i]
+        win = np.minimum(pos + 1, 3)
+        lo = np.arange(n) + 1 - win
+        sums = cs[np.arange(n) + 1] - cs[lo]
+        avg = sums * 1.0 / (100.0 * win)
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "avg_value_3": pa.array(avg),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mavg_bucket, batch_format="pyarrow")
+    )
+
+
 def q_string_agg(sf_dir: str):
     """B4 depth: grouped string aggregation — comma-joined sorted region
     names per nation-key bucket of suppliers... simpler: nation names per

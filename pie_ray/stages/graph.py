@@ -196,6 +196,80 @@ def build_adjacency(edges_ds, num_parts: int = DEFAULT_NUM_PARTS, assume_partiti
     )
 
 
+PAGERANK_MAX_NODES = 50_000_000  # rank vector must fit the object store
+
+
+def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
+    """Weighted PageRank over an EDGES-schema Dataset.
+
+    Iteration shape (the canon-map regime: the per-NODE state fits the
+    object store even when the EDGE list is 1000× larger): ranks broadcast
+    via ray.put each round; one distributed map over edges computes
+    contributions and combines them per-batch with Arrow group_by, so the
+    driver merge handles ≤ distinct-dst-per-batch rows per block, bounded
+    by the node count — never the edge count. Dangling mass redistributes
+    uniformly. Returns a pa.Table (node, rank) with rank rounded to 10dp.
+    """
+    import ray as _ray
+
+    # node set + out-weight per src: ONE distributed pass of per-batch
+    # partials, node-bounded driver combine (no exchange)
+    def node_partials(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["src"]).aggregate([("weight", "sum")])
+        gb = gb.rename_columns(["node", "out_w"])
+        dst = pa.table(
+            {
+                "node": pc.unique(t.column("dst")),
+            }
+        )
+        dst = dst.append_column("out_w", pa.array([0] * dst.num_rows, pa.int64()))
+        return pa.concat_tables([gb.cast(dst.schema), dst])
+
+    parts = edges_ds.map_batches(node_partials, batch_format="pyarrow").take_all()
+    out_w: dict[str, int] = {}
+    for r in parts:
+        out_w[r["node"]] = out_w.get(r["node"], 0) + int(r["out_w"])
+    nodes = sorted(out_w)
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+    if n > PAGERANK_MAX_NODES:  # pragma: no cover - scale guard
+        raise NotImplementedError("node count exceeds broadcast budget")
+    node_idx = {v: i for i, v in enumerate(nodes)}
+    keys_arr = pa.array(nodes, pa.string())
+    outw_arr = np.array([max(out_w[v], 0) for v in nodes], dtype=np.float64)
+    ranks = np.full(n, 1.0 / n)
+
+    def contrib(t: pa.Table, rank_ref=None) -> pa.Table:
+        keys_, ranks_, outw_ = _ray.get(rank_ref)
+        si = pc.index_in(t.column("src").combine_chunks(), value_set=keys_)
+        si_np = si.to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        send = ranks_[si_np] * w / outw_[si_np]
+        part = pa.table({"dst": t.column("dst"), "c": pa.array(send)})
+        gb = part.group_by(["dst"]).aggregate([("c", "sum")])
+        return gb.rename_columns(["dst", "c"])
+
+    for _ in range(iters):
+        ref = _ray.put((keys_arr, ranks, outw_arr))
+        sums = np.zeros(n)
+        for batch in (
+            edges_ds.map_batches(contrib, fn_kwargs={"rank_ref": ref}, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            di = [node_idx[v] for v in batch.column("dst").to_pylist()]
+            np.add.at(sums, di, batch.column("c").to_numpy(zero_copy_only=False))
+        dangling = ranks[outw_arr == 0].sum()
+        ranks = (1.0 - damping) / n + damping * (sums + dangling / n)
+
+    return pa.table(
+        {
+            "node": keys_arr,
+            "rank": pa.array(np.round(ranks, 10)),
+        }
+    )
+
+
 def write_graph(adj_ds, out_dir: str, num_parts: int = DEFAULT_NUM_PARTS) -> None:
     """A17 — partitioned Parquet sink (one directory per part). Records the
     partition-count in a sidecar so point lookups can recompute

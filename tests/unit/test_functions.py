@@ -176,3 +176,88 @@ def test_knn_ivf_recall_vs_brute_force(ray_session, sf_dir):
     assert len(rows) == 10
     recall = len({r["vec_id"] for r in rows} & exact) / 10
     assert recall >= 0.9, f"IVF recall {recall} < 0.9 at {sf_dir}"
+
+
+def test_media_resize_shape_and_math(ray_session):
+    from pie_ray.functions.multimodal import DecodeBackend, q_media_resize, resize_nearest
+
+    rows = q_media_resize("unused").take_all()
+    assert rows, "image/video rows expected"
+    for r in rows[:5]:
+        assert r["width"] == 32 and r["height"] == 32
+        assert len(r["rgb"]) == 32 * 32 * 3
+    # resize math: exact nearest-neighbor gather vs manual loop
+    img = DecodeBackend("fake").decode_image(b"x", 7, 5)
+    out = resize_nearest(img, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            assert (out[y, x] == img[min(int(y * 5 / 3), 4), min(int(x * 7 / 4), 6)]).all()
+
+
+def test_media_frames_expand_and_deterministic(ray_session):
+    from pie_ray.functions.multimodal import q_media_frames
+
+    rows = q_media_frames("unused").take_all()
+    by_media: dict[str, list] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert by_media, "video rows expected"
+    for mid, frames in by_media.items():
+        assert len(frames) == 4, mid
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2, 3]
+        rgbs = {f["frame_idx"]: f["rgb"] for f in frames}
+        assert len({bytes(v) for v in rgbs.values()}) == 4, "frames must differ"
+    rows2 = q_media_frames("unused").take_all()
+    key = lambda r: (r["media_id"], r["frame_idx"])
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))
+    m1 = {key(r): bytes(r["rgb"]) for r in rows}
+    m2 = {key(r): bytes(r["rgb"]) for r in rows2}
+    assert m1 == m2, "frame bytes must be deterministic"
+
+
+def test_pagerank_matches_reference(ray_session):
+    """Distributed PageRank equals a dense numpy power iteration on a small
+    weighted digraph (1e-9 tolerance: summation order differs)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pie_ray import schemas
+    from pie_ray.stages.graph import pagerank
+
+    edges = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1),
+        ("d", "a", 5), ("d", "c", 5),  # e: dangling (dst only)
+        ("b", "e", 1),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+            "pred": pa.array(["x"] * len(edges), pa.string()),
+            "weight": pa.array([e[2] for e in edges], pa.int64()),
+            "first_ts": pa.array([0] * len(edges), pa.timestamp("us")),
+            "last_ts": pa.array([0] * len(edges), pa.timestamp("us")),
+        },
+        schema=schemas.EDGES,
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(ray.data.from_arrow(t).repartition(3), iters=12).to_pylist()
+    }
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    outw = np.zeros(n)
+    for s, d, w in edges:
+        outw[idx[s]] += w
+    for s, d, w in edges:
+        M[idx[d], idx[s]] += w / outw[idx[s]]
+    r = np.full(n, 1 / n)
+    for _ in range(12):
+        dangling = r[outw == 0].sum()
+        r = 0.15 / n + 0.85 * (M @ r + dangling / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
