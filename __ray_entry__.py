@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct_cust": relational.q_count_distinct,
         "rollup_revenue": relational.q_rollup_revenue,
         "moving_avg_events": relational.q_moving_avg,
+        "quantile_sketch": relational.q_quantile_sketch,
         "cumsum_user_value": relational.q_cumsum_user_value,
         "asof_prev_event": temporal.q_asof_prev_event,
         "range_join_events": temporal.q_range_join_events,
@@ -159,11 +160,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textops.q_token_count,
         "word_counts": textops.q_word_counts,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
+        "heavy_hitters": textops.q_heavy_hitters,
         "text_quality": textops.q_quality,
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_fingerprint,
         # dedup suite
         "dedup_exact": dedup.q_dedup_exact,
+        "corpus_curation": dedup.q_corpus_curation,
         "dedup_minhash": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_simhash,
         "ngram_jaccard": dedup.q_ngram_jaccard,
@@ -362,6 +365,62 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
+        "corpus_curation": r"""
+            -- composite curation: quality gate (exact integer-ratio score)
+            -- -> exact dedup keep-min -> deterministic md5 50% holdout
+            WITH q AS (
+              SELECT doc_id,
+                length(text) AS n_chars,
+                CASE WHEN length(text)=0 THEN 0.0
+                     ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                          / length(text) END AS alpha_ratio,
+                CASE WHEN length(text)=0 THEN 0
+                     ELSE length(text) - length(regexp_replace(text,
+                          '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) END AS n_punct,
+                CASE WHEN trim(text)='' THEN LIST_VALUE()
+                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS words
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_chars, alpha_ratio,
+                CASE WHEN n_chars=0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END AS punct_ratio,
+                len(words) AS n_words,
+                len(list_filter(words, w -> w IN
+                    ('the','a','an','and','or','of','to','in','is','are','was','were',
+                     'be','been','it','this','that','for','on','with','as','at','by','from')
+                )) AS n_stop
+              FROM q
+            ), qs AS (
+              SELECT doc_id,
+                CASE WHEN n_words=0
+                     THEN (2*CASE WHEN alpha_ratio > 0.6 THEN 1 ELSE 0 END
+                           + CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END
+                           + CASE WHEN n_chars > 100 AND n_chars < 100000 THEN 1 ELSE 0 END)
+                          / 5.0
+                     ELSE (2*n_words*(2*CASE WHEN alpha_ratio > 0.6 THEN 1 ELSE 0 END
+                                      + CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END
+                                      + CASE WHEN n_chars > 100 AND n_chars < 100000
+                                             THEN 1 ELSE 0 END)
+                           + least(5*n_stop, 2*n_words)) * 1.0 / (10*n_words)
+                END AS quality_score
+              FROM r
+            ), tok AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws
+              FROM documents
+            ), filtered AS (
+              SELECT d.doc_id, md5(d.text) AS h, tok.n_tokens_ws
+              FROM documents d
+              JOIN qs USING (doc_id) JOIN tok USING (doc_id)
+              WHERE qs.quality_score >= 0.6 AND tok.n_tokens_ws >= 10
+            ), dd AS (
+              SELECT h, MIN(doc_id) AS doc_id, MIN(n_tokens_ws) AS n_tokens_ws
+              FROM filtered GROUP BY h
+            )
+            SELECT doc_id, n_tokens_ws FROM dd
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+        """,
         "asof_prev_event": """
             SELECT event_id, user_id,
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
@@ -466,6 +525,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
               FROM documents WHERE trim(text) <> ''
             ) GROUP BY word HAVING COUNT(*) >= 10
+        """,
+        "heavy_hitters": r"""
+            -- exact counts of words above 2*total/k: the engine's
+            -- Misra-Gries candidate pass cannot miss these, and its second
+            -- pass counts exactly, so approximate blocking + exact output
+            WITH tok AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+              FROM documents WHERE trim(text) <> ''
+            ), tot AS (SELECT COUNT(*) AS t FROM tok)
+            SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+            HAVING COUNT(*) >= greatest(1, (2 * (SELECT t FROM tot)) // 256)
         """,
         "tfidf_top_terms": r"""
             -- rank computed from tf * ln(N/df) (same libm ln as the

@@ -369,6 +369,70 @@ def q_dedup_minhash(sf_dir: str):
     return _assign_components(docs.select_columns(["doc_id"]), verified, "doc_id")
 
 
+def q_corpus_curation(sf_dir: str):
+    """The composite training-data curation pipeline — the end-to-end shape
+    this engine exists for, as ONE streaming Dataset chain:
+
+        quality filter (exact integer-ratio score >= 0.6, >= 10 ws tokens)
+        -> exact near-dup removal (md5 groupby, keep min doc_id)
+        -> deterministic 50% holdout (md5(doc_id) first hex in 0..7)
+
+    Emits (doc_id, n_tokens_ws). Every step is exact and SQL-expressible,
+    so the whole composite is driver-oracled."""
+    import hashlib
+
+    from pie_ray.functions.textops import quality_batch, token_count_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def curate(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        tc = token_count_batch(t)
+        keep = pc.and_(
+            pc.greater_equal(q.column("quality_score"), pa.scalar(0.6)),
+            pc.greater_equal(tc.column("n_tokens_ws"), pa.scalar(10, pa.int64())),
+        )
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_md5": md5_batch(t).column("text_md5"),
+                "n_tokens_ws": tc.column("n_tokens_ws"),
+            }
+        )
+        return out.filter(keep)
+
+    curated = docs.map_batches(curate, batch_format="pyarrow")
+    # exact dedup: keep the min doc_id per content hash (bucketed shuffle)
+    from pie_ray.util import hash64_array
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (hash64_array(t.column("text_md5").to_pylist(), salt=b"cur") % 64).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        gb = g.drop_columns(["bucket"]).group_by(["text_md5"]).aggregate(
+            [("doc_id", "min"), ("n_tokens_ws", "min")]
+        )
+        return gb.rename_columns(["text_md5", "doc_id", "n_tokens_ws"])
+
+    deduped = (
+        curated.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_min, batch_format="pyarrow")
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567" for i in ids
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_tokens_ws": t.column("n_tokens_ws")}
+        ).filter(pa.array(keep, pa.bool_()))
+
+    return deduped.map_batches(sample, batch_format="pyarrow")
+
+
 def _jac(a: set, b: set) -> float:
     if not a and not b:
         return 0.0

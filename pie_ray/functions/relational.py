@@ -941,6 +941,68 @@ def q_cumsum_user_value(sf_dir: str):
     )
 
 
+def quantile_sketch(ds, col: str, qs: list[float], n_bins: int = 8192) -> dict[float, float]:
+    """Mergeable two-pass histogram quantile sketch — the bounded-memory
+    scale path for order statistics (exact per-group quantiles hold a group
+    in memory; this holds ``n_bins`` counters regardless of row count).
+
+    Pass 1: global min/max. Pass 2: per-batch histogram counts (numpy),
+    merged by addition. Estimate = left edge + linear interpolation within
+    the containing bin; absolute error <= (max-min)/n_bins."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi <= lo:
+        return {q: lo for q in qs}
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        h, _ = np.histogram(v, bins=edges)
+        nz = np.flatnonzero(h)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "cnt": pa.array(h[nz].astype(np.int64))}
+        )
+
+    counts = np.zeros(n_bins, np.int64)
+    for batch in ds.map_batches(hist_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            counts,
+            np.asarray(batch.column("bin").to_pylist(), dtype=np.int64),
+            np.asarray(batch.column("cnt").to_pylist(), dtype=np.int64),
+        )
+    total = counts.sum()
+    cum = np.cumsum(counts)
+    out = {}
+    for q in qs:
+        target = q * (total - 1) + 1
+        b = int(np.searchsorted(cum, target))
+        b = min(b, n_bins - 1)
+        prev = cum[b - 1] if b > 0 else 0
+        within = counts[b]
+        frac = (target - prev) / within if within > 0 else 0.0
+        out[q] = float(edges[b] + frac * (edges[b + 1] - edges[b]))
+    return out
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Approximate median/p90 of l_quantity via the histogram sketch
+    (rows-only; accuracy vs exact quantiles gated in tests)."""
+    ds = scan(sf_dir, "lineitem", columns=["l_quantity"])
+    est = quantile_sketch(ds, "l_quantity", [0.5, 0.9])
+    return pa.table(
+        {
+            "median_qty_est": pa.array([round(est[0.5], 6)], pa.float64()),
+            "p90_qty_est": pa.array([round(est[0.9], 6)], pa.float64()),
+        }
+    )
+
+
 def q_quantiles(sf_dir: str):
     """B3 approximate/order statistics: median and p90 (built-in Quantile)."""
     from ray.data.aggregate import Quantile

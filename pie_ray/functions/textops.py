@@ -252,6 +252,105 @@ def q_word_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters — the bounded-memory scale path for corpus word statistics.
+# Per-batch Misra-Gries summaries (size k, mergeable, NO false negatives for
+# any word with frequency > total/k) merge on the driver; a second exact
+# counting pass over the candidate set yields exact counts, so the final
+# output is deterministic and SQL-oracle-able despite the approximate
+# first pass.
+# ---------------------------------------------------------------------------
+
+MG_SUMMARY_SIZE = 256
+
+
+def _mg_update(counters: dict, items, k: int) -> None:
+    for w in items:
+        if w in counters:
+            counters[w] += 1
+        elif len(counters) < k - 1:
+            counters[w] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in dead:
+                del counters[key]
+            for key in counters:
+                counters[key] -= 1
+
+
+def q_heavy_hitters(sf_dir: str):
+    """(word, n) for every word with exact count >= 2*total_tokens / k
+    (k = MG_SUMMARY_SIZE). Pass 1: per-batch Misra-Gries summaries (bounded
+    memory regardless of vocabulary size) merged by addition on the driver —
+    the merged summary undercounts any word by at most total/k, so with the
+    output threshold at 2*total/k the candidate set provably contains every
+    true heavy hitter. Pass 2: exact counts for the candidate set only
+    (broadcast membership filter + per-batch partial counts)."""
+    import ray as _ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def mg_batch(t: pa.Table) -> pa.Table:
+        counters: dict[str, int] = {}
+        total = 0
+        for s in t.column("text").to_pylist():
+            toks = (s or "").lower().split()
+            total += len(toks)
+            _mg_update(counters, toks, MG_SUMMARY_SIZE)
+        words = list(counters)
+        return pa.table(
+            {
+                "word": pa.array(words + ["\x00total"], pa.string()),
+                "c": pa.array([counters[w] for w in words] + [total], pa.int64()),
+            }
+        )
+
+    merged: dict[str, int] = {}
+    total_tokens = 0
+    for batch in docs.map_batches(mg_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for w, c in zip(batch.column("word").to_pylist(), batch.column("c").to_pylist()):
+            if w == "\x00total":
+                total_tokens += c
+            else:
+                # merging MG summaries by plain addition keeps the
+                # no-false-negative guarantee (counts only underestimate)
+                merged[w] = merged.get(w, 0) + c
+    threshold = max(1, (2 * total_tokens) // MG_SUMMARY_SIZE)
+    candidates = sorted(merged)
+    cand_ref = _ray.put(pa.array(candidates, pa.string()))
+
+    def exact_counts(t: pa.Table, ref=None) -> pa.Table:
+        cand = _ray.get(ref)
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update((s or "").lower().split())
+        tb = pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+        return tb.filter(pc.is_in(tb.column("word"), value_set=cand))
+
+    exact: dict[str, int] = {}
+    for batch in docs.map_batches(
+        exact_counts, fn_kwargs={"ref": cand_ref}, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for w, n in zip(batch.column("word").to_pylist(), batch.column("n").to_pylist()):
+            exact[w] = exact.get(w, 0) + n
+    keep = sorted(w for w, n in exact.items() if n >= threshold)
+    return pa.table(
+        {
+            "word": pa.array(keep, pa.string()),
+            "n": pa.array([exact[w] for w in keep], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document — the canonical two-pass text-analytics
 # pipeline: per-doc term counts, corpus document frequencies, broadcast
 # idf, per-doc rank. Output columns are ALL integers/strings (rank computed
@@ -285,13 +384,15 @@ def _term_counts(docs):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def q_tfidf_top_terms(sf_dir: str):
+def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
     """Top-3 terms per doc by tf-idf (score = tf * ln(N/df)); emits
     (doc_id, word, tf, df, rnk). Two passes over documents: pass 1 builds
-    the document-frequency table (word-bucket shuffle), which broadcasts
-    when the vocabulary fits (else a hash join would slot in); pass 2
-    scores and ranks per doc-bucket. Ties broken by word so the ranking is
-    deterministic; idf uses math.log (libm), matching the SQL ln()."""
+    the document-frequency table (word-bucket shuffle); pass 2 scores and
+    ranks per doc-bucket. The df table BROADCASTS when the vocabulary fits
+    (common case) and joins terms⋈df by hash shuffle above the threshold
+    (or with ``force_join`` — equivalence locked in tests). Ties broken by
+    word so the ranking is deterministic; idf uses math.log (libm),
+    matching the SQL ln()."""
     import math
 
     import ray as _ray
@@ -319,10 +420,42 @@ def q_tfidf_top_terms(sf_dir: str):
         .map_groups(df_bucket, batch_format="pyarrow")
         .materialize()
     )
-    if df_ds.count() > TFIDF_DF_BROADCAST_MAX:  # pragma: no cover - scale path
-        raise NotImplementedError(
-            "vocabulary exceeds broadcast budget; wire the hash-join scoring path"
+    def add_doc_bucket(out: pa.Table) -> pa.Table:
+        b = (
+            np.asarray(out.column("doc_id").to_pylist(), dtype=np.uint64) % WC_BUCKETS
+        ).astype("int32")
+        return out.append_column("bucket", pa.array(b, pa.int32()))
+
+    use_join = force_join or df_ds.count() > TFIDF_DF_BROADCAST_MAX
+    if use_join:
+        # scale path: terms ⋈ df hash join (vocab too large to broadcast);
+        # idf computed per batch with math.log memoized per distinct df
+        joined = _term_counts(docs).join(
+            df_ds, join_type="inner", num_partitions=16, on=("word",)
         )
+
+        def score_join(t: pa.Table) -> pa.Table:
+            dfv = t.column("df").to_numpy(zero_copy_only=False)
+            idf_by_df = {int(d): math.log(n_docs / int(d)) for d in np.unique(dfv)}
+            scores = t.column("tf").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ) * np.array([idf_by_df[int(d)] for d in dfv])
+            out = pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "word": t.column("word"),
+                    "tf": t.column("tf"),
+                    "df": t.column("df"),
+                    "score": pa.array(scores),
+                }
+            )
+            return add_doc_bucket(out)
+
+        scored_ds = joined.map_batches(score_join, batch_format="pyarrow")
+        return scored_ds.groupby("bucket").map_groups(
+            _tfidf_rank_bucket, batch_format="pyarrow"
+        )
+
     df_rows = df_ds.take_all()
     words_sorted = sorted(r["word"] for r in df_rows)
     df_by_word = {r["word"]: r["df"] for r in df_rows}
@@ -349,57 +482,55 @@ def q_tfidf_top_terms(sf_dir: str):
                 "score": scores,
             }
         )
-        b = (
-            np.asarray(out.column("doc_id").to_pylist(), dtype=np.uint64) % WC_BUCKETS
-        ).astype("int32")
-        return out.append_column("bucket", pa.array(b, pa.int32()))
-
-    def rank_bucket(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["bucket"])
-        order = pc.sort_indices(
-            g,
-            sort_keys=[
-                ("doc_id", "ascending"),
-                ("score", "descending"),
-                ("word", "ascending"),
-            ],
-        )
-        g = g.take(order)
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(ids)
-        if n == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "word": pa.array([], pa.string()),
-                    "tf": pa.array([], pa.int64()),
-                    "df": pa.array([], pa.int64()),
-                    "rnk": pa.array([], pa.int64()),
-                }
-            )
-        new = np.empty(n, bool)
-        new[0] = True
-        new[1:] = ids[1:] != ids[:-1]
-        starts = np.flatnonzero(new)
-        base = np.zeros(n, np.int64)
-        base[starts] = starts
-        np.maximum.accumulate(base, out=base)
-        rank = np.arange(n) - base + 1
-        keep = rank <= TFIDF_TOP_K
-        g = g.filter(pa.array(keep))
-        return pa.table(
-            {
-                "doc_id": g.column("doc_id"),
-                "word": g.column("word"),
-                "tf": g.column("tf"),
-                "df": g.column("df"),
-                "rnk": pa.array(rank[keep], pa.int64()),
-            }
-        )
+        return add_doc_bucket(out)
 
     return (
         _term_counts(docs)
         .map_batches(score, fn_kwargs={"ref": lookup_ref}, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(rank_bucket, batch_format="pyarrow")
+        .map_groups(_tfidf_rank_bucket, batch_format="pyarrow")
+    )
+
+
+def _tfidf_rank_bucket(g):
+    g = g.drop_columns(["bucket"])
+    order = pc.sort_indices(
+        g,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("score", "descending"),
+            ("word", "ascending"),
+        ],
+    )
+    g = g.take(order)
+    ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = ids[1:] != ids[:-1]
+    starts = np.flatnonzero(new)
+    base = np.zeros(n, np.int64)
+    base[starts] = starts
+    np.maximum.accumulate(base, out=base)
+    rank = np.arange(n) - base + 1
+    keep = rank <= TFIDF_TOP_K
+    g = g.filter(pa.array(keep))
+    return pa.table(
+        {
+            "doc_id": g.column("doc_id"),
+            "word": g.column("word"),
+            "tf": g.column("tf"),
+            "df": g.column("df"),
+            "rnk": pa.array(rank[keep], pa.int64()),
+        }
     )

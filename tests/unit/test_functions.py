@@ -261,3 +261,56 @@ def test_pagerank_matches_reference(ray_session):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    """Histogram sketch within (max-min)/n_bins of exact quantiles."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pie_ray.functions.relational import quantile_sketch
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{sf}/lineitem.parquet", columns=["l_quantity"])
+    est = quantile_sketch(ds, "l_quantity", [0.5, 0.9], n_bins=8192)
+    v = pq.read_table(f"{sf}/lineitem.parquet", columns=["l_quantity"]).column(
+        "l_quantity"
+    ).to_numpy()
+    tol = (v.max() - v.min()) / 8192 + 1e-9
+    assert abs(est[0.5] - np.percentile(v, 50)) <= tol
+    assert abs(est[0.9] - np.percentile(v, 90)) <= tol
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    """Every word with exact count >= 2*total/k is in the output with its
+    exact count (no false negatives from the approximate MG pass)."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from pie_ray.functions.textops import MG_SUMMARY_SIZE, q_heavy_hitters
+
+    sf = "/root/testdata/sf0.01"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    c = Counter()
+    for s in texts:
+        c.update((s or "").lower().split())
+    total = sum(c.values())
+    threshold = max(1, (2 * total) // MG_SUMMARY_SIZE)
+    expect = {w: n for w, n in c.items() if n >= threshold}
+    got_tbl = q_heavy_hitters(sf)
+    got = dict(zip(got_tbl.column("word").to_pylist(), got_tbl.column("n").to_pylist()))
+    assert got == expect and got
+
+
+def test_tfidf_join_path_equivalent(ray_session):
+    """Broadcast-idf and join-based TF-IDF scoring produce identical output."""
+    from pie_ray.functions.textops import q_tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["doc_id"], r["rnk"])
+    a = {key(r): (r["word"], r["tf"], r["df"]) for r in q_tfidf_top_terms(sf).take_all()}
+    b = {
+        key(r): (r["word"], r["tf"], r["df"])
+        for r in q_tfidf_top_terms(sf, force_join=True).take_all()
+    }
+    assert a == b and a
