@@ -307,25 +307,16 @@ def q_join_customer_orders(sf_dir: str):
     )
 
 
-class _BroadcastLookup:
-    """Map-side broadcast join: the small-side dict is ray.put() once by the
-    planner and resolved per ACTOR in __init__ — never shipped per batch."""
+def _broadcast_lookup_batch(t: pa.Table, lookup_ref=None, key: str = "", out_col: str = "") -> pa.Table:
+    """Map-side broadcast join as a task map: the small-side (keys, vals)
+    arrays are ray.put() once; ray.get per batch is a local zero-copy
+    plasma read. Vectorized index_in + take; misses stay null, matching
+    dict.get(k) -> None."""
+    import ray
 
-    def __init__(self, lookup_ref, key: str, out_col: str):
-        import ray
-
-        lookup: dict = ray.get(lookup_ref)
-        ks = sorted(lookup)
-        self.keys = pa.array(ks)
-        self.vals = pa.array([lookup[k] for k in ks])
-        self.key = key
-        self.out_col = out_col
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        # vectorized broadcast lookup (index_in + take); misses stay null,
-        # matching dict.get(k) -> None
-        idx = pc.index_in(t.column(self.key).combine_chunks(), value_set=self.keys)
-        return t.append_column(self.out_col, pc.take(self.vals, idx))
+    keys, vals = ray.get(lookup_ref)
+    idx = pc.index_in(t.column(key).combine_chunks(), value_set=keys)
+    return t.append_column(out_col, pc.take(vals, idx))
 
 
 def q_broadcast_join_nation_region(sf_dir: str):
@@ -336,14 +327,14 @@ def q_broadcast_join_nation_region(sf_dir: str):
     region = scan(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
     r_by_key = {r["r_regionkey"]: r["r_name"] for r in region}
     nation_to_region = {n["n_nationkey"]: r_by_key[n["n_regionkey"]] for n in nation}
-    ref = ray.put(nation_to_region)
+    ks = sorted(nation_to_region)
+    ref = ray.put((pa.array(ks), pa.array([nation_to_region[k] for k in ks])))
 
     cust = scan(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     with_region = cust.map_batches(
-        _BroadcastLookup,
-        fn_constructor_kwargs={"lookup_ref": ref, "key": "c_nationkey", "out_col": "r_name"},
+        _broadcast_lookup_batch,
+        fn_kwargs={"lookup_ref": ref, "key": "c_nationkey", "out_col": "r_name"},
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     return with_region.groupby("r_name").aggregate(Count(alias_name="n_customers"))
 
@@ -449,33 +440,28 @@ def _rich_supplier_nations(sf_dir: str) -> frozenset[int]:
     return frozenset(int(r["s_nationkey"]) for r in rows)
 
 
-class _MemberFilter:
-    """Broadcast set-membership filter: the member set is ray.put() once and
-    resolved per actor; keep=True -> semi (INTERSECT), False -> anti (EXCEPT)."""
+def _member_filter_batch(t: pa.Table, members_ref=None, col: str = "", keep: bool = True) -> pa.Table:
+    """Broadcast set-membership filter (task map): keep=True -> semi
+    (INTERSECT), False -> anti (EXCEPT)."""
+    import ray
 
-    def __init__(self, members_ref, col: str, keep: bool):
-        import ray
-
-        self.members = ray.get(members_ref)
-        self.col = col
-        self.keep = keep
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t.column(self.col), value_set=pa.array(sorted(self.members), pa.int64()))
-        if not self.keep:
-            mask = pc.invert(mask)
-        return t.filter(mask)
+    members = ray.get(members_ref)
+    mask = pc.is_in(t.column(col), value_set=members)
+    if not keep:
+        mask = pc.invert(mask)
+    return t.filter(mask)
 
 
 def _set_op(sf_dir: str, keep: bool):
     import ray
 
-    members_ref = ray.put(_rich_supplier_nations(sf_dir))
+    members_ref = ray.put(
+        pa.array(sorted(_rich_supplier_nations(sf_dir)), pa.int64())
+    )
     return _distinct_nationkeys(sf_dir).map_batches(
-        _MemberFilter,
-        fn_constructor_kwargs={"members_ref": members_ref, "col": "nationkey", "keep": keep},
+        _member_filter_batch,
+        fn_kwargs={"members_ref": members_ref, "col": "nationkey", "keep": keep},
         batch_format="pyarrow",
-        concurrency=(1, 2),
     )
 
 
@@ -556,28 +542,23 @@ def q_above_avg_balance(sf_dir: str):
         .aggregate(Mean("c_acctbal", alias_name="avg_bal"))
         .take_all()
     }
-    ref = ray.put(avgs)
+    ks = sorted(avgs)
+    ref = ray.put(
+        (pa.array(ks, pa.int64()), pa.array([avgs[k] for k in ks], pa.float64()))
+    )
 
-    class AboveAvg:
-        def __init__(self):
-            avgs = ray.get(ref)
-            ks = sorted(avgs)
-            self.keys = pa.array(ks, pa.int64())
-            self.vals = pa.array([avgs[k] for k in ks], pa.float64())
+    def above_avg(t: pa.Table, lookup_ref=None) -> pa.Table:
+        # vectorized broadcast lookup (task map); a missing nation -> null
+        # avg -> null comparison -> filtered out (dict.get(k, inf) semantics)
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(
+            pc.cast(t.column("c_nationkey").combine_chunks(), pa.int64()),
+            value_set=keys,
+        )
+        keep = pc.greater(t.column("c_acctbal"), pc.take(vals, idx))
+        return t.select(["c_custkey", "c_name"]).filter(pc.fill_null(keep, False))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # vectorized broadcast lookup; a missing nation -> null avg ->
-            # null comparison -> filtered out (same as the old get(k, inf))
-            idx = pc.index_in(
-                pc.cast(t.column("c_nationkey").combine_chunks(), pa.int64()),
-                value_set=self.keys,
-            )
-            keep = pc.greater(t.column("c_acctbal"), pc.take(self.vals, idx))
-            return t.select(["c_custkey", "c_name"]).filter(
-                pc.fill_null(keep, False)
-            )
-
-    return cust.map_batches(AboveAvg, batch_format="pyarrow", concurrency=(1, 2))
+    return cust.map_batches(above_avg, fn_kwargs={"lookup_ref": ref}, batch_format="pyarrow")
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min

@@ -33,7 +33,9 @@ _BPE_RX = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]
 
 
 def token_count_batch(t: pa.Table) -> pa.Table:
-    text = t.column("text")
+    # nulls count as empty documents (None would otherwise propagate
+    # through the kernel chain and emit null counts)
+    text = pc.fill_null(t.column("text"), "")
     # whitespace token count, fully vectorized: split trimmed text on \s+ runs
     trimmed = pc.utf8_trim_whitespace(text)
     ws_counts = pc.if_else(

@@ -48,6 +48,34 @@ def neighbors(graph_dir: str, src: str, num_parts: int | None = None) -> list[di
     return out
 
 
+def neighbors_khop(
+    graph_dir: str, src: str, k: int = 2, num_parts: int | None = None
+) -> dict[str, int]:
+    """BFS over the partitioned sink: {entity: hop distance} for all
+    entities within k hops of ``src`` (src itself at distance 0).
+
+    Each frontier entity costs exactly ONE partition-directory read (the
+    hash-routed point lookup `neighbors` uses) — no graph scan; the touched
+    partition count is bounded by the frontier size, which is how a 10^9-
+    node graph serves interactive k-hop queries from cold storage."""
+    if num_parts is None:
+        num_parts = _num_parts(graph_dir)
+    dist = {src: 0}
+    frontier = [src]
+    for hop in range(1, k + 1):
+        nxt: list[str] = []
+        for node in frontier:
+            for entry in neighbors(graph_dir, node, num_parts):
+                dst = entry["dst"]
+                if dst not in dist:
+                    dist[dst] = hop
+                    nxt.append(dst)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
 def degree_topk(graph_dir: str, k: int = 10) -> list[tuple[str, int]]:
     """Top-k entities by degree — scans only the (src, degree) columns."""
     t = pq.read_table(graph_dir, columns=["src", "degree"])

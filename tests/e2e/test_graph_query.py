@@ -31,3 +31,29 @@ def test_neighbors_and_topk(ray_session, tmp_path):
         assert adj == r["adj"]
 
     assert neighbors(res["graph_path"], "per:nonexistent entity") == []
+
+
+def test_neighbors_khop(ray_session, tmp_path):
+    """k-hop BFS over the partitioned sink: distances consistent with the
+    one-hop adjacency reads, each frontier node costing one partition read."""
+    import shutil
+
+    from pie_ray.pipelines.kg import run_pipeline
+    from pie_ray.pipelines.graph_query import degree_topk, neighbors, neighbors_khop
+    from pie_ray.sources.synth import synth_pages
+
+    out = str(tmp_path / "kgq")
+    shutil.rmtree(out, ignore_errors=True)
+    res = run_pipeline(synth_pages(150, override_num_blocks=4), out)
+    gdir = res["graph_path"]
+    src = degree_topk(gdir, 1)[0][0]
+    d1 = neighbors_khop(gdir, src, k=1)
+    direct = {e["dst"] for e in neighbors(gdir, src)}
+    assert set(d1) == {src} | direct
+    d2 = neighbors_khop(gdir, src, k=2)
+    assert set(d1) <= set(d2)
+    hop2 = {n for n, v in d2.items() if v == 2}
+    reachable = set()
+    for n in (n for n, v in d2.items() if v == 1):
+        reachable |= {e["dst"] for e in neighbors(gdir, n)}
+    assert hop2 <= reachable

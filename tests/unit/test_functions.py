@@ -314,3 +314,31 @@ def test_tfidf_join_path_equivalent(ray_session):
         for r in q_tfidf_top_terms(sf, force_join=True).take_all()
     }
     assert a == b and a
+
+
+def test_new_ops_handle_null_and_empty_text(ray_session):
+    """Null / empty / whitespace-only text rows flow through the text and
+    curation operators without errors and with sane values."""
+    import pyarrow as pa
+    import ray.data
+
+    from pie_ray.functions.textops import quality_batch, token_count_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([None, "", "   ", "the quick brown fox"], pa.string()),
+        }
+    )
+    q = quality_batch(t)
+    assert q.column("quality_score").to_pylist()[0] is not None
+    tc = token_count_batch(t)
+    assert tc.column("n_tokens_ws").to_pylist() == [0, 0, 0, 4]
+
+    from pie_ray.functions.dedup import _verified_pairs
+
+    ds = ray.data.from_arrow(t)
+    pairs = _verified_pairs(ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "text": b.column("text")}), batch_format="pyarrow"))
+    assert pairs.count() >= 0  # runs clean on degenerate input
