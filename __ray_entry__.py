@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_funcs": relational.q_date_funcs,
         "json_extract": relational.q_json_extract,
         "global_agg": relational.q_global_agg,
+        "global_stats": relational.q_global_stats,
         "pricing_summary": relational.q_pricing_summary,
         "join_customer_orders": relational.q_join_customer_orders,
         "broadcast_join_nation_region": relational.q_broadcast_join_nation_region,
@@ -221,6 +222,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(year(l_shipdate) AS BIGINT)) AS min_year,
                    MAX(CAST(year(l_shipdate) AS BIGINT)) AS max_year
             FROM lineitem
+        """,
+        "global_stats": """
+            -- stddev from the same closed form over exact integer sums as
+            -- the engine (one float expression, no accumulation drift)
+            WITH s AS (
+              SELECT COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS BIGINT)) AS s1,
+                     SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+                     COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS nd
+              FROM lineitem
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(s1 AS DOUBLE) AS sum_qty,
+                   s1 * 1.0 / n AS mean_qty,
+                   sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) AS std_qty,
+                   CAST(nd AS BIGINT) AS n_distinct_qty
+            FROM s
         """,
         "pricing_summary": """
             -- money cols are 2-decimal fixed point; sum them as exact scaled

@@ -196,6 +196,53 @@ def q_global_agg(sf_dir: str):
     )
 
 
+def q_global_stats(sf_dir: str):
+    """B3 completion: std + count-distinct global aggregates, bit-exact.
+
+    l_quantity is integer-valued, so Σx and Σx² are exact int64 partial
+    sums; stddev_samp computes from the SAME closed form on both sides
+    (sqrt((nΣx² - (Σx)²)/(n(n-1)))) — one identical float expression, no
+    accumulation drift. Distinct values combine per-batch uniques (bounded:
+    the quantity domain, not the row count)."""
+    import math
+
+    import numpy as np
+
+    ds = scan(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        qn = q.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(qn)], pa.int64()),
+                "s1": pa.array([int(qn.sum())], pa.int64()),
+                "s2": pa.array([int((qn * qn).sum())], pa.int64()),
+                "distinct": pa.array(
+                    [np.unique(qn).tolist()], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    s1 = sum(r["s1"] for r in rows)
+    s2 = sum(r["s2"] for r in rows)
+    distinct: set[int] = set()
+    for r in rows:
+        distinct.update(r["distinct"])
+    std = math.sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) if n > 1 else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_qty": pa.array([float(s1)], pa.float64()),
+            "mean_qty": pa.array([s1 * 1.0 / n], pa.float64()),
+            "std_qty": pa.array([std], pa.float64()),
+            "n_distinct_qty": pa.array([len(distinct)], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # B4: grouped aggregate — TPC-H Q1-style pricing summary
 # ---------------------------------------------------------------------------
