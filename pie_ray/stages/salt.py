@@ -29,6 +29,29 @@ from pie_ray.util import hash64_array
 DEFAULT_SALTS = 16
 
 
+def detect_hot_keys(ds, key: str, top_k: int = 20, min_share: float = 0.01) -> list:
+    """A14 pre-pass: the cheap hot-key probe that decides whether salting is
+    worth a second shuffle — per-batch partial counts (each batch ships at
+    most its distinct keys), tiny driver combine, return the top_k keys
+    holding more than ``min_share`` of all rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+        gb = t.group_by([key]).aggregate([("__one", "sum")])
+        return gb.rename_columns([key, "c"])
+
+    totals: dict = {}
+    n_rows = 0
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k, c in zip(batch.column(key).to_pylist(), batch.column("c").to_pylist()):
+            totals[k] = totals.get(k, 0) + c
+            n_rows += c
+    ranked = sorted(totals.items(), key=lambda kv: (-kv[1], str(kv[0])))[:top_k]
+    return [k for k, c in ranked if c >= max(1, int(min_share * n_rows))]
+
+
 def salted_aggregate(
     ds,
     keys: list[str],

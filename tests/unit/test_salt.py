@@ -48,3 +48,14 @@ def test_salted_counts_null_rows(ray_session):
     out = salted_aggregate(ds, ["key"], ["v"], count_alias="n", num_salts=4)
     got = {r["key"]: (r["v"], r["n"]) for r in out.take_all()}
     assert got == {"a": (4, 3), "b": (6, 3)}
+
+
+def test_detect_hot_keys(ray_session):
+    import ray.data
+
+    from pie_ray.stages.salt import detect_hot_keys
+
+    keys = ["hot"] * 900 + ["warm"] * 60 + [f"k{i}" for i in range(40)]
+    ds = ray.data.from_arrow(pa.table({"key": pa.array(keys, pa.string())})).repartition(4)
+    hot = detect_hot_keys(ds, "key", top_k=5, min_share=0.05)
+    assert hot == ["hot", "warm"]
