@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": relational.q_sample_hash,
         # training-data text ops
         "token_count": textops.q_token_count,
+        "token_count_bpe": textops.q_token_count_bpe,
         "word_counts": textops.q_word_counts,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "heavy_hitters": textops.q_heavy_hitters,
@@ -324,12 +325,15 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        "token_count": """
+        "token_count": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_ws,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_bpe
+                   CASE WHEN trim(coalesce(text, ''),
+                                  ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = ''
+                        THEN 0
+                        ELSE len(string_split_regex(
+                                 trim(coalesce(text, ''),
+                                      ' ' || chr(9) || chr(10) || chr(12) || chr(13)),
+                                 '[ \t\n\f\r]+')) END AS n_tokens_ws
             FROM documents
         """,
         "text_quality": r"""
@@ -346,8 +350,8 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN length(text)=0 THEN 0
                      ELSE length(text) - length(regexp_replace(text,
                           '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) END AS n_punct,
-                CASE WHEN trim(text)='' THEN LIST_VALUE()
-                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS words
+                CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))='' THEN LIST_VALUE()
+                     ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+') END AS words
               FROM documents
             ), r AS (
               SELECT doc_id, n_chars, alpha_ratio,
@@ -395,8 +399,8 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN length(text)=0 THEN 0
                      ELSE length(text) - length(regexp_replace(text,
                           '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) END AS n_punct,
-                CASE WHEN trim(text)='' THEN LIST_VALUE()
-                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS words
+                CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))='' THEN LIST_VALUE()
+                     ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+') END AS words
               FROM documents
             ), r AS (
               SELECT doc_id, n_chars, alpha_ratio,
@@ -423,8 +427,8 @@ def oracle_sql() -> dict[str, str]:
               FROM r
             ), tok AS (
               SELECT doc_id,
-                CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws
+                CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+')) END AS n_tokens_ws
               FROM documents
             ), filtered AS (
               SELECT d.doc_id, md5(d.text) AS h, tok.n_tokens_ws
@@ -540,8 +544,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "word_counts": r"""
             SELECT word, COUNT(*) AS n FROM (
-              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-              FROM documents WHERE trim(text) <> ''
+              SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+')) AS word
+              FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
             ) GROUP BY word HAVING COUNT(*) >= 10
         """,
         "heavy_hitters": r"""
@@ -549,8 +553,8 @@ def oracle_sql() -> dict[str, str]:
             -- Misra-Gries candidate pass cannot miss these, and its second
             -- pass counts exactly, so approximate blocking + exact output
             WITH tok AS (
-              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-              FROM documents WHERE trim(text) <> ''
+              SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+')) AS word
+              FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
             ), tot AS (SELECT COUNT(*) AS t FROM tok)
             SELECT word, COUNT(*) AS n FROM tok GROUP BY word
             HAVING COUNT(*) >= greatest(1, (2 * (SELECT t FROM tot)) // 256)
@@ -562,8 +566,8 @@ def oracle_sql() -> dict[str, str]:
             WITH terms AS (
               SELECT doc_id, word, COUNT(*) AS tf FROM (
                 SELECT doc_id,
-                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-                FROM documents WHERE trim(text) <> ''
+                       unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+')) AS word
+                FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
               ) GROUP BY doc_id, word
             ), df AS (
               SELECT word, COUNT(*) AS df FROM terms GROUP BY word

@@ -169,7 +169,8 @@ class MediaResizer:
     """Actor-pool stage: decode image/video-poster -> resize to a fixed
     (target_w, target_h) -> emit raw RGB bytes + dims. Payload bytes in,
     normalized raw frames out (the shape of a training-data image-prep
-    stage); audio rows pass through untouched feature-less."""
+    stage). Audio rows are FILTERED OUT (no visual frame to resize) — the
+    output contains only image/video media_ids."""
 
     def __init__(self, target_w: int = 32, target_h: int = 32, mode: str = "fake"):
         self.backend = DecodeBackend(mode)

@@ -62,6 +62,8 @@ def lowcard_group_agg(ds, keys: list[str], sum_cols: list[str], count_alias: str
 
     Returns a pyarrow Table with columns ``keys + [f"{c}__sum"] + [count]``
     sorted by keys. Caller derives the final (float) output columns."""
+    from pie_ray.util import rename_grouped
+
     aggs = [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -72,8 +74,8 @@ def lowcard_group_agg(ds, keys: list[str], sum_cols: list[str], count_alias: str
     final = merged.group_by(keys).aggregate(
         [(f"{c}_sum", "sum") for c in sum_cols] + [(f"{keys[0]}_count", "sum")]
     )
-    final = final.rename_columns(
-        keys + [f"{c}__sum" for c in sum_cols] + [count_alias or "__count"]
+    final = rename_grouped(
+        final, keys, keys + [f"{c}__sum" for c in sum_cols] + [count_alias or "__count"]
     )
     return final.sort_by([(k, "ascending") for k in keys])
 
@@ -949,11 +951,13 @@ def q_cumsum_user_value(sf_dir: str):
         new = np.empty(n, bool)
         new[0] = True
         new[1:] = users[1:] != users[:-1]
-        base = np.zeros(n, np.int64)
         starts = np.flatnonzero(new)
-        base[starts] = cs[starts] - vc[starts]
-        np.maximum.accumulate(base, out=base)
-        cum = cs - base
+        # per-run base = cumsum just BEFORE the run start, propagated by
+        # run index (NOT maximum.accumulate over cumsum values — that is
+        # only valid when values are non-negative)
+        run_id = np.cumsum(new) - 1
+        run_base = cs[starts] - vc[starts]
+        cum = cs - run_base[run_id]
         return pa.table(
             {
                 "event_id": g.column("event_id"),

@@ -30,27 +30,54 @@ from pie_ray.util import stable_hash64
 # punct runs, whitespace runs (public pattern family; simplified, ASCII-safe)
 _BPE_RX = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
 
+# Whitespace tokenization contract shared with the DuckDB oracles: the
+# whitespace class is EXACTLY RE2's \s ([\t\n\f\r ]), ends trimmed on the
+# same class. Python's str.split() splits on ALL Unicode whitespace and
+# silently diverges from the SQL side on e.g. non-breaking spaces — every
+# oracled word operator goes through this helper instead.
+WS_CHARS = " \t\n\f\r"
+_WS_RX = re.compile(r"[ \t\n\f\r]+")
+
+
+def ws_tokens(s: str | None) -> list[str]:
+    s = (s or "").strip(WS_CHARS)
+    return _WS_RX.split(s) if s else []
+
 
 
 def token_count_batch(t: pa.Table) -> pa.Table:
     # nulls count as empty documents (None would otherwise propagate
     # through the kernel chain and emit null counts)
     text = pc.fill_null(t.column("text"), "")
-    # whitespace token count, fully vectorized: split trimmed text on \s+ runs
-    trimmed = pc.utf8_trim_whitespace(text)
+    # whitespace token count, fully vectorized; trim + split use the SAME
+    # explicit [ \t\n\f\r] class as the SQL oracle (see ws_tokens)
+    trimmed = pc.utf8_trim(text, characters=WS_CHARS)
     ws_counts = pc.if_else(
         pc.equal(trimmed, ""),
         pa.scalar(0, pa.int64()),
-        pc.cast(pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")), pa.int64()),
-    )
-    bpe_counts = pa.array(
-        [len(_BPE_RX.findall(s)) if s else 0 for s in text.to_pylist()], pa.int64()
+        pc.cast(
+            pc.list_value_length(pc.split_pattern_regex(trimmed, r"[ \t\n\f\r]+")),
+            pa.int64(),
+        ),
     )
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
             "n_tokens_ws": ws_counts,
-            "n_tokens_bpe": bpe_counts,
+        }
+    )
+
+
+def bpe_count_batch(t: pa.Table) -> pa.Table:
+    """BPE-ish pre-tokenizer counts — its lookahead pattern is not
+    RE2-expressible, so this channel is rows-only (no SQL oracle)."""
+    texts = pc.fill_null(t.column("text"), "").to_pylist()
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_tokens_bpe": pa.array(
+                [len(_BPE_RX.findall(s)) if s else 0 for s in texts], pa.int64()
+            ),
         }
     )
 
@@ -58,6 +85,11 @@ def token_count_batch(t: pa.Table) -> pa.Table:
 def q_token_count(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def q_token_count_bpe(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_count_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -86,12 +118,14 @@ def quality_batch(t: pa.Table) -> pa.Table:
             alpha_ratio[i] = punct_ratio[i] = stop_ratio[i] = 0.0
             n_words[i] = n_stop[i] = 0
             continue
-        arr = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
-        is_alpha = ((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))
-        is_punct = np.isin(arr, _PUNCT_BYTES)
+        # per-CHARACTER ratios (utf-32 codes), matching SQL length()/regex
+        # semantics — byte-level ratios diverge on any non-ASCII character
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        is_alpha = ((codes >= 65) & (codes <= 90)) | ((codes >= 97) & (codes <= 122))
+        is_punct = np.isin(codes, _PUNCT_CODES)
         alpha_ratio[i] = is_alpha.mean()
         punct_ratio[i] = is_punct.mean()
-        words = s.lower().split()
+        words = ws_tokens(s.lower())
         n_words[i] = len(words)
         n_stop[i] = sum(1 for w in words if w in _STOPWORDS)
         stop_ratio[i] = n_stop[i] / n_words[i] if words else 0.0
@@ -120,7 +154,9 @@ def quality_batch(t: pa.Table) -> pa.Table:
     )
 
 
-_PUNCT_BYTES = np.frombuffer(b"!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~", dtype=np.uint8)
+_PUNCT_CODES = np.frombuffer(
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".encode("utf-32-le"), dtype=np.uint32
+)
 
 
 def q_quality(sf_dir: str):
@@ -230,7 +266,7 @@ def q_word_counts(sf_dir: str):
     def explode_partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for s in t.column("text").to_pylist():
-            c.update((s or "").lower().split())
+            c.update(ws_tokens((s or "").lower()))
         words = list(c.keys())
         tb = pa.table(
             {
@@ -295,7 +331,7 @@ def q_heavy_hitters(sf_dir: str):
         counters: dict[str, int] = {}
         total = 0
         for s in t.column("text").to_pylist():
-            toks = (s or "").lower().split()
+            toks = ws_tokens((s or "").lower())
             total += len(toks)
             _mg_update(counters, toks, MG_SUMMARY_SIZE)
         words = list(counters)
@@ -328,7 +364,7 @@ def q_heavy_hitters(sf_dir: str):
 
         c: Counter = Counter()
         for s in t.column("text").to_pylist():
-            c.update((s or "").lower().split())
+            c.update(ws_tokens((s or "").lower()))
         tb = pa.table(
             {
                 "word": pa.array(list(c.keys()), pa.string()),
@@ -370,7 +406,7 @@ def _term_counts(docs):
         words_out: list[str] = []
         tf_out: list[int] = []
         for did, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            c = Counter((s or "").lower().split())
+            c = Counter(ws_tokens((s or "").lower()))
             for w, n in c.items():
                 ids_out.append(did)
                 words_out.append(w)
@@ -403,6 +439,10 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = docs.count()
+    # tokenize ONCE: both the df pass and the scoring pass consume this
+    # materialized terms table (re-deriving it would re-run the most
+    # expensive step; the table spills to the object store at scale)
+    terms = _term_counts(docs).materialize()
 
     # pass 1: document frequencies (df = #docs containing word)
     def add_word_bucket(t: pa.Table) -> pa.Table:
@@ -416,7 +456,7 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
         return gb.rename_columns(["word", "df"])
 
     df_ds = (
-        _term_counts(docs)
+        terms
         .map_batches(add_word_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(df_bucket, batch_format="pyarrow")
@@ -432,7 +472,7 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
     if use_join:
         # scale path: terms ⋈ df hash join (vocab too large to broadcast);
         # idf computed per batch with math.log memoized per distinct df
-        joined = _term_counts(docs).join(
+        joined = terms.join(
             df_ds, join_type="inner", num_partitions=16, on=("word",)
         )
 
@@ -487,7 +527,7 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
         return add_doc_bucket(out)
 
     return (
-        _term_counts(docs)
+        terms
         .map_batches(score, fn_kwargs={"ref": lookup_ref}, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_tfidf_rank_bucket, batch_format="pyarrow")

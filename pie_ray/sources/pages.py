@@ -70,8 +70,15 @@ def read_pages_parts(
                 if f.endswith(".parquet")
             ]
             if not part_files:  # none of the requested partitions exist
+                # data columns only — the hive 'part' partition field must
+                # NOT leak into the schema (resume re-derives part from url
+                # and a duplicate column breaks t.column("part") downstream)
+                schema = pa_ds.dataset(path, partitioning="hive").schema
+                cols = columns or [c for c in T0_COLUMNS if c in schema.names]
+                import pyarrow as pa
+
                 return ray.data.from_arrow(
-                    pa_ds.dataset(path, partitioning="hive").schema.empty_table()
+                    pa.schema([schema.field(c) for c in cols]).empty_table()
                 )
             return ray.data.read_parquet(
                 part_files,

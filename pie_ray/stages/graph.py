@@ -37,10 +37,14 @@ def _edges_from_triples(batch: pa.Table) -> pa.Table:
 
 
 def _partial_edge_agg(batch: pa.Table) -> pa.Table:
+    from pie_ray.util import rename_grouped
+
     gb = batch.group_by(["src", "dst", "pred"]).aggregate(
         [("warc_ts", "count"), ("warc_ts", "min"), ("warc_ts", "max")]
     )
-    return gb.rename_columns(["src", "dst", "pred", "weight", "first_ts", "last_ts"])
+    return rename_grouped(
+        gb, ["src", "dst", "pred"], ["src", "dst", "pred", "weight", "first_ts", "last_ts"]
+    )
 
 
 EDGE_BUCKETS = 64
@@ -197,20 +201,32 @@ def build_adjacency(edges_ds, num_parts: int = DEFAULT_NUM_PARTS, assume_partiti
 
 
 PAGERANK_MAX_NODES = 50_000_000  # rank vector must fit the object store
+PAGERANK_DRIVER_EDGES = 5_000_000  # aggregated edges pulled for local iteration
 
 
 def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
     """Weighted PageRank over an EDGES-schema Dataset.
 
-    Iteration shape (the canon-map regime: the per-NODE state fits the
-    object store even when the EDGE list is 1000× larger): ranks broadcast
-    via ray.put each round; one distributed map over edges computes
-    contributions and combines them per-batch with Arrow group_by, so the
-    driver merge handles ≤ distinct-dst-per-batch rows per block, bounded
-    by the node count — never the edge count. Dangling mass redistributes
-    uniformly. Returns a pa.Table (node, rank) with rank rounded to 10dp.
-    """
+    The edge list is AGGREGATED (distinct (src,dst,pred) with weights —
+    orders of magnitude smaller than the corpus that produced it) and is
+    materialized ONCE; below PAGERANK_DRIVER_EDGES the iteration runs
+    driver-local over numpy index arrays in a FIXED sorted edge order, so
+    ranks are bit-deterministic regardless of upstream partitioning (the
+    repo invariant). Above the threshold, broadcast-rank distributed rounds
+    take over (ranks via ray.put, per-batch Arrow combine of contributions;
+    float summation order there varies in the last ulps with batching —
+    documented trade-off at graph scales where the driver path can't hold
+    the edge list). Dangling mass redistributes uniformly. Returns a
+    pa.Table (node, rank) with rank rounded to 10dp."""
     import ray as _ray
+
+    # one materialization: every path below re-reads edges at least twice,
+    # and without this the ENTIRE upstream plan (possibly a full corpus
+    # pipeline) would re-execute once per consumer pass
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges <= PAGERANK_DRIVER_EDGES:
+        return _pagerank_local(edges_ds, damping, iters)
 
     # node set + out-weight per src: ONE distributed pass of per-batch
     # partials, node-bounded driver combine (no exchange)
@@ -267,6 +283,33 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
             "node": keys_arr,
             "rank": pa.array(np.round(ranks, 10)),
         }
+    )
+
+
+def _pagerank_local(edges_ds, damping: float, iters: int) -> pa.Table:
+    """Driver-local iteration over the (small, aggregated) edge list in one
+    deterministic sorted order — bit-stable across partitioning."""
+    rows = edges_ds.take_all()
+    triples = sorted((r["src"], r["dst"], int(r["weight"])) for r in rows)
+    nodes = sorted({t[0] for t in triples} | {t[1] for t in triples})
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.array([idx[s] for s, _, _ in triples], np.int64)
+    di = np.array([idx[d] for _, d, _ in triples], np.int64)
+    w = np.array([wt for _, _, wt in triples], np.float64)
+    outw = np.zeros(n)
+    np.add.at(outw, si, w)
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        send = ranks[si] * w / outw[si]
+        sums = np.zeros(n)
+        np.add.at(sums, di, send)  # fixed edge order -> deterministic floats
+        dangling = ranks[outw == 0].sum()
+        ranks = (1.0 - damping) / n + damping * (sums + dangling / n)
+    return pa.table(
+        {"node": pa.array(nodes, pa.string()), "rank": pa.array(np.round(ranks, 10))}
     )
 
 

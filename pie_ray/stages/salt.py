@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pie_ray.util import hash64_array
+from pie_ray.util import hash64_array, rename_grouped
 
 DEFAULT_SALTS = 16
 
@@ -84,13 +84,47 @@ def salted_aggregate(
         aggs = [(c, "sum") for c in sum_cols] + [("__one", "sum")]
         gb = group.group_by([*keys, "__salt"]).aggregate(aggs)
         names = [*keys, "__salt", *sum_cols, "__n"]
-        return gb.rename_columns(names)
+        return rename_grouped(gb, [*keys, "__salt"], names)
 
     def final(group: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in sum_cols] + [("__n", "sum")]
         gb = group.group_by(keys).aggregate(aggs)
-        return gb.rename_columns([*keys, *sum_cols, count_alias])
+        return rename_grouped(gb, keys, [*keys, *sum_cols, count_alias])
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
     phase1 = salted.groupby([*keys, "__salt"]).map_groups(partial, batch_format="pyarrow")
     return phase1.groupby(keys).map_groups(final, batch_format="pyarrow")
+
+
+def adaptive_aggregate(
+    ds,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    count_alias: str = "count",
+    num_salts: int = DEFAULT_SALTS,
+    min_share: float = 0.05,
+):
+    """A14 end to end: run the hot-key probe, then salt ONLY when a key
+    actually holds more than ``min_share`` of the rows — uniform keys get a
+    plain one-shuffle groupby (the salted second shuffle is pure cost when
+    nothing is hot). Results are identical either way (commutative
+    aggregates); the probe and the aggregate share one materialization."""
+    sum_cols = sum_cols or []
+    ds = ds.materialize()  # consumed by the probe AND the aggregate
+    hot = detect_hot_keys(ds, keys[0], min_share=min_share)
+    if hot:
+        return salted_aggregate(ds, keys, sum_cols, count_alias, num_salts)
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    def plain(group: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols] + [("__one", "sum")]
+        gb = group.group_by(keys).aggregate(aggs)
+        return rename_grouped(gb, keys, [*keys, *sum_cols, count_alias])
+
+    return (
+        ds.map_batches(add_one, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(plain, batch_format="pyarrow")
+    )

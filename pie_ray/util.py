@@ -57,6 +57,19 @@ def part_of(key: str, num_parts: int) -> int:
     return stable_hash64(key, salt=b"part") % num_parts
 
 
+def rename_grouped(gb, keys: list[str], new_names: list[str]):
+    """Positional rename of a pyarrow ``group_by().aggregate()`` output with
+    a guard that the key columns come first. The ordering is undocumented
+    and has differed across pyarrow versions — fail loudly on an upgrade
+    instead of silently relabeling aggregate columns as keys."""
+    if list(gb.column_names[: len(keys)]) != list(keys):
+        raise RuntimeError(
+            f"pyarrow group_by output order changed: {gb.column_names} "
+            f"does not start with keys {keys}"
+        )
+    return gb.rename_columns(new_names)
+
+
 def tune_data_context() -> None:
     """Right-size Ray Data's shuffle knobs to the actual cluster.
 

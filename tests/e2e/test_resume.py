@@ -252,3 +252,26 @@ def test_read_pages_parts_roundtrip(ray_session, tmp_path):
     ray.data.from_arrow(t2).write_parquet(hive, partition_cols=["part"])
     got2 = {r["url"] for r in read_pages_parts(hive, [1, 3], NUM_PARTS).take_all()}
     assert got2 == want
+
+
+def test_read_pages_parts_missing_partition_schema(ray_session, tmp_path):
+    """Requesting only nonexistent hive partitions yields an EMPTY dataset
+    with the T0 data columns and NO hive part column (a leaked part column
+    duplicates resume's derived one and breaks downstream lookups)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pie_ray.sources.pages import read_pages_parts
+    from pie_ray.sources.synth import pages_table
+    from pie_ray.util import part_of
+
+    t = pages_table(range(30))
+    parts_col = [part_of(u, 2) for u in t.column("url").to_pylist()]
+    t2 = t.append_column("part", pa.array(parts_col, pa.int32()))
+    hive = str(tmp_path / "hive2")
+    ray.data.from_arrow(t2).write_parquet(hive, partition_cols=["part"])
+
+    ds = read_pages_parts(hive, [7], 8)  # part=7 dir does not exist
+    assert ds.count() == 0
+    names = ds.schema().names
+    assert "part" not in names and "url" in names

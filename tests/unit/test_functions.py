@@ -342,3 +342,121 @@ def test_new_ops_handle_null_and_empty_text(ray_session):
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "text": b.column("text")}), batch_format="pyarrow"))
     assert pairs.count() >= 0  # runs clean on degenerate input
+
+
+def test_cumsum_handles_negative_values(ray_session, tmp_path):
+    """Running totals stay per-user correct when values are negative (the
+    base propagation must use run indices, not maximum.accumulate over a
+    cumsum that is no longer monotone)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pie_ray.functions.relational import q_cumsum_user_value
+
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(6)), pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array(list(range(6)), pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([-5.0, 1.0, 10.0, -20.0, 3.0, 4.0], pa.float64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+    got = {
+        r["event_id"]: r["cum_value"] for r in q_cumsum_user_value(sf).take_all()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    expect = dict(
+        con.execute(
+            """SELECT event_id, SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) / 100.0 FROM events"""
+        ).fetchall()
+    )
+    assert got == expect
+
+
+def test_pagerank_local_vs_distributed_and_deterministic(ray_session, monkeypatch):
+    """The driver-local (deterministic) and distributed broadcast-rank paths
+    agree within float tolerance, and the local path is bit-identical
+    across different input partitionings."""
+    import pyarrow as pa
+    import ray.data
+
+    from pie_ray import schemas
+    from pie_ray.stages import graph as graph_mod
+
+    edges = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1),
+        ("d", "a", 5), ("d", "c", 5), ("b", "e", 1),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+            "pred": pa.array(["x"] * len(edges), pa.string()),
+            "weight": pa.array([e[2] for e in edges], pa.int64()),
+            "first_ts": pa.array([0] * len(edges), pa.timestamp("us")),
+            "last_ts": pa.array([0] * len(edges), pa.timestamp("us")),
+        },
+        schema=schemas.EDGES,
+    )
+
+    def run(nparts):
+        return {
+            r["node"]: r["rank"]
+            for r in graph_mod.pagerank(
+                ray.data.from_arrow(t).repartition(nparts), iters=10
+            ).to_pylist()
+        }
+
+    local_a, local_b = run(2), run(5)
+    assert local_a == local_b, "local path must be partition-independent"
+
+    monkeypatch.setattr(graph_mod, "PAGERANK_DRIVER_EDGES", 0)
+    dist = run(3)
+    assert set(dist) == set(local_a)
+    for k in dist:
+        assert abs(dist[k] - local_a[k]) < 1e-9
+
+
+def test_text_ops_oracle_parity_on_non_ascii(ray_session, tmp_path):
+    """token_count and text_quality match their DuckDB oracles bit-exactly
+    on adversarial text: accents (multi-byte chars), non-breaking spaces,
+    tabs/newlines at the edges — the cases where byte-based ratios or
+    Python's Unicode split() would silently diverge."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    texts = [
+        "café naïve résumé visit",          # accents
+        "a b c",                                          # NBSP is NOT a separator
+        "\tleading tab and trailing newline\n",
+        "  spaced   out  words  ",
+        "punct!!! heavy??? ;;; :::",
+        "你好 world",                                  # CJK
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    for name in ("token_count", "text_quality"):
+        eng = entrymod.queries()[name](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ora = con.execute(entrymod.oracle_sql()[name]).fetchdf().sort_values("doc_id").reset_index(drop=True)
+        for c in sorted(eng.columns):
+            a = eng[c].to_numpy()
+            b = ora[c].to_numpy()
+            assert (a == b).all(), f"{name}.{c}: {a} != {b}"

@@ -59,3 +59,43 @@ def test_detect_hot_keys(ray_session):
     ds = ray.data.from_arrow(pa.table({"key": pa.array(keys, pa.string())})).repartition(4)
     hot = detect_hot_keys(ds, "key", top_k=5, min_share=0.05)
     assert hot == ["hot", "warm"]
+
+
+def test_adaptive_aggregate_both_branches(ray_session):
+    """adaptive_aggregate equals the plain expectation whether or not the
+    probe detects skew (hot -> salted path, uniform -> single groupby)."""
+    import ray.data
+
+    from pie_ray.stages.salt import adaptive_aggregate
+
+    def expect(keys, vals):
+        e = {}
+        for k, v in zip(keys, vals):
+            s = e.setdefault(k, [0, 0])
+            s[0] += v
+            s[1] += 1
+        return {k: (s, c) for k, (s, c) in e.items()}
+
+    # skewed: probe fires -> salted path
+    keys = ["hot"] * 1800 + [f"k{i % 23}" for i in range(200)]
+    vals = list(range(len(keys)))
+    ds = ray.data.from_arrow(
+        pa.table({"key": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())})
+    ).repartition(6)
+    got = {
+        r["key"]: (r["v"], r["n"])
+        for r in adaptive_aggregate(ds, ["key"], ["v"], count_alias="n").take_all()
+    }
+    assert got == expect(keys, vals)
+
+    # uniform: probe stays silent -> plain path
+    keys2 = [f"k{i % 50}" for i in range(2000)]
+    vals2 = list(range(2000))
+    ds2 = ray.data.from_arrow(
+        pa.table({"key": pa.array(keys2, pa.string()), "v": pa.array(vals2, pa.int64())})
+    ).repartition(6)
+    got2 = {
+        r["key"]: (r["v"], r["n"])
+        for r in adaptive_aggregate(ds2, ["key"], ["v"], count_alias="n").take_all()
+    }
+    assert got2 == expect(keys2, vals2)
