@@ -32,7 +32,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from pie_ray.state.dsu import DSU
-from pie_ray.util import stable_hash64
+from pie_ray.util import list_to_matrix, stable_hash64
 
 # ---------------------------------------------------------------------------
 # exact dedup — content-hash groupby
@@ -513,7 +513,7 @@ def q_dedup_embedding(sf_dir: str):
     planes_holder: dict[str, np.ndarray] = {}
 
     def bucket_batch(t: pa.Table) -> pa.Table:
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(t.column("embedding"))
         if "p" not in planes_holder:
             planes_holder["p"] = _planes(mat.shape[1])
         signs = (mat @ planes_holder["p"].T) > 0
@@ -521,11 +521,18 @@ def q_dedup_embedding(sf_dir: str):
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
+        # list column from the flat values buffer — no per-element Python
+        # objects on the write side either (offsets + one float buffer)
+        n, d = unit.shape
+        unit_col = pa.ListArray.from_arrays(
+            pa.array((np.arange(n + 1) * d).astype(np.int32)),
+            pa.array(unit.ravel(), pa.float64()),
+        )
         return pa.table(
             {
                 "bucket": pa.array(keys.astype(np.int64)),
                 "vec_id": t.column("vec_id"),
-                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                "unit": unit_col,
             }
         )
 
@@ -533,9 +540,9 @@ def q_dedup_embedding(sf_dir: str):
         # one shuffle group = many LSH signatures (shuffle key is sig % 256
         # — Ray group dispatch is Python-level, keep its cardinality low);
         # exact cosine within each signature's members
-        sigs = np.asarray(group.column("bucket").to_pylist())
-        ids = np.asarray(group.column("vec_id").to_pylist())
-        mat = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
+        sigs = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = list_to_matrix(group.column("unit"))
         a: list[int] = []
         b: list[int] = []
         for sig in np.unique(sigs):

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -64,15 +65,20 @@ def lowcard_group_agg(ds, keys: list[str], sum_cols: list[str], count_alias: str
     sorted by keys. Caller derives the final (float) output columns."""
     from pie_ray.util import rename_grouped
 
-    aggs = [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
+    # the count rides a never-null __one column (same guard as
+    # salted_aggregate): pyarrow's ("col", "count") defaults to only_valid,
+    # so counting a key column would under-count null-keyed groups vs the
+    # oracle's COUNT(*)
+    aggs = [(c, "sum") for c in sum_cols] + [("__one", "sum")]
 
     def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
         return t.group_by(keys).aggregate(aggs)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
     merged = pa.Table.from_pylist(parts)
     final = merged.group_by(keys).aggregate(
-        [(f"{c}_sum", "sum") for c in sum_cols] + [(f"{keys[0]}_count", "sum")]
+        [(f"{c}_sum", "sum") for c in sum_cols] + [("__one_sum", "sum")]
     )
     final = rename_grouped(
         final, keys, keys + [f"{c}__sum" for c in sum_cols] + [count_alias or "__count"]
@@ -385,7 +391,10 @@ def q_broadcast_join_nation_region(sf_dir: str):
         fn_kwargs={"lookup_ref": ref, "key": "c_nationkey", "out_col": "r_name"},
         batch_format="pyarrow",
     )
-    return with_region.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+    # 5 region groups: per-batch partial counts + driver combine — a Ray
+    # hash-shuffle groupby pays seconds of aggregator spin-up for 5 rows
+    agg = lowcard_group_agg(with_region, keys=["r_name"], sum_cols=[], count_alias="n_customers")
+    return agg.select(["r_name", "n_customers"])
 
 
 def q_semi_join(sf_dir: str):
@@ -439,12 +448,11 @@ def q_topk_orders(sf_dir: str):
 
 
 def q_distinct(sf_dir: str):
+    # <= 6 distinct combos: per-batch Arrow distinct + tiny driver combine
+    # (no exchange) — the general high-cardinality path would bucket-shuffle
     ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
-    return (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .count()
-        .select_columns(["l_returnflag", "l_linestatus"])
-    )
+    agg = lowcard_group_agg(ds, keys=["l_returnflag", "l_linestatus"], sum_cols=[])
+    return agg.select(["l_returnflag", "l_linestatus"])
 
 
 # ---------------------------------------------------------------------------
@@ -461,7 +469,9 @@ def q_union_all(sf_dir: str):
         lambda t: pa.table({"nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
         batch_format="pyarrow",
     )
-    return cust.union(supp).groupby("nationkey").aggregate(Count(alias_name="n"))
+    # 25 nation groups: partial counts per batch + driver combine, no shuffle
+    agg = lowcard_group_agg(cust.union(supp), keys=["nationkey"], sum_cols=[], count_alias="n")
+    return agg.select(["nationkey", "n"])
 
 
 def _distinct_nationkeys(sf_dir: str):
@@ -852,6 +862,9 @@ def q_string_agg(sf_dir: str):
     return ds.groupby("n_regionkey").map_groups(agg, batch_format="pyarrow")
 
 
+PIVOT_LINESTATUSES = ("F", "O")
+
+
 def q_pivot_revenue(sf_dir: str):
     """Pivot via conditional aggregation: one row per l_returnflag, one
     column per linestatus, values = exact cents sums (same int64
@@ -883,7 +896,10 @@ def q_pivot_revenue(sf_dir: str):
         by_flag.setdefault(f, {})[s] = v
     out_flags = sorted(by_flag)
     cols: dict[str, object] = {"l_returnflag": pa.array(out_flags, pa.string())}
-    for status in sorted({s for s in stats}):
+    # pivot over the FIXED linestatus domain, not the statuses observed in
+    # the data: the oracle hardcodes sum_price_F/sum_price_O, so a scale
+    # factor where one status is absent must still emit both columns (0.0)
+    for status in PIVOT_LINESTATUSES:
         cols[f"sum_price_{status}"] = pa.array(
             [by_flag[f].get(status, 0) / 100.0 for f in out_flags], pa.float64()
         )

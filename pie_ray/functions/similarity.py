@@ -18,6 +18,8 @@ import pyarrow as pa
 
 import ray.data
 
+from pie_ray.util import list_to_matrix
+
 
 class _TopKScorer:
     """Actor-pool stage: query matrix broadcast once; per batch emits only
@@ -31,7 +33,7 @@ class _TopKScorer:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(t.column("embedding"))
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ self.q) / norms
@@ -117,7 +119,7 @@ class _LshScorer:
         self.pow2 = (1 << np.arange(n_planes, dtype=np.uint64))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(t.column("embedding"))
         # (rows, L*P) projections in one matmul, then per-table signatures
         L, P, dim = self.planes.shape
         proj = mat @ self.planes.reshape(L * P, dim).T > 0
@@ -213,7 +215,7 @@ class _IvfScorer:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(t.column("embedding"))
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
@@ -254,11 +256,18 @@ def knn_ivf(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, nprobe_frac: fl
     stride = max(1, n_rows // 4096)  # ≤4096-vector sample for the index build
 
     def stride_sample(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("vec_id").to_pylist())
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         return t.filter(pa.array((ids % stride) == 0))
 
-    sample_rows = ds.map_batches(stride_sample, batch_format="pyarrow").take_all()
-    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    sample_ds = ds.map_batches(stride_sample, batch_format="pyarrow")
+    sample = np.concatenate(
+        [
+            list_to_matrix(b.column("embedding"))
+            for b in sample_ds.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        or [np.empty((0, q.shape[0]))]
+    )
     sn = np.linalg.norm(sample, axis=1)
     sn[sn == 0] = 1.0
     sample = sample / sn[:, None]

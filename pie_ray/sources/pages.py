@@ -32,6 +32,52 @@ def read_pages(
     return ray.data.read_parquet(path, columns=columns or T0_COLUMNS, **kwargs)
 
 
+PARTS_META = "_PARTS_META.json"
+PARTITION_RULE = "blake2b64(url, salt=b'part') % num_parts"
+
+
+def write_pages_partitioned(pages_ds, path: str, num_parts: int) -> None:
+    """Write a T0 corpus as hive ``part=k/`` dirs + a sidecar recording the
+    partition rule, so ``read_pages_parts`` can safely prune directories."""
+    import json
+    import os
+
+    from pie_ray.util import hash64_array
+
+    def assign(t):
+        pr = (hash64_array(t.column("url").to_pylist(), salt=b"part") % num_parts).astype(
+            "int32"
+        )
+        import pyarrow as pa
+
+        return t.append_column("part", pa.array(pr, pa.int32()))
+
+    pages_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["part"]
+    )
+    with open(os.path.join(path, PARTS_META), "w") as f:
+        json.dump({"num_parts": num_parts, "partition_rule": PARTITION_RULE}, f)
+
+
+def _hive_sidecar_valid(path: str, num_parts: int) -> bool:
+    """Directory pruning is only trusted when a sidecar proves the layout
+    was written under the SAME num_parts/rule — a hive corpus written under
+    a different num_parts would silently yield wrong partition contents
+    (rows of part k under P' live in other directories)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, PARTS_META)
+    if not os.path.isfile(meta_path):
+        return False
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return meta.get("num_parts") == num_parts and meta.get("partition_rule") == PARTITION_RULE
+
+
 def read_pages_parts(
     path: str,
     parts,
@@ -41,18 +87,20 @@ def read_pages_parts(
 ):
     """Partition-pruned T0 scan for resumable runs.
 
-    If the corpus is laid out as hive ``part=k/`` directories (written by a
-    resumable sink), only the requested partitions' DIRECTORIES are read —
-    pruned partitions never leave storage. Otherwise the part predicate
-    (hash(url) % num_parts) cannot be a parquet filter; it is applied as a
-    vectorized post-scan filter inside the read tasks (distributed, but the
-    pruned rows are still read — persist the hive layout at write time to
-    get true input pruning)."""
+    If the corpus is laid out as hive ``part=k/`` directories AND its
+    ``_PARTS_META.json`` sidecar matches (written by
+    ``write_pages_partitioned``), only the requested partitions'
+    DIRECTORIES are read — pruned partitions never leave storage. Without a
+    matching sidecar the part predicate (hash(url) % num_parts) cannot be
+    trusted to the layout; it is applied as a vectorized post-scan filter
+    inside the read tasks (distributed and always correct, but the pruned
+    rows are still read — persist the sidecar at write time to get true
+    input pruning)."""
     import os
 
     filt = pc.field("lang").isin(list(langs)) if langs else None
     plist = [int(p) for p in parts]
-    if os.path.isdir(path):
+    if os.path.isdir(path) and _hive_sidecar_valid(path, num_parts):
         part_dirs = [
             os.path.join(path, f"part={k}")
             for k in plist

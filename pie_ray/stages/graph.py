@@ -68,9 +68,15 @@ def aggregate_edges(triples_ds, num_buckets: int = EDGE_BUCKETS):
         return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def agg_bucket(group: pa.Table) -> pa.Table:
-        gb = group.group_by(["src", "dst", "pred"]).aggregate(
-            [("weight", "sum"), ("first_ts", "min"), ("last_ts", "max")]
-        ).rename_columns(["src", "dst", "pred", "weight", "first_ts", "last_ts"])
+        from pie_ray.util import rename_grouped
+
+        gb = rename_grouped(
+            group.group_by(["src", "dst", "pred"]).aggregate(
+                [("weight", "sum"), ("first_ts", "min"), ("last_ts", "max")]
+            ),
+            ["src", "dst", "pred"],
+            ["src", "dst", "pred", "weight", "first_ts", "last_ts"],
+        )
         return pa.table(
             {
                 "src": gb.column("src"),
@@ -106,11 +112,14 @@ def aggregate_edges_to_adjacency(
         return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def agg_and_adj(group: pa.Table) -> pa.Table:
-        gb = (
+        from pie_ray.util import rename_grouped
+
+        gb = rename_grouped(
             group.drop_columns(["bucket"])
             .group_by(["src", "dst", "pred"])
-            .aggregate([("weight", "sum"), ("first_ts", "min"), ("last_ts", "max")])
-            .rename_columns(["src", "dst", "pred", "weight", "first_ts", "last_ts"])
+            .aggregate([("weight", "sum"), ("first_ts", "min"), ("last_ts", "max")]),
+            ["src", "dst", "pred"],
+            ["src", "dst", "pred", "weight", "first_ts", "last_ts"],
         )
         edges = pa.table(
             {
@@ -251,7 +260,6 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
         return pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
     if n > PAGERANK_MAX_NODES:  # pragma: no cover - scale guard
         raise NotImplementedError("node count exceeds broadcast budget")
-    node_idx = {v: i for i, v in enumerate(nodes)}
     keys_arr = pa.array(nodes, pa.string())
     outw_arr = np.array([max(out_w[v], 0) for v in nodes], dtype=np.float64)
     ranks = np.full(n, 1.0 / n)
@@ -273,7 +281,11 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
             edges_ds.map_batches(contrib, fn_kwargs={"rank_ref": ref}, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
         ):
-            di = [node_idx[v] for v in batch.column("dst").to_pylist()]
+            # vectorized node-id resolve (every dst is a known node; a
+            # per-row Python dict lookup here dominated the merge)
+            di = pc.index_in(
+                batch.column("dst").combine_chunks(), value_set=keys_arr
+            ).to_numpy(zero_copy_only=False)
             np.add.at(sums, di, batch.column("c").to_numpy(zero_copy_only=False))
         dangling = ranks[outw_arr == 0].sum()
         ranks = (1.0 - damping) / n + damping * (sums + dangling / n)

@@ -226,6 +226,10 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
         "lab",
     ).materialize()
 
+    # carry the previous round's fingerprint instead of recomputing it —
+    # each _labels_fingerprint is a full label-table pass, so fingerprinting
+    # old AND new every round doubled the convergence-check cost
+    old_fp = _labels_fingerprint(labels)
     for _ in range(max_rounds):
         # propagate: each edge ships src's current label to dst
         lab_edges = edges.join(
@@ -240,11 +244,11 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
             msgs.union(labels), "node", "label"
         ).materialize()
         # convergence check: fingerprint of (node, label) assignments
-        old_fp = _labels_fingerprint(labels)
         new_fp = _labels_fingerprint(new_labels)
         labels = new_labels
         if old_fp == new_fp:
             break
+        old_fp = new_fp
     return labels
 
 

@@ -57,6 +57,27 @@ def part_of(key: str, num_parts: int) -> int:
     return stable_hash64(key, salt=b"part") % num_parts
 
 
+def list_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) numpy matrix from a list<float>/fixed_size_list Arrow column
+    WITHOUT a Python-object round-trip (``to_pylist`` decodes every element
+    into a PyObject — 10-50x slower than this flatten path at vector scale).
+
+    ``flatten()`` honors list offsets (sliced/chunk-carved arrays included)
+    and the values ``to_numpy`` is zero-copy for null-free float storage;
+    the only copy is the optional dtype cast. Lists must be fixed-length
+    (embedding columns are)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    if len(vals) % n != 0:
+        raise ValueError(f"ragged list column: {len(vals)} values / {n} rows")
+    return vals.reshape(n, len(vals) // n).astype(dtype, copy=False)
+
+
 def rename_grouped(gb, keys: list[str], new_names: list[str]):
     """Positional rename of a pyarrow ``group_by().aggregate()`` output with
     a guard that the key columns come first. The ordering is undocumented
@@ -94,10 +115,11 @@ def tune_data_context() -> None:
         ctx.default_hash_shuffle_parallelism, max(8, 2 * ncpus)
     )
     # aggregator ACTORS spin up per exchange and dominate small-cluster
-    # shuffle latency; 8 is plenty for the bounded-bucket shuffles this
-    # engine emits (every groupby keys on <=256 buckets). On big clusters
-    # the min() keeps the (already higher) defaults.
-    ctx.max_hash_shuffle_aggregators = min(
-        ctx.max_hash_shuffle_aggregators, max(2, min(8, ncpus // 2))
-    )
+    # shuffle latency; few are plenty for the bounded-bucket shuffles this
+    # engine emits (every groupby keys on <=256 buckets). The cap SCALES
+    # with cluster size — ncpus//4 above 16 cpus (measured best: 8 actors
+    # at 32 cpus), ncpus//2 below (4 at 8 cpus) — reaching the 2.49
+    # default (64) at 256 cpus instead of throttling big clusters at 8.
+    cap = max(2, ncpus // 4) if ncpus >= 16 else max(2, ncpus // 2)
+    ctx.max_hash_shuffle_aggregators = min(ctx.max_hash_shuffle_aggregators, cap)
     ctx.min_parallelism = min(ctx.min_parallelism, max(8, 2 * ncpus))

@@ -223,11 +223,13 @@ def test_stale_partition_dir_pruned_before_downstream(full_run):
 
 def test_read_pages_parts_roundtrip(ray_session, tmp_path):
     """read_pages_parts returns exactly the rows of the requested partitions
-    for both layouts: a plain T0 parquet (hash-filter fallback) and a
-    part-partitioned one (filter pushed into the scan)."""
+    for all three layouts: a plain T0 parquet (hash-filter fallback), a
+    sidecar-validated hive layout (directory pruning), and a hive layout
+    WITHOUT a sidecar (pruning not trusted -> hash-filter fallback — a hive
+    corpus written under a different num_parts must not yield wrong rows)."""
     import pyarrow.parquet as pq
 
-    from pie_ray.sources.pages import read_pages_parts
+    from pie_ray.sources.pages import read_pages_parts, write_pages_partitioned
     from pie_ray.sources.synth import pages_table
     from pie_ray.util import part_of
 
@@ -241,37 +243,49 @@ def test_read_pages_parts_roundtrip(ray_session, tmp_path):
     got = {r["url"] for r in read_pages_parts(plain, [1, 3], NUM_PARTS).take_all()}
     assert got == want and got
 
-    # hive layout with a part column -> predicate pushed into the scan
-    parts_col = [part_of(u, NUM_PARTS) for u in t.column("url").to_pylist()]
-    import pyarrow as pa
-
-    t2 = t.append_column("part", pa.array(parts_col, pa.int32()))
-    hive = str(tmp_path / "hive")
+    # sidecar-validated hive layout -> directory pruning engages
     import ray.data
 
-    ray.data.from_arrow(t2).write_parquet(hive, partition_cols=["part"])
+    hive = str(tmp_path / "hive")
+    write_pages_partitioned(ray.data.from_arrow(t), hive, NUM_PARTS)
+    import os
+
+    assert os.path.isfile(os.path.join(hive, "_PARTS_META.json"))
     got2 = {r["url"] for r in read_pages_parts(hive, [1, 3], NUM_PARTS).take_all()}
     assert got2 == want
+
+    # same hive dirs but NO sidecar: pruning is not trusted; the hash-filter
+    # fallback still returns exactly the right rows. A MISMATCHED num_parts
+    # (layout written under NUM_PARTS, read under 2*NUM_PARTS) also falls
+    # back and stays correct instead of trusting wrong directories.
+    os.remove(os.path.join(hive, "_PARTS_META.json"))
+    got3 = {r["url"] for r in read_pages_parts(hive, [1, 3], NUM_PARTS).take_all()}
+    assert got3 == want
+    want4 = {
+        u for u in t.column("url").to_pylist() if part_of(u, 2 * NUM_PARTS) in (1, 3)
+    }
+    got4 = {r["url"] for r in read_pages_parts(hive, [1, 3], 2 * NUM_PARTS).take_all()}
+    assert got4 == want4
 
 
 def test_read_pages_parts_missing_partition_schema(ray_session, tmp_path):
     """Requesting only nonexistent hive partitions yields an EMPTY dataset
     with the T0 data columns and NO hive part column (a leaked part column
     duplicates resume's derived one and breaks downstream lookups)."""
-    import pyarrow as pa
     import ray.data
 
-    from pie_ray.sources.pages import read_pages_parts
+    from pie_ray.sources.pages import read_pages_parts, write_pages_partitioned
     from pie_ray.sources.synth import pages_table
     from pie_ray.util import part_of
 
+    # 30 urls over 64 parts leaves empty partitions by pigeonhole
     t = pages_table(range(30))
-    parts_col = [part_of(u, 2) for u in t.column("url").to_pylist()]
-    t2 = t.append_column("part", pa.array(parts_col, pa.int32()))
+    occupied = {part_of(u, 64) for u in t.column("url").to_pylist()}
+    empty_part = next(p for p in range(64) if p not in occupied)
     hive = str(tmp_path / "hive2")
-    ray.data.from_arrow(t2).write_parquet(hive, partition_cols=["part"])
+    write_pages_partitioned(ray.data.from_arrow(t), hive, 64)
 
-    ds = read_pages_parts(hive, [7], 8)  # part=7 dir does not exist
+    ds = read_pages_parts(hive, [empty_part], 64)
     assert ds.count() == 0
     names = ds.schema().names
     assert "part" not in names and "url" in names
