@@ -45,6 +45,25 @@ def ws_tokens(s: str | None) -> list[str]:
 
 
 
+def explode_ws_lower(t: pa.Table, with_doc_ids: bool = False):
+    """Arrow-kernel word explode: lower -> trim -> regex split -> flatten —
+    the vectorized form of ``[ws_tokens(s.lower()) for s in texts]`` (the
+    per-token Python Counter loops this replaces dominated every corpus
+    word statistic). Same [ \\t\\n\\f\\r] class and lower(trim()) order as
+    the SQL oracles; empty/null docs contribute no tokens (split of "" would
+    otherwise emit one "" token). Returns (words, doc_ids-per-word|None)."""
+    text = pc.fill_null(t.column("text").combine_chunks(), "")
+    trimmed = pc.utf8_trim(pc.utf8_lower(text), characters=WS_CHARS)
+    keep = pc.not_equal(trimmed, "")
+    trimmed = trimmed.filter(keep)
+    lists = pc.split_pattern_regex(trimmed, r"[ \t\n\f\r]+")
+    words = pc.list_flatten(lists)
+    if not with_doc_ids:
+        return words, None
+    ids = t.column("doc_id").combine_chunks().filter(keep)
+    return words, pc.take(ids, pc.list_parent_indices(lists))
+
+
 def token_count_batch(t: pa.Table) -> pa.Table:
     # nulls count as empty documents (None would otherwise propagate
     # through the kernel chain and emit null counts)
@@ -257,24 +276,22 @@ def q_word_counts(sf_dir: str):
     """(word, n) for every whitespace-token word appearing >= WORD_COUNT_MIN
     times corpus-wide. Vocabulary is high-cardinality: counts combine
     per-batch first, shuffle on hash(word) % 64 buckets."""
-    from collections import Counter
-
     from pie_ray.util import hash64_array
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def explode_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for s in t.column("text").to_pylist():
-            c.update(ws_tokens((s or "").lower()))
-        words = list(c.keys())
+        words, _ = explode_ws_lower(t)
+        gb = pa.table({"word": words}).group_by(["word"]).aggregate([([], "count_all")])
         tb = pa.table(
             {
-                "word": pa.array(words, pa.string()),
-                "n": pa.array([c[w] for w in words], pa.int64()),
+                "word": gb.column("word"),
+                "n": pc.cast(gb.column("count_all"), pa.int64()),
             }
         )
-        b = (hash64_array(words, salt=b"wc") % WC_BUCKETS).astype("int32")
+        b = (hash64_array(tb.column("word").to_pylist(), salt=b"wc") % WC_BUCKETS).astype(
+            "int32"
+        )
         return tb.append_column("bucket", pa.array(b, pa.int32()))
 
     def sum_bucket(g: pa.Table) -> pa.Table:
@@ -328,12 +345,12 @@ def q_heavy_hitters(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def mg_batch(t: pa.Table) -> pa.Table:
+        # tokenize via the Arrow explode (same strings as the exact pass);
+        # the Misra-Gries sweep itself is legitimately sequential Python
+        toks_arr, _ = explode_ws_lower(t)
         counters: dict[str, int] = {}
-        total = 0
-        for s in t.column("text").to_pylist():
-            toks = ws_tokens((s or "").lower())
-            total += len(toks)
-            _mg_update(counters, toks, MG_SUMMARY_SIZE)
+        total = len(toks_arr)
+        _mg_update(counters, toks_arr.to_pylist(), MG_SUMMARY_SIZE)
         words = list(counters)
         return pa.table(
             {
@@ -360,18 +377,17 @@ def q_heavy_hitters(sf_dir: str):
 
     def exact_counts(t: pa.Table, ref=None) -> pa.Table:
         cand = _ray.get(ref)
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t.column("text").to_pylist():
-            c.update(ws_tokens((s or "").lower()))
-        tb = pa.table(
+        words, _ = explode_ws_lower(t)
+        # candidate filter BEFORE the group_by: non-candidates (almost the
+        # whole vocabulary) never enter the hash table
+        words = words.filter(pc.is_in(words, value_set=cand))
+        gb = pa.table({"word": words}).group_by(["word"]).aggregate([([], "count_all")])
+        return pa.table(
             {
-                "word": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "word": gb.column("word"),
+                "n": pc.cast(gb.column("count_all"), pa.int64()),
             }
         )
-        return tb.filter(pc.is_in(tb.column("word"), value_set=cand))
 
     exact: dict[str, int] = {}
     for batch in docs.map_batches(
@@ -398,24 +414,21 @@ def q_heavy_hitters(sf_dir: str):
 
 
 def _term_counts(docs):
-    """(doc_id, word, tf) — one row per distinct word per doc."""
-    from collections import Counter
+    """(doc_id, word, tf) — one row per distinct word per doc (vectorized:
+    Arrow explode + (doc, word) group_by, no per-token Python)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids_out: list[int] = []
-        words_out: list[str] = []
-        tf_out: list[int] = []
-        for did, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            c = Counter(ws_tokens((s or "").lower()))
-            for w, n in c.items():
-                ids_out.append(did)
-                words_out.append(w)
-                tf_out.append(n)
+        words, doc_ids = explode_ws_lower(t, with_doc_ids=True)
+        gb = (
+            pa.table({"doc_id": doc_ids, "word": words})
+            .group_by(["doc_id", "word"])
+            .aggregate([([], "count_all")])
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids_out, pa.int64()),
-                "word": pa.array(words_out, pa.string()),
-                "tf": pa.array(tf_out, pa.int64()),
+                "doc_id": pc.cast(gb.column("doc_id"), pa.int64()),
+                "word": gb.column("word"),
+                "tf": pc.cast(gb.column("count_all"), pa.int64()),
             }
         )
 
