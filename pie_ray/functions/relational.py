@@ -906,26 +906,71 @@ def q_pivot_revenue(sf_dir: str):
     return pa.table(cols)
 
 
+def _lerp_percentile(values: "np.ndarray", counts: "np.ndarray", q: float) -> float:
+    """Exact quantile_cont from a (sorted values, counts) histogram —
+    numpy's linear-interpolation formula reproduced bit-for-bit (incl. the
+    g >= 0.5 branch np.percentile uses for accuracy), so results match the
+    previous materialized np.percentile path and the DuckDB oracle."""
+    n = int(counts.sum())
+    if n == 0:
+        return float("nan")
+    h = q * (n - 1)
+    j0 = int(np.floor(h))
+    g = h - j0
+    cum = np.cumsum(counts)
+    v0 = values[np.searchsorted(cum, j0 + 1)]
+    if g == 0.0:
+        return float(v0)
+    v1 = values[np.searchsorted(cum, min(j0 + 1, n - 1) + 1)]
+    diff = v1 - v0
+    return float(v1 - diff * (1 - g)) if g >= 0.5 else float(v0 + diff * g)
+
+
 def q_grouped_quantiles(sf_dir: str):
     """B3 depth: exact per-group order statistics (median / p90 per return
-    flag). Group keys are low-cardinality, so one group fits a worker and
-    `map_groups` + np.percentile is exact; billion-row groups would switch
-    to a distributed sort or t-digest sketch (documented trade-off)."""
-    import numpy as np
-
+    flag) from a MERGEABLE per-(group, value) count histogram: per-batch
+    Arrow group_by partials, combined once on the driver (bounded by
+    groups x distinct values — l_quantity has 50 — never by row count, so
+    a billion-row group costs the same as a thousand-row one). Columns with
+    unbounded distinct values use grouped_quantile_sketch (accuracy-bounded
+    fixed bins) instead; exact quantiles there require a distributed sort."""
     ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
 
-    def qb(g: pa.Table) -> pa.Table:
-        v = g.column("l_quantity").to_numpy(zero_copy_only=False)
+    def partial(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["l_returnflag", "l_quantity"]).aggregate([([], "count_all")])
         return pa.table(
             {
-                "l_returnflag": pa.array([g.column("l_returnflag")[0].as_py()]),
-                "median_qty": pa.array([float(np.percentile(v, 50))]),
-                "p90_qty": pa.array([float(np.percentile(v, 90))]),
+                "l_returnflag": gb.column("l_returnflag"),
+                "l_quantity": gb.column("l_quantity"),
+                "cnt": pc.cast(gb.column("count_all"), pa.int64()),
             }
         )
 
-    return ds.groupby("l_returnflag").map_groups(qb, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = (
+        pa.Table.from_pylist(parts)
+        .group_by(["l_returnflag", "l_quantity"])
+        .aggregate([("cnt", "sum")])
+    )
+    merged = merged.sort_by([("l_returnflag", "ascending"), ("l_quantity", "ascending")])
+    flags = merged.column("l_returnflag").to_pylist()
+    vals = merged.column("l_quantity").to_numpy(zero_copy_only=False)
+    cnts = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
+    out_flags, med, p90 = [], [], []
+    start = 0
+    for i in range(1, len(flags) + 1):
+        if i == len(flags) or flags[i] != flags[start]:
+            out_flags.append(flags[start])
+            med.append(_lerp_percentile(vals[start:i], cnts[start:i], 0.5))
+            p90.append(_lerp_percentile(vals[start:i], cnts[start:i], 0.9))
+            start = i
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_flags, pa.string()),
+            "median_qty": pa.array(med, pa.float64()),
+            "p90_qty": pa.array(p90, pa.float64()),
+        }
+    )
 
 
 def q_cumsum_user_value(sf_dir: str):
@@ -1049,6 +1094,102 @@ def q_quantile_sketch(sf_dir: str):
             "p90_qty_est": pa.array([round(est[0.9], 6)], pa.float64()),
         }
     )
+
+
+GQS_BUCKETS = 64
+
+
+def grouped_quantile_sketch(ds, key: str, col: str, qs: list[float], n_bins: int = 2048):
+    """PER-GROUP mergeable histogram quantiles — the bounded-memory scale
+    path for grouped order statistics (the exact per-(group,value) histogram
+    needs a bounded value domain; this holds ``n_bins`` counters per group
+    for ANY value distribution).
+
+    Pass 1: global [min, max]. Pass 2: per-batch (key, bin) count partials
+    (vectorized Arrow group_by), ONE bucketed shuffle on hash(key) merges
+    them by addition, and each bucket interpolates its keys' quantiles —
+    state is groups x n_bins counters spread across buckets, independent of
+    group row counts. Absolute error <= (max-min)/n_bins (gated in tests).
+    Returns a Dataset (key, q{50}, ...) with one column per requested q."""
+    from ray.data.aggregate import Max, Min
+
+    from pie_ray.util import hash64_array
+
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    span = hi - lo
+    edges = np.linspace(lo, hi, n_bins + 1)
+    qcols = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if span <= 0:
+            bins = np.zeros(len(v), np.int64)
+        else:
+            bins = np.clip(((v - lo) / span * n_bins).astype(np.int64), 0, n_bins - 1)
+        gb = (
+            pa.table({key: t.column(key), "bin": pa.array(bins)})
+            .group_by([key, "bin"])
+            .aggregate([([], "count_all")])
+        )
+        b = (hash64_array([str(k) for k in gb.column(key).to_pylist()], salt=b"gqs") % GQS_BUCKETS).astype("int32")
+        return pa.table(
+            {
+                key: gb.column(key),
+                "bin": gb.column("bin"),
+                "cnt": pc.cast(gb.column("count_all"), pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def quantiles_bucket(g: pa.Table) -> pa.Table:
+        gb = (
+            g.drop_columns(["bucket"])
+            .group_by([key, "bin"])
+            .aggregate([("cnt", "sum")])
+            .sort_by([(key, "ascending"), ("bin", "ascending")])
+        )
+        keys_l = gb.column(key).to_pylist()
+        bins = gb.column("bin").to_numpy(zero_copy_only=False)
+        cnts = gb.column("cnt_sum").to_numpy(zero_copy_only=False)
+        out: dict[str, list] = {key: []} | {c: [] for c in qcols}
+        start = 0
+        for i in range(1, len(keys_l) + 1):
+            if i == len(keys_l) or keys_l[i] != keys_l[start]:
+                counts = np.zeros(n_bins, np.int64)
+                counts[bins[start:i]] = cnts[start:i]
+                total = counts.sum()
+                cum = np.cumsum(counts)
+                out[key].append(keys_l[start])
+                for q, c in zip(qs, qcols):
+                    if span <= 0:
+                        out[c].append(lo)
+                        continue
+                    target = q * (total - 1) + 1
+                    b_ = min(int(np.searchsorted(cum, target)), n_bins - 1)
+                    prev = cum[b_ - 1] if b_ > 0 else 0
+                    within = counts[b_]
+                    frac = (target - prev) / within if within > 0 else 0.0
+                    out[c].append(float(edges[b_] + frac * (edges[b_ + 1] - edges[b_])))
+                start = i
+        return pa.table(
+            {key: pa.array(out[key])}
+            | {c: pa.array(out[c], pa.float64()) for c in qcols}
+        )
+
+    return (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(quantiles_bucket, batch_format="pyarrow")
+    )
+
+
+def q_grouped_quantile_sketch(sf_dir: str):
+    """Per-event-type approximate median/p90 of events.value via the
+    grouped mergeable histogram sketch (rows-only oracle; accuracy vs exact
+    per-group quantiles gated in tests/unit/test_functions.py)."""
+    ds = scan(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantile_sketch(ds, "event_type", "value", [0.5, 0.9])
 
 
 def q_quantiles(sf_dir: str):

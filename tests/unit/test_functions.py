@@ -281,6 +281,35 @@ def test_quantile_sketch_accuracy(ray_session):
     assert abs(est[0.9] - np.percentile(v, 90)) <= tol
 
 
+def test_grouped_quantile_sketch_accuracy(ray_session):
+    """Per-group histogram sketch: every group's estimate within
+    (max-min)/n_bins of that group's exact quantile (continuous values),
+    and every group present exactly once."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pie_ray.functions.relational import grouped_quantile_sketch
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    got = {
+        r["event_type"]: (r["q50"], r["q90"])
+        for r in grouped_quantile_sketch(
+            ds, "event_type", "value", [0.5, 0.9], n_bins=2048
+        ).take_all()
+    }
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"])
+    import pandas as pd
+
+    df = t.to_pandas()
+    tol = (df["value"].max() - df["value"].min()) / 2048 + 1e-9
+    assert set(got) == set(df["event_type"].unique())
+    for et, grp in df.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        assert abs(got[et][0] - np.percentile(v, 50)) <= tol, et
+        assert abs(got[et][1] - np.percentile(v, 90)) <= tol, et
+
+
 def test_heavy_hitters_guarantee(ray_session):
     """Every word with exact count >= 2*total/k is in the output with its
     exact count (no false negatives from the approximate MG pass)."""
