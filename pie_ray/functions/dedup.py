@@ -278,8 +278,13 @@ def _verified_pairs(docs, emit_jaccard: bool = False, force_distributed: bool = 
     # and running groupby + two joins concurrently deadlocks a small CPU
     # budget. The materialized sets are candidate-pair-sized (tiny vs
     # corpus); the big shingle table itself is never materialized.
+    from pie_ray.util import join_num_partitions
+
     cand = _distinct_pairs(cand).materialize()
     sh = _shingle_table(docs)
+    # cand is materialized -> size_bytes is metadata-cheap; the CPU floor in
+    # join_num_partitions covers the (larger per-row) shingle side
+    n_parts = join_num_partitions(cand.size_bytes())
 
     def _rename_sh_a(t: pa.Table) -> pa.Table:
         t = t.rename_columns(["sh_a" if c == "sh" else c for c in t.column_names])
@@ -287,9 +292,9 @@ def _verified_pairs(docs, emit_jaccard: bool = False, force_distributed: bool = 
             t = t.drop_columns(["doc_id"])
         return t
 
-    j1 = cand.join(sh, join_type="inner", num_partitions=16, on=("a",), right_on=("doc_id",))
+    j1 = cand.join(sh, join_type="inner", num_partitions=n_parts, on=("a",), right_on=("doc_id",))
     j1 = j1.map_batches(_rename_sh_a, batch_format="pyarrow").materialize()
-    j2 = j1.join(sh, join_type="inner", num_partitions=16, on=("b",), right_on=("doc_id",))
+    j2 = j1.join(sh, join_type="inner", num_partitions=n_parts, on=("b",), right_on=("doc_id",))
 
     def verify(t: pa.Table) -> pa.Table:
         a_sh = t.column("sh_a").to_pylist()
@@ -343,9 +348,15 @@ def _assign_components(ids_ds, pairs_ds, id_col: str):
         )
 
     # scale path: labels from distributed CC, assignment via left join
+    from pie_ray.util import join_num_partitions
+
     labels = cc_distributed(pairs_ds)
     joined = ids_ds.join(
-        labels, join_type="left_outer", num_partitions=16, on=(id_col,), right_on=("node",)
+        labels,
+        join_type="left_outer",
+        num_partitions=join_num_partitions(pairs_ds.size_bytes()),
+        on=(id_col,),
+        right_on=("node",),
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -331,10 +331,16 @@ def q_pricing_summary(sf_dir: str):
 
 def q_join_customer_orders(sf_dir: str):
     """Hash join customer⋈orders (big⋈big path) → per-segment order stats."""
+    from pie_ray.util import join_num_partitions
+
     cust = scan(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        join_type="inner",
+        num_partitions=join_num_partitions(orders.size_bytes()),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
 
     def derive(t: pa.Table) -> pa.Table:
@@ -399,23 +405,33 @@ def q_broadcast_join_nation_region(sf_dir: str):
 
 def q_semi_join(sf_dir: str):
     """Customers having at least one high-value order (left_semi)."""
+    from pie_ray.util import join_num_partitions
+
     cust = scan(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
-        expr="o_totalprice > 200000.0"
-    )
+    raw_orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = raw_orders.filter(expr="o_totalprice > 200000.0")
     return cust.join(
-        orders, join_type="left_semi", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+        orders,
+        join_type="left_semi",
+        num_partitions=join_num_partitions(raw_orders.size_bytes()),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     )
 
 
 def q_anti_join(sf_dir: str):
     """Customers with no order above 300k (left_anti)."""
+    from pie_ray.util import join_num_partitions
+
     cust = scan(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
-        expr="o_totalprice > 300000.0"
-    )
+    raw_orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = raw_orders.filter(expr="o_totalprice > 300000.0")
     return cust.join(
-        orders, join_type="left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+        orders,
+        join_type="left_anti",
+        num_partitions=join_num_partitions(raw_orders.size_bytes()),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     )
 
 
@@ -1294,9 +1310,16 @@ def q_order_lineitem_join(sf_dir: str):
         )
         return pa.table({"l_orderkey": t.column("l_orderkey"), "rev4": rev4})
 
+    from pie_ray.util import join_num_partitions
+
+    n_parts = join_num_partitions(li.size_bytes())
     li = li.map_batches(revenue, batch_format="pyarrow")
     joined = li.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
     agg = lowcard_group_agg(
         joined, keys=["o_orderpriority"], sum_cols=["rev4"], count_alias="n_items"

@@ -485,8 +485,13 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
     if use_join:
         # scale path: terms ⋈ df hash join (vocab too large to broadcast);
         # idf computed per batch with math.log memoized per distinct df
+        from pie_ray.util import join_num_partitions
+
         joined = terms.join(
-            df_ds, join_type="inner", num_partitions=16, on=("word",)
+            df_ds,
+            join_type="inner",
+            num_partitions=join_num_partitions(terms.size_bytes()),
+            on=("word",),
         )
 
         def score_join(t: pa.Table) -> pa.Table:

@@ -230,10 +230,14 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
     # each _labels_fingerprint is a full label-table pass, so fingerprinting
     # old AND new every round doubled the convergence-check cost
     old_fp = _labels_fingerprint(labels)
+    from pie_ray.util import join_num_partitions
+
+    # edges is materialized above -> size_bytes is metadata-cheap
+    n_parts = join_num_partitions(edges.size_bytes())
     for _ in range(max_rounds):
         # propagate: each edge ships src's current label to dst
         lab_edges = edges.join(
-            labels, join_type="inner", num_partitions=16,
+            labels, join_type="inner", num_partitions=n_parts,
             on=("src",), right_on=("node",),
         )
         msgs = lab_edges.map_batches(
