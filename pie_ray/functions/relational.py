@@ -177,58 +177,32 @@ def q_json_extract(sf_dir: str):
 
 
 def q_global_agg(sf_dir: str):
-    ds = scan(sf_dir, "lineitem", columns=["l_quantity", "l_shipdate"])
+    """B3 global aggregates — count/sum/min/max PLUS std and count-distinct
+    — in ONE distributed pass of per-batch partials (each batch ships 6
+    scalars + its bounded distinct-value list; driver combine is O(blocks)).
 
-    def fn(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_quantity": t.column("l_quantity"),
-                "ship_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
-            }
-        )
-
-    ds = ds.map_batches(fn, batch_format="pyarrow")
-    res = ds.aggregate(
-        Count(alias_name="n"),
-        Sum("l_quantity", alias_name="sum_qty"),
-        Min("ship_year", alias_name="min_year"),
-        Max("ship_year", alias_name="max_year"),
-    )
-    return pa.table(
-        {
-            "n": pa.array([res["n"]], pa.int64()),
-            "sum_qty": pa.array([float(res["sum_qty"])], pa.float64()),
-            "min_year": pa.array([res["min_year"]], pa.int64()),
-            "max_year": pa.array([res["max_year"]], pa.int64()),
-        }
-    )
-
-
-def q_global_stats(sf_dir: str):
-    """B3 completion: std + count-distinct global aggregates, bit-exact.
-
-    l_quantity is integer-valued, so Σx and Σx² are exact int64 partial
-    sums; stddev_samp computes from the SAME closed form on both sides
-    (sqrt((nΣx² - (Σx)²)/(n(n-1)))) — one identical float expression, no
-    accumulation drift. Distinct values combine per-batch uniques (bounded:
-    the quantity domain, not the row count)."""
+    Bit-exactness: l_quantity is integer-valued, so Σx and Σx² are exact
+    int64 partial sums; stddev_samp computes from the SAME closed form as
+    the oracle (sqrt((nΣx² - (Σx)²)/(n(n-1)))) — one identical float
+    expression, no accumulation drift."""
     import math
 
-    import numpy as np
-
-    ds = scan(sf_dir, "lineitem", columns=["l_quantity"])
+    ds = scan(sf_dir, "lineitem", columns=["l_quantity", "l_shipdate"])
 
     def partial(t: pa.Table) -> pa.Table:
         q = pc.cast(t.column("l_quantity"), pa.int64())
         qn = q.to_numpy(zero_copy_only=False)
+        years = pc.cast(pc.year(t.column("l_shipdate")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         return pa.table(
             {
                 "n": pa.array([len(qn)], pa.int64()),
                 "s1": pa.array([int(qn.sum())], pa.int64()),
                 "s2": pa.array([int((qn * qn).sum())], pa.int64()),
-                "distinct": pa.array(
-                    [np.unique(qn).tolist()], pa.list_(pa.int64())
-                ),
+                "distinct": pa.array([np.unique(qn).tolist()], pa.list_(pa.int64())),
+                "min_year": pa.array([int(years.min())], pa.int64()),
+                "max_year": pa.array([int(years.max())], pa.int64()),
             }
         )
 
@@ -244,11 +218,17 @@ def q_global_stats(sf_dir: str):
         {
             "n": pa.array([n], pa.int64()),
             "sum_qty": pa.array([float(s1)], pa.float64()),
+            "min_year": pa.array([min(r["min_year"] for r in rows)], pa.int64()),
+            "max_year": pa.array([max(r["max_year"] for r in rows)], pa.int64()),
             "mean_qty": pa.array([s1 * 1.0 / n], pa.float64()),
             "std_qty": pa.array([std], pa.float64()),
             "n_distinct_qty": pa.array([len(distinct)], pa.int64()),
         }
     )
+
+
+# (q_global_stats was merged into q_global_agg above — one distributed
+# pass now carries all seven global aggregates under one driver entry.)
 
 
 # ---------------------------------------------------------------------------
@@ -433,6 +413,36 @@ def q_anti_join(sf_dir: str):
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
+
+
+def _tag_op(ds, op: str):
+    """Append a literal ``op`` column (used by the merged driver entries
+    that union two related operators under one correctness row)."""
+
+    def fn(t: pa.Table, _op=op) -> pa.Table:
+        return t.append_column("op", pa.array([_op] * t.num_rows, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_semi_anti_join(sf_dir: str):
+    """B5 semi + anti joins under ONE driver entry (op-tagged union); the
+    individual q_semi_join / q_anti_join remain the library surface.
+    Each side materializes before the union — two hash-join exchanges live
+    in one streaming plan deadlock small CPU budgets (each exchange holds
+    its aggregator actors for its whole lifetime)."""
+    semi = _tag_op(q_semi_join(sf_dir), "semi").materialize()
+    anti = _tag_op(q_anti_join(sf_dir), "anti").materialize()
+    return semi.union(anti)
+
+
+def q_setops_nations(sf_dir: str):
+    """B8 EXCEPT + INTERSECT under ONE driver entry (op-tagged union);
+    q_except_ / q_intersect remain the library surface. Materialize
+    serializes the two distinct-shuffle exchanges (see q_semi_anti_join)."""
+    ex = _tag_op(q_except_(sf_dir), "except").materialize()
+    inter = _tag_op(q_intersect(sf_dir), "intersect").materialize()
+    return ex.union(inter)
 
 
 # ---------------------------------------------------------------------------
@@ -1050,6 +1060,76 @@ def q_cumsum_user_value(sf_dir: str):
     )
 
 
+def q_window_funcs_events(sf_dir: str):
+    """B10 window functions — trailing 3-row moving average AND running
+    total per user — computed in ONE bucket shuffle + one vectorized sorted
+    pass (q_moving_avg / q_cumsum_user_value remain the library surface;
+    this merged form is the driver entry and shares their exact-cents
+    contract, so the doubles match the SQL window oracle bit-for-bit)."""
+    from pie_ray.util import hash64_array
+
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"wfn") % 32
+        ).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        vc = cents(g.column("value")).to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "avg_value_3": pa.array([], pa.float64()),
+                    "cum_value": pa.array([], pa.float64()),
+                }
+            )
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new)
+        base = np.zeros(n, np.int64)
+        base[starts] = starts
+        np.maximum.accumulate(base, out=base)  # start index of each user run
+        pos = np.arange(n) - base  # 0-based position within the user run
+        cs = np.concatenate([[0], np.cumsum(vc)])  # cs[i] = sum of vc[:i]
+        # trailing window of <= 3 rows via cumsum differences
+        win = np.minimum(pos + 1, 3)
+        lo = np.arange(n) + 1 - win
+        sums3 = cs[np.arange(n) + 1] - cs[lo]
+        avg = sums3 * 1.0 / (100.0 * win)
+        # running total = cumsum minus the run-start base (run-id indexed —
+        # valid for negative values, unlike maximum.accumulate over sums)
+        run_id = np.cumsum(new) - 1
+        run_base = cs[starts]  # cumsum BEFORE each run's first element
+        cum = cs[1:] - run_base[run_id]
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "avg_value_3": pa.array(avg),
+                "cum_value": pa.array(cum.astype(np.float64) / 100.0),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window_bucket, batch_format="pyarrow")
+    )
+
+
 def quantile_sketch(ds, col: str, qs: list[float], n_bins: int = 8192) -> dict[float, float]:
     """Mergeable two-pass histogram quantile sketch — the bounded-memory
     scale path for order statistics (exact per-group quantiles hold a group
@@ -1230,9 +1310,27 @@ def q_quantiles(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+SAMPLE_FRAC = 0.1
+
+
 def q_sample(sf_dir: str):
+    """B9 random sampling. The random channel has no SQL oracle, so the
+    entry SELF-CHECKS: the sample size is Binomial(n, frac), and a count
+    outside mean ± 3σ (p < 0.3%) raises instead of returning — the driver
+    row is therefore 'ran AND passed a statistical gate', not 'ran'."""
+    import math
+
     ds = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    return ds.random_sample(0.1, seed=20240817)
+    n = ds.count()
+    sample = ds.random_sample(SAMPLE_FRAC, seed=20240817).materialize()
+    k = sample.count()
+    mu = n * SAMPLE_FRAC
+    sigma = math.sqrt(n * SAMPLE_FRAC * (1 - SAMPLE_FRAC))
+    if abs(k - mu) > 3 * sigma:
+        raise AssertionError(
+            f"random_sample count {k} outside {mu:.1f} ± 3σ ({3 * sigma:.1f})"
+        )
+    return sample
 
 
 def q_sample_hash(sf_dir: str):

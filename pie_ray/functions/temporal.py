@@ -71,6 +71,57 @@ def q_asof_prev_event(sf_dir: str):
 RANGE_WINDOW_US = 3600 * 1_000_000  # +- 1 hour
 
 
+def q_temporal_join_events(sf_dir: str):
+    """As-of lag AND ±1h range-count under ONE driver entry: one bucket
+    shuffle on hash(user), one vectorized sorted pass computing both
+    columns (q_asof_prev_event / q_range_join_events remain the library
+    surface — this merged form halves the shuffles the driver pays)."""
+
+    def both_batch(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        vals = g.column("value").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(users)
+        prev = np.empty(n, np.float64)
+        valid = np.zeros(n, bool)
+        counts = np.zeros(n, np.int64)
+        if n:
+            prev[1:] = vals[:-1]
+            valid[1:] = users[1:] == users[:-1]
+            new = np.empty(n, bool)
+            new[0] = True
+            new[1:] = users[1:] != users[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                seg = ts[s:e]
+                lo = np.searchsorted(seg, seg - RANGE_WINDOW_US, side="left")
+                hi = np.searchsorted(seg, seg + RANGE_WINDOW_US, side="right")
+                counts[s:e] = hi - lo - 1  # exclude self
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "prev_value": pa.array(
+                    [float(p) if v else None for p, v in zip(prev, valid)], pa.float64()
+                ),
+                "n_within_1h": pa.array(counts),
+            }
+        )
+
+    return (
+        _bucketed_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+        .groupby("bucket")
+        .map_groups(both_batch, batch_format="pyarrow")
+    )
+
+
 def q_range_join_events(sf_dir: str):
     """Range self-join: for every event, how many OTHER events of the same
     user fall within +-1 hour of it. Vectorized per bucket: per-user sorted

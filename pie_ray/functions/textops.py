@@ -259,6 +259,32 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def text_meta_batch(t: pa.Table) -> pa.Table:
+    """All per-document map-only channels with no SQL-expressible oracle,
+    fused into one batch fn: lang-id, rolling-hash fingerprint, BPE-ish
+    token count, 64-bit SimHash. One pass over the text column instead of
+    four driver entries × four scans."""
+    from pie_ray.functions.dedup import simhash_batch
+
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "lang_pred": lang_id_batch(t).column("lang_pred"),
+            "fingerprint": fingerprint_batch(t).column("fingerprint"),
+            "n_tokens_bpe": bpe_count_batch(t).column("n_tokens_bpe"),
+            "simhash": simhash_batch(t).column("simhash"),
+        }
+    )
+
+
+def q_text_meta(sf_dir: str):
+    """Merged rows-only driver entry for the per-doc metadata channels
+    (each channel keeps its own library function + unit gate; the driver
+    row checks the fused stage runs with sane counts)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(text_meta_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # corpus-wide word counts — the explode/flat_map shape of LM-data prep
 # (vocabulary building, heavy-hitter filtering). Per-batch partial counts
