@@ -91,26 +91,28 @@ def rename_grouped(gb, keys: list[str], new_names: list[str]):
     return gb.rename_columns(new_names)
 
 
-def join_num_partitions(est_bytes: int | None = None, target_bytes: int = 128 << 20) -> int:
+def join_num_partitions(est_bytes: int | None = None, target_bytes: int = 64 << 20) -> int:
     """Scale-aware hash-join partition count (every ``Dataset.join`` call
     site routes through this instead of a hardcoded constant).
 
-    Floor = cluster CPUs (so every core owns a partition at any scale;
-    min 8), raised to ceil(est_bytes / target_bytes) when the caller has a
-    cheap size estimate, capped at 4096. Pass ``est_bytes`` only from a
-    metadata-backed source (``size_bytes()`` straight off ``read_parquet``
-    is O(1); on a mapped/filtered plan it would EXECUTE the plan — never do
-    that here)."""
+    BYTES-driven: ceil(est_bytes / 64 MB), clamped to [8, 4096]. Measured
+    A/B at sf0.1 / 32 cpus: a cores-based floor (p=32) cost +2-3 s per join
+    vs p=8 on MB-sized inputs — partition count must track data, not cores;
+    on multi-GB joins the byte rule exceeds core count on its own. Without
+    an estimate, fall back to cluster CPUs (capped) so a big unsized join
+    still spreads. Pass ``est_bytes`` only from a metadata-backed source
+    (``size_bytes()`` straight off ``read_parquet`` or a materialized
+    dataset is O(1); on a mapped/filtered plan it would EXECUTE the plan —
+    never do that here)."""
+    if est_bytes:
+        return int(min(max(8, -(-int(est_bytes) // target_bytes)), 4096))
     import ray
 
     try:
         ncpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
     except Exception:
         ncpus = 0
-    p = max(8, ncpus)
-    if est_bytes:
-        p = max(p, -(-int(est_bytes) // target_bytes))
-    return min(p, 4096)
+    return min(max(8, ncpus), 4096)
 
 
 def tune_data_context() -> None:
