@@ -658,14 +658,14 @@ def q_sessionize(sf_dir: str):
     — no per-user Python dispatch, no window shuffle per user."""
     import numpy as np
 
-    from pie_ray.util import hash64_array
+    from pie_ray.util import hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"sess")
-            % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=1) % 32
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -730,16 +730,14 @@ def q_count_distinct(sf_dir: str):
     """B4 depth: COUNT(DISTINCT customer) per order priority — exact
     two-phase distinct: per-batch distinct pairs, bucketed shuffle on
     hash(custkey) dedups globally, tiny per-priority count partials."""
-    import numpy as np
-
-    from pie_ray.util import hash64_array
+    from pie_ray.util import hash64_ints
 
     ds = scan(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
 
     def partial_distinct(t: pa.Table) -> pa.Table:
         gb = t.group_by(["o_orderpriority", "o_custkey"]).aggregate([])
         b = (
-            np.asarray(gb.column("o_custkey").to_pylist(), dtype=np.uint64) % 64
+            hash64_ints(gb.column("o_custkey").to_numpy(zero_copy_only=False), salt=5) % 64
         ).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -810,13 +808,14 @@ def q_moving_avg(sf_dir: str):
     exact cents."""
     import numpy as np
 
-    from pie_ray.util import hash64_array
+    from pie_ray.util import hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"mavg") % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=2) % 32
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -1006,13 +1005,14 @@ def q_cumsum_user_value(sf_dir: str):
     int64 cents so the doubles match the SQL window oracle bit-for-bit."""
     import numpy as np
 
-    from pie_ray.util import hash64_array
+    from pie_ray.util import hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"cum") % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=3) % 32
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -1066,13 +1066,14 @@ def q_window_funcs_events(sf_dir: str):
     pass (q_moving_avg / q_cumsum_user_value remain the library surface;
     this merged form is the driver entry and shares their exact-cents
     contract, so the doubles match the SQL window oracle bit-for-bit)."""
-    from pie_ray.util import hash64_array
+    from pie_ray.util import hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"wfn") % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=4) % 32
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 

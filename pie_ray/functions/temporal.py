@@ -13,7 +13,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from pie_ray.util import hash64_array
+from pie_ray.util import hash64_ints
 
 N_BUCKETS = 32
 
@@ -22,8 +22,9 @@ def _bucketed_events(sf_dir: str, columns: list[str]):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_array([str(u) for u in t.column("user_id").to_pylist()], salt=b"tj")
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=6)
             % N_BUCKETS
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))

@@ -52,6 +52,19 @@ def hash64_array(strs, salt: bytes = b"") -> np.ndarray:
     return out
 
 
+def hash64_ints(arr: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 of an integer array -> uint64 (C-speed bucket
+    assignment for integer keys; the string paths keep blake2b). Purely a
+    shuffle-spreading hash: results of bucketed operators never depend on
+    WHICH bucket a key lands in, only that all rows of a key co-locate."""
+    x = arr.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(salt + 1)
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def part_of(key: str, num_parts: int) -> int:
     """Deterministic partition assignment hash(key) % P."""
     return stable_hash64(key, salt=b"part") % num_parts
