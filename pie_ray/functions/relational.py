@@ -1193,6 +1193,133 @@ def q_quantile_sketch(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# approximate count-distinct — HyperLogLog (Flajolet et al. 2007, public).
+# The bounded-memory scale path for distinct statistics: the exact two-phase
+# distinct (q_count_distinct) ships every distinct value through a shuffle;
+# HLL ships 2^p max-registers per batch regardless of cardinality and merges
+# by elementwise max (commutative/associative — partition-independent).
+# ---------------------------------------------------------------------------
+
+HLL_P = 14  # 16384 registers, standard error ~0.81%
+
+
+def _hll_partial(h: "np.ndarray", p: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes -> (register index, rho) arrays. rho = 1 + trailing
+    zeros of the top 64-p hash bits (trailing-zero variant; statistically
+    equivalent to leading-zero HLL). log2 of an exact power of two is exact
+    in float64, so the vectorized tz extraction is integer-precise."""
+    m = np.uint64(1 << p)
+    idx = (h & (m - np.uint64(1))).astype(np.int64)
+    w = h >> np.uint64(p)
+    lsb = w & (~w + np.uint64(1))
+    bits = 64 - p
+    tz = np.where(
+        w == 0, bits, np.log2(np.maximum(lsb, np.uint64(1)).astype(np.float64)).astype(np.int64)
+    )
+    return idx, (tz + 1).astype(np.int64)
+
+
+def _hll_estimate(registers: "np.ndarray") -> float:
+    """Standard HLL estimator with small-range (linear counting) correction."""
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def _hash_col(col: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+    """uint64 hashes of a column: splitmix64 for integer types (C-speed),
+    blake2b for strings."""
+    from pie_ray.util import hash64_array, hash64_ints
+
+    t = col.type
+    if pa.types.is_integer(t):
+        arr = col.to_numpy(zero_copy_only=False) if not isinstance(col, pa.ChunkedArray) else col.combine_chunks().to_numpy(zero_copy_only=False)
+        return hash64_ints(arr.astype(np.int64), salt=99)
+    vals = col.to_pylist()
+    return hash64_array([v if v is None else str(v) for v in vals], salt=b"hll")
+
+
+def approx_count_distinct(ds, col: str, p: int = HLL_P) -> float:
+    """Mergeable approximate COUNT(DISTINCT col): per-batch HLL registers
+    (as sparse (idx, rho-max) rows), merged by max on the driver — O(2^p)
+    state end to end, ~0.8% standard error at p=14 (accuracy-gated in
+    tests). At 10^12 rows this replaces a full distinct shuffle with one
+    map pass."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx, rho = _hll_partial(_hash_col(t.column(col)), p)
+        gb = (
+            pa.table({"idx": pa.array(idx), "rho": pa.array(rho)})
+            .group_by(["idx"])
+            .aggregate([("rho", "max")])
+        )
+        return gb.rename_columns(["idx", "rho"])
+
+    registers = np.zeros(1 << p, np.int64)
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bi = batch.column("idx").to_numpy(zero_copy_only=False)
+        br = batch.column("rho").to_numpy(zero_copy_only=False)
+        np.maximum.at(registers, bi, br)
+    return _hll_estimate(registers)
+
+
+def grouped_approx_count_distinct(ds, key: str, col: str, p: int = 12):
+    """PER-GROUP HLL distinct counts behind ONE bucketed shuffle on
+    hash(key): per-batch (key, idx, rho-max) partials (bounded by
+    groups x 2^p per batch), per-bucket elementwise-max merge + estimate.
+    Returns a Dataset (key, n_distinct_approx)."""
+    from pie_ray.util import hash64_array
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx, rho = _hll_partial(_hash_col(t.column(col)), p)
+        gb = (
+            pa.table({key: t.column(key), "idx": pa.array(idx), "rho": pa.array(rho)})
+            .group_by([key, "idx"])
+            .aggregate([("rho", "max")])
+        ).rename_columns([key, "idx", "rho"])
+        b = (
+            hash64_array([str(k) for k in gb.column(key).to_pylist()], salt=b"ghll")
+            % GQS_BUCKETS
+        ).astype("int32")
+        return gb.append_column("bucket", pa.array(b, pa.int32()))
+
+    def estimate_bucket(g: pa.Table) -> pa.Table:
+        gb = (
+            g.drop_columns(["bucket"])
+            .group_by([key, "idx"])
+            .aggregate([("rho", "max")])
+            .sort_by([(key, "ascending"), ("idx", "ascending")])
+        )
+        keys_l = gb.column(key).to_pylist()
+        idxs = gb.column("idx").to_numpy(zero_copy_only=False)
+        rhos = gb.column("rho_max").to_numpy(zero_copy_only=False)
+        out_k, out_n = [], []
+        start = 0
+        for i in range(1, len(keys_l) + 1):
+            if i == len(keys_l) or keys_l[i] != keys_l[start]:
+                regs = np.zeros(1 << p, np.int64)
+                regs[idxs[start:i]] = rhos[start:i]
+                out_k.append(keys_l[start])
+                out_n.append(_hll_estimate(regs))
+                start = i
+        return pa.table(
+            {key: pa.array(out_k), "n_distinct_approx": pa.array(out_n, pa.float64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(estimate_bucket, batch_format="pyarrow")
+    )
+
+
 GQS_BUCKETS = 64
 
 

@@ -310,6 +310,36 @@ def test_grouped_quantile_sketch_accuracy(ray_session):
         assert abs(got[et][1] - np.percentile(v, 90)) <= tol, et
 
 
+def test_hll_count_distinct_accuracy(ray_session):
+    """HLL estimate within 3 standard errors (1.04/sqrt(m)) of the exact
+    distinct count, global and per-group; merge is partition-independent."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pie_ray.functions.relational import (
+        approx_count_distinct,
+        grouped_approx_count_distinct,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_orderpriority", "o_custkey"])
+    t = pq.read_table(f"{sf}/orders.parquet", columns=["o_orderpriority", "o_custkey"])
+
+    exact = len(set(t.column("o_custkey").to_pylist()))
+    est = approx_count_distinct(ds, "o_custkey", p=14)
+    assert abs(est - exact) <= 3 * 1.04 / (2**7) * exact + 2, (est, exact)
+
+    df = t.to_pandas()
+    exact_g = df.groupby("o_orderpriority")["o_custkey"].nunique().to_dict()
+    got = {
+        r["o_orderpriority"]: r["n_distinct_approx"]
+        for r in grouped_approx_count_distinct(ds, "o_orderpriority", "o_custkey", p=12).take_all()
+    }
+    assert set(got) == set(exact_g)
+    for k, ex in exact_g.items():
+        assert abs(got[k] - ex) <= 3 * 1.04 / (2**6) * ex + 2, (k, got[k], ex)
+
+
 def test_heavy_hitters_guarantee(ray_session):
     """Every word with exact count >= 2*total/k is in the output with its
     exact count (no false negatives from the approximate MG pass)."""
