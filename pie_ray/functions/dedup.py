@@ -48,13 +48,40 @@ def md5_batch(t: pa.Table) -> pa.Table:
 
 
 def q_dedup_exact(sf_dir: str):
-    """(text_md5, keeper doc_id, n_copies) — survivor = min doc_id."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    hashed = ds.map_batches(md5_batch, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    """(text_md5, keeper doc_id, n_copies) — survivor = min doc_id.
 
-    return hashed.groupby("text_md5").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies")
+    Content hashes are the canonical high-cardinality key, so this follows
+    the repo rule: per-batch Arrow partials (min doc, count per md5), ONE
+    bucketed shuffle on hash(md5) % 64, vectorized Arrow combine per bucket
+    — never a Ray groupby keyed on the hash itself (per-group Python
+    dispatch at corpus cardinality)."""
+    from pie_ray.util import hash64_array
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = md5_batch(t)
+        gb = (
+            pa.table({"text_md5": h.column("text_md5"), "doc_id": h.column("doc_id")})
+            .append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by(["text_md5"])
+            .aggregate([("doc_id", "min"), ("__one", "sum")])
+        ).rename_columns(["text_md5", "keep_doc_id", "n_copies"])
+        b = (hash64_array(gb.column("text_md5").to_pylist(), salt=b"dx") % 64).astype("int32")
+        return gb.append_column("bucket", pa.array(b, pa.int32()))
+
+    def combine(g: pa.Table) -> pa.Table:
+        gb = (
+            g.drop_columns(["bucket"])
+            .group_by(["text_md5"])
+            .aggregate([("keep_doc_id", "min"), ("n_copies", "sum")])
+        )
+        return gb.rename_columns(["text_md5", "keep_doc_id", "n_copies"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 

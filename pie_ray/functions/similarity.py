@@ -1,8 +1,9 @@
 """Similarity search over an embedding column (list<float>).
 
 Baseline: brute-force cosine top-k — one numpy matmul per Arrow batch
-against a broadcast query matrix (ray.put once, resolved per actor), then a
-global top-k merge. Scale path: the same matmul behind hyperplane-LSH
+against a broadcast query matrix (ray.put once; scorers are plain TASK maps
+— a local plasma get per batch is ~free and a task map pays no actor-pool
+spin-up or CPU reservation), then a global top-k merge. Scale path: the same matmul behind hyperplane-LSH
 bucketing (probe only buckets near the query's signature), trading recall
 for a ~2^planes candidate reduction; IVF-style coarse quantization would
 slot into the same two-stage shape.
@@ -21,30 +22,27 @@ import ray.data
 from pie_ray.util import list_to_matrix
 
 
-class _TopKScorer:
-    """Actor-pool stage: query matrix broadcast once; per batch emits only
-    that batch's local top-k rows (partial top-k pushdown)."""
+def _topk_score_batch(t: pa.Table, query_ref=None, k: int = 10) -> pa.Table:
+    """Task-map scorer (no actor pool): the query vector is ray.put once;
+    ray.get of an already-local plasma object is ~free per batch, and a
+    plain task map runs on warm workers with no pool spin-up or CPU
+    reservation (measured repo rule — broadcast lookups are task maps).
+    Emits only the batch-local top-k rows (partial top-k pushdown)."""
+    import ray
 
-    def __init__(self, query_ref, k: int):
-        import ray
-
-        q = ray.get(query_ref)  # (dim,) float64, already unit-normalized
-        self.q = q
-        self.k = k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        mat = list_to_matrix(t.column("embedding"))
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        sims = (mat @ self.q) / norms
-        k = min(self.k, len(sims))
-        idx = np.argpartition(-sims, k - 1)[:k]
-        return pa.table(
-            {
-                "vec_id": t.column("vec_id").take(pa.array(idx)),
-                "sim": pa.array(np.round(sims[idx], 6)),
-            }
-        )
+    q = ray.get(query_ref)  # (dim,) float64, already unit-normalized
+    mat = list_to_matrix(t.column("embedding"))
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (mat @ q) / norms
+    kk = min(k, len(sims))
+    idx = np.argpartition(-sims, kk - 1)[:kk]
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id").take(pa.array(idx)),
+            "sim": pa.array(np.round(sims[idx], 6)),
+        }
+    )
 
 
 def knn_brute_force(ds, query_vec: np.ndarray, k: int = 10):
@@ -55,12 +53,10 @@ def knn_brute_force(ds, query_vec: np.ndarray, k: int = 10):
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn
-    qref = ray.put(q)
     partial = ds.map_batches(
-        _TopKScorer,
-        fn_constructor_kwargs={"query_ref": qref, "k": k},
+        _topk_score_batch,
+        fn_kwargs={"query_ref": ray.put(q), "k": k},
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     return partial.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
@@ -103,46 +99,39 @@ def lsh_plan(n_rows: int, dim: int, n_tables: int = 8, radius: int = 2, seed: in
     return planes, n_planes, radius
 
 
-class _LshScorer:
-    """Actor-pool stage: per batch, compute all tables' signatures in one
+def _lsh_score_batch(t: pa.Table, plan_ref=None, k: int = 10) -> pa.Table:
+    """Task-map LSH scorer: per batch, compute all tables' signatures in one
     matmul, keep rows whose signature lands in ANY table's probe set, exact
-    cosine on survivors, emit the batch-local top-k (partial top-k)."""
+    cosine on survivors, emit the batch-local top-k. Broadcast state
+    (planes, probes, query) rides one ray.put ref — local plasma get per
+    batch, no actor pool."""
+    import ray
 
-    def __init__(self, planes_ref, probe_ref, query_ref, k: int):
-        import ray
-
-        self.planes = ray.get(planes_ref)  # (L, P, dim)
-        self.probes = ray.get(probe_ref)  # list of L sorted uint64 arrays
-        self.q = ray.get(query_ref)
-        self.k = k
-        n_planes = self.planes.shape[1]
-        self.pow2 = (1 << np.arange(n_planes, dtype=np.uint64))
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        mat = list_to_matrix(t.column("embedding"))
-        # (rows, L*P) projections in one matmul, then per-table signatures
-        L, P, dim = self.planes.shape
-        proj = mat @ self.planes.reshape(L * P, dim).T > 0
-        sigs = proj.reshape(-1, L, P).astype(np.uint64) @ self.pow2  # (rows, L)
-        mask = np.zeros(len(mat), bool)
-        for l in range(L):
-            mask |= np.isin(sigs[:, l], self.probes[l], assume_unique=False)
-        if not mask.any():
-            return pa.table(
-                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
-            )
-        sub = mat[mask]
-        norms = np.linalg.norm(sub, axis=1)
-        norms[norms == 0] = 1.0
-        sims = (sub @ self.q) / norms
-        k = min(self.k, len(sims))
-        idx = np.argpartition(-sims, k - 1)[:k]
+    planes, probes, q = ray.get(plan_ref)  # (L, P, dim), L sorted u64 arrays
+    mat = list_to_matrix(t.column("embedding"))
+    L, P, dim = planes.shape
+    pow2 = 1 << np.arange(P, dtype=np.uint64)
+    proj = mat @ planes.reshape(L * P, dim).T > 0
+    sigs = proj.reshape(-1, L, P).astype(np.uint64) @ pow2  # (rows, L)
+    mask = np.zeros(len(mat), bool)
+    for l in range(L):
+        mask |= np.isin(sigs[:, l], probes[l], assume_unique=False)
+    if not mask.any():
         return pa.table(
-            {
-                "vec_id": t.column("vec_id").filter(pa.array(mask)).take(pa.array(idx)),
-                "sim": pa.array(np.round(sims[idx], 6)),
-            }
+            {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
         )
+    sub = mat[mask]
+    norms = np.linalg.norm(sub, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (sub @ q) / norms
+    kk = min(k, len(sims))
+    idx = np.argpartition(-sims, kk - 1)[:kk]
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id").filter(pa.array(mask)).take(pa.array(idx)),
+            "sim": pa.array(np.round(sims[idx], 6)),
+        }
+    )
 
 
 def knn_lsh(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, n_tables: int = 8):
@@ -161,15 +150,9 @@ def knn_lsh(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, n_tables: int =
         qsig = int(((planes[l] @ q) > 0).astype(np.uint64) @ pow2)
         probes.append(_probe_sigs(qsig, n_planes, radius))
     scored = ds.map_batches(
-        _LshScorer,
-        fn_constructor_kwargs={
-            "planes_ref": ray.put(planes),
-            "probe_ref": ray.put(probes),
-            "query_ref": ray.put(q),
-            "k": k,
-        },
+        _lsh_score_batch,
+        fn_kwargs={"plan_ref": ray.put((planes, probes, q)), "k": k},
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
@@ -201,39 +184,33 @@ def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8, seed: int = 606
     return cents
 
 
-class _IvfScorer:
-    """Actor-pool stage: per batch, assign rows to their nearest centroid,
-    keep rows whose centroid is in the query's probe list, exact cosine +
-    batch-local top-k on survivors."""
+def _ivf_score_batch(t: pa.Table, plan_ref=None, k: int = 10) -> pa.Table:
+    """Task-map IVF scorer: per batch, assign rows to their nearest
+    centroid, keep rows whose centroid is in the query's probe list, exact
+    cosine + batch-local top-k on survivors. Broadcast state rides one
+    ray.put ref — no actor pool."""
+    import ray
 
-    def __init__(self, cents_ref, probe_ref, query_ref, k: int):
-        import ray
-
-        self.cents = ray.get(cents_ref)
-        self.probe = ray.get(probe_ref)  # sorted int array
-        self.q = ray.get(query_ref)
-        self.k = k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        mat = list_to_matrix(t.column("embedding"))
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        assign = (unit @ self.cents.T).argmax(axis=1)
-        mask = np.isin(assign, self.probe)
-        if not mask.any():
-            return pa.table(
-                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
-            )
-        sims = unit[mask] @ self.q
-        k = min(self.k, len(sims))
-        idx = np.argpartition(-sims, k - 1)[:k]
+    cents, probe, q = ray.get(plan_ref)  # centroids, sorted probe ids, query
+    mat = list_to_matrix(t.column("embedding"))
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    assign = (unit @ cents.T).argmax(axis=1)
+    mask = np.isin(assign, probe)
+    if not mask.any():
         return pa.table(
-            {
-                "vec_id": t.column("vec_id").filter(pa.array(mask)).take(pa.array(idx)),
-                "sim": pa.array(np.round(sims[idx], 6)),
-            }
+            {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
         )
+    sims = unit[mask] @ q
+    kk = min(k, len(sims))
+    idx = np.argpartition(-sims, kk - 1)[:kk]
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id").filter(pa.array(mask)).take(pa.array(idx)),
+            "sim": pa.array(np.round(sims[idx], 6)),
+        }
+    )
 
 
 def knn_ivf(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, nprobe_frac: float = 0.75):
@@ -276,15 +253,9 @@ def knn_ivf(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, nprobe_frac: fl
     probe = np.sort(np.argsort(-(cents @ q))[:nprobe])
 
     scored = ds.map_batches(
-        _IvfScorer,
-        fn_constructor_kwargs={
-            "cents_ref": ray.put(cents),
-            "probe_ref": ray.put(probe),
-            "query_ref": ray.put(q),
-            "k": k,
-        },
+        _ivf_score_batch,
+        fn_kwargs={"plan_ref": ray.put((cents, probe, q)), "k": k},
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
