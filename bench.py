@@ -62,8 +62,11 @@ def run_kg(n_pages: int, num_cpus: int) -> dict:
     from pie_ray.sources.synth import synth_pages
 
     # fixed pool (prestarts all actors); everything upstream of NER fuses
-    # onto this pool, so it can take nearly the whole node
-    cfg = KgConfig(ner_concurrency=max(2, num_cpus - 2))
+    # onto this pool, so it can take nearly the whole node — but never more
+    # actors than there are NER batches to process (a 6k-page corpus has
+    # ~24 batches; 30 actors would mostly pay spin-up for nothing)
+    est_batches = max(1, n_pages // 256)
+    cfg = KgConfig(ner_concurrency=max(2, min(num_cpus - 2, est_batches // 2)))
     t0 = time.perf_counter()
     pages = synth_pages(n_pages, override_num_blocks=max(16, num_cpus * 4))
     triples = build_triples(pages, cfg).materialize()
