@@ -115,7 +115,14 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pie_ray.functions import dedup, relational, similarity, temporal, textops
+    from pie_ray.functions import (
+        dedup,
+        graphops,
+        relational,
+        similarity,
+        temporal,
+        textops,
+    )
     from pie_ray.functions.multimodal import (
         q_media_features,
         q_media_frames,
@@ -126,9 +133,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows for at most ~50 queries (round-2 lesson — the kg_*/media_* rows
     # fell off the end of a 59-entry dict). Near-twin operators are merged
     # under op-tagged/-multi-column entries (the individual functions stay
-    # public library API): global_agg+global_stats, semi+anti, except+
-    # intersect, moving-avg+cumsum, asof+range-join, and the four rows-only
-    # per-doc channels (lang/fingerprint/bpe/simhash) -> text_meta.
+    # public library API): global_agg+global_stats, semi+anti,
+    # except+intersect+union_all, moving-avg+cumsum, asof+range-join,
+    # token_count+quality -> text_stats, global+grouped quantiles ->
+    # rollup-shaped quantiles, random+hash sampling -> sampling, and the
+    # four rows-only per-doc channels (lang/fingerprint/bpe/simhash) ->
+    # text_meta. Round-3 slots freed this way carry the new operators:
+    # window_tumbling (tumble+hop), sample_weighted (A-ES), outer_join
+    # (left outer), graph_triangles (size-adaptive triangle counting).
     return {k: _tuned(v) for k, v in {
         # KG pipeline stages (non-SQL; pytest gates: P/R=1.0 e2e, goldens)
         "kg_mentions": _kg_mentions,
@@ -149,17 +161,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.q_dedup_embedding,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "corpus_curation": dedup.q_corpus_curation,
+        # graph analytics beyond the KG (co-occurrence graph)
+        "graph_triangles": graphops.q_graph_triangles,
         # training-data text ops
-        "token_count": textops.q_token_count,
+        "text_stats": textops.q_text_stats,
         "word_counts": textops.q_word_counts,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "heavy_hitters": textops.q_heavy_hitters,
-        "text_quality": textops.q_quality,
         "text_meta": textops.q_text_meta,
         # order statistics
         "grouped_quantile_sketch": relational.q_grouped_quantile_sketch,
-        "quantiles": relational.q_quantiles,
-        "grouped_quantiles": relational.q_grouped_quantiles,
+        "quantiles": relational.q_quantiles_rollup,
         # Part B relational (SQL-oracled)
         "filter_project": relational.q_filter_project,
         "string_funcs": relational.q_string_funcs,
@@ -171,12 +183,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_nation_region": relational.q_broadcast_join_nation_region,
         "semi_anti_join": relational.q_semi_anti_join,
         "order_lineitem_join": relational.q_order_lineitem_join,
+        "outer_join": relational.q_outer_join,
         "topk_orders": relational.q_topk_orders,
         "topk_per_group": relational.q_topk_per_group,
         "distinct_flags": relational.q_distinct,
-        "union_all_counts": relational.q_union_all,
         "setops_nations": relational.q_setops_nations,
         "window_events": relational.q_window_events,
+        "window_tumbling": relational.q_window_tumbling,
         "sessionize_events": relational.q_sessionize,
         "string_agg_nations": relational.q_string_agg,
         "pivot_revenue": relational.q_pivot_revenue,
@@ -185,9 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_funcs_events": relational.q_window_funcs_events,
         "temporal_join_events": temporal.q_temporal_join_events,
         "above_avg_balance": relational.q_above_avg_balance,
-        # sampling (random: rows-only + ±3σ self-check; hash: SQL-oracled)
-        "sample_lineitem": relational.q_sample,
-        "sample_hash": relational.q_sample_hash,
+        # sampling: ONE entry runs the random ±3σ gate then returns the
+        # SQL-oracled md5 holdout; weighted = deterministic A-ES top-k
+        "sampling": relational.q_sampling,
+        "sample_weighted": relational.q_sample_weighted,
     }.items()}
 
 
@@ -297,27 +311,86 @@ def oracle_sql() -> dict[str, str]:
         "distinct_flags": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         """,
-        "union_all_counts": """
-            SELECT nationkey, COUNT(*) AS n FROM (
-                SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
-                UNION ALL
-                SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
-            ) GROUP BY nationkey
-        """,
         "setops_nations": """
-            SELECT nationkey, 'except' AS op FROM (
+            SELECT nationkey, 'except' AS op, CAST(1 AS BIGINT) AS n FROM (
                 SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
                 EXCEPT
                 SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
                 WHERE s_acctbal > 5000.0
             )
             UNION ALL
-            SELECT nationkey, 'intersect' AS op FROM (
+            SELECT nationkey, 'intersect' AS op, CAST(1 AS BIGINT) AS n FROM (
                 SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
                 INTERSECT
                 SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
                 WHERE s_acctbal > 5000.0
             )
+            UNION ALL
+            SELECT nationkey, 'union_all' AS op, COUNT(*) AS n FROM (
+                SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+                UNION ALL
+                SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+            ) GROUP BY nationkey
+        """,
+        "outer_join": """
+            SELECT c_custkey,
+                   COALESCE(o_orderkey, -1) AS o_orderkey,
+                   COALESCE(o_totalprice, 0.0) AS o_totalprice
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+            ON c_custkey = o_custkey
+        """,
+        "window_tumbling": """
+            -- tumbling 15-min + hopping 30-min/15-min windows, op-tagged;
+            -- epoch-aligned floor (900000000 us = 15 min), exact cents sums
+            WITH b AS (
+              SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS win0,
+                     CAST(round(value*100) AS BIGINT) AS value_c
+              FROM events
+            ), ex AS (
+              SELECT win0 AS window_start, 'tumble' AS kind, value_c FROM b
+              UNION ALL SELECT win0, 'hop', value_c FROM b
+              UNION ALL SELECT win0 - INTERVAL 15 MINUTE, 'hop', value_c FROM b
+            )
+            SELECT window_start, kind, COUNT(*) AS n_events,
+                   SUM(value_c)/100.0 AS sum_value
+            FROM ex GROUP BY window_start, kind
+        """,
+        "sample_weighted": """
+            -- Efraimidis–Spirakis weighted sample: key = u^(1/w) with u the
+            -- low 8 md5 digest bytes little-endian / 2^64 — md5_number_lower
+            -- is exactly that integer, and pow/division round identically
+            -- (libm doubles), so the top-k set matches the engine bit-for-bit
+            SELECT l_orderkey, l_linenumber, l_quantity FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     pow(md5_number_lower(CAST(l_orderkey AS VARCHAR) || '_'
+                             || CAST(l_linenumber AS VARCHAR))
+                         / 18446744073709551616.0, 1.0 / l_quantity) AS key
+              FROM lineitem
+            ) ORDER BY key DESC, l_orderkey, l_linenumber LIMIT 500
+        """,
+        "graph_triangles": """
+            -- per-node triangle counts on the co-supplier graph (edge when
+            -- two suppliers ship >46-quantity lineitems in the same order)
+            WITH su AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_quantity > 46.0
+            ), e AS (
+              SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+              FROM su a JOIN su b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            ), tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), nodes AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            SELECT node AS s_suppkey, COUNT(*) AS n_triangles
+            FROM nodes GROUP BY node
         """,
         "window_events": """
             SELECT date_trunc('hour', ts) AS window_start,
@@ -326,18 +399,9 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        "token_count": r"""
-            SELECT doc_id,
-                   CASE WHEN trim(coalesce(text, ''),
-                                  ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = ''
-                        THEN 0
-                        ELSE len(string_split_regex(
-                                 trim(coalesce(text, ''),
-                                      ' ' || chr(9) || chr(10) || chr(12) || chr(13)),
-                                 '[ \t\n\f\r]+')) END AS n_tokens_ws
-            FROM documents
-        """,
-        "text_quality": r"""
+        "text_stats": r"""
+            -- fused per-doc stats: ws token count + the five quality
+            -- columns (former token_count + text_quality entries)
             -- quality_score is computed as ONE exact integer ratio
             -- (2w(2*b1+b2+b3) + min(5k, 2w)) / 10w — same formulation as the
             -- engine, so the double is bit-identical (a float sum of the
@@ -363,8 +427,19 @@ def oracle_sql() -> dict[str, str]:
                      'be','been','it','this','that','for','on','with','as','at','by','from')
                 )) AS n_stop
               FROM q
+            ), tok AS (
+              SELECT doc_id,
+                CASE WHEN trim(coalesce(text, ''),
+                               ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = ''
+                     THEN 0
+                     ELSE len(string_split_regex(
+                              trim(coalesce(text, ''),
+                                   ' ' || chr(9) || chr(10) || chr(12) || chr(13)),
+                              '[ \t\n\f\r]+')) END AS n_tokens_ws
+              FROM documents
             )
             SELECT doc_id,
+                CAST(tok.n_tokens_ws AS BIGINT) AS n_tokens_ws,
                 CAST(n_chars AS BIGINT) AS n_chars,
                 alpha_ratio,
                 punct_ratio,
@@ -380,7 +455,7 @@ def oracle_sql() -> dict[str, str]:
                                              THEN 1 ELSE 0 END)
                            + least(5*n_stop, 2*n_words)) * 1.0 / (10*n_words)
                 END AS quality_score
-            FROM r
+            FROM r JOIN tok USING (doc_id)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5,
@@ -488,15 +563,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_id
         """,
         "quantiles": """
-            SELECT quantile_cont(l_quantity, 0.5) AS median_qty,
-                   quantile_cont(l_quantity, 0.9) AS p90_qty
-            FROM lineitem
-        """,
-        "grouped_quantiles": """
-            SELECT l_returnflag,
+            -- global + per-group quantiles in one rollup-shaped result
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
                    quantile_cont(l_quantity, 0.5) AS median_qty,
                    quantile_cont(l_quantity, 0.9) AS p90_qty
-            FROM lineitem GROUP BY l_returnflag
+            FROM lineitem GROUP BY ROLLUP (l_returnflag)
         """,
         "string_agg_nations": """
             SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
@@ -578,7 +649,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, word, tf, df, CAST(rnk AS BIGINT) AS rnk
             FROM scored WHERE rnk <= 3
         """,
-        "sample_hash": """
+        "sampling": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem
             WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_'

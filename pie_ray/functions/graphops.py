@@ -1,0 +1,423 @@
+"""Generic graph analytics over a relationally-derived co-occurrence graph
+(SURVEY.md §2 depth beyond the KG-specific edge aggregation in
+pie_ray/stages/graph.py): triangle counting and k-core decomposition.
+
+Graph definition (deterministic, derived from the TPC-H-ish testdata — no
+external data): nodes are suppliers; an undirected edge (a, b) exists when
+suppliers a and b both ship a high-quantity lineitem (l_quantity >
+``TRI_QTY_THRESHOLD``) inside the same order. The same shape arises in
+training-data pipelines as document co-citation / co-click / shared-host
+graphs, so the operators are written against a generic edge Dataset.
+
+Scale design:
+- pair generation needs all rows of one order co-located: ONE bounded
+  bucketed shuffle on hash(orderkey) % 64 (the repo's standard alternative
+  to a high-cardinality Ray groupby), then fully vectorized per-bucket
+  numpy pair expansion grouped by order size (sizes are tiny and few, so
+  the loop is over DISTINCT sizes, never rows);
+- edge distinct = local unique per batch (combiner) + one bounded bucketed
+  shuffle on hash(packed edge) % 64;
+- triangle counting is size-adaptive like connected components
+  (pie_ray/stages/linking.py): below ``DRIVER_EDGE_LIMIT`` packed edges
+  (int64, i.e. <=16 MB at the limit) the exact vectorized wedge-check runs
+  on the driver; above it, the degree-oriented two-hash-join path runs
+  distributed (wedge join + closing-edge join, each a bounded Dataset.join
+  keyed by node / packed edge). Degree orientation (each edge directed
+  low-(deg,id) -> high-(deg,id)) bounds per-node wedge fan-out by
+  O(sqrt(m)) regardless of skew — the standard mitigation for hub nodes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from pie_ray.util import hash64_ints, join_num_partitions
+
+TRI_QTY_THRESHOLD = 46.0
+N_BUCKETS = 64
+DRIVER_EDGE_LIMIT = 2_000_000
+PACK = np.int64(1) << np.int64(32)
+
+
+def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a.astype(np.int64) * PACK + b.astype(np.int64)
+
+
+def _pairs_by_size(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered within-group value pairs of a (group-sorted) key/value
+    pair of arrays, vectorized by grouping the groups by SIZE: one fancy-
+    indexed triu expansion per distinct group size (sizes here are members
+    per order, single digits — the loop runs a handful of times total)."""
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    for k in np.unique(counts):
+        if k < 2:
+            continue
+        st = starts[counts == k]
+        mat = vals[st[:, None] + np.arange(k)[None, :]]
+        mat = np.sort(mat, axis=1)
+        iu, ju = np.triu_indices(int(k), 1)
+        outs_a.append(mat[:, iu].ravel())
+        outs_b.append(mat[:, ju].ravel())
+    if not outs_a:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
+def cooccurrence_edges(
+    sf_dir: str, override_num_blocks: int | None = None
+) -> "ray.data.Dataset":
+    """Distinct undirected co-supplier edges {a < b} (packed in column
+    ``e`` = a * 2^32 + b) from high-quantity lineitems.
+    ``override_num_blocks`` exists for the partitioning-independence test
+    only — the result is a pure function of the data."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+        override_num_blocks=override_num_blocks,
+    ).filter(expr=f"l_quantity > {TRI_QTY_THRESHOLD}")
+
+    def order_bucket(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        b = (hash64_ints(ok, salt=0x7219) % N_BUCKETS).astype(np.int32)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # distinct (order, supplier), group-sorted, then size-vectorized pairs
+        su = g.group_by(["l_orderkey", "l_suppkey"]).aggregate([])
+        su = su.sort_by([("l_orderkey", "ascending"), ("l_suppkey", "ascending")])
+        ok = su.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = su.column("l_suppkey").to_numpy(zero_copy_only=False)
+        a, b = _pairs_by_size(ok, sk)
+        e = np.unique(_pack(a, b))  # local combiner before the edge shuffle
+        return pa.table({"e": pa.array(e, pa.int64())})
+
+    pairs = (
+        li.map_batches(order_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+    def edge_bucket(t: pa.Table) -> pa.Table:
+        e = np.unique(t.column("e").to_numpy(zero_copy_only=False))
+        b = (hash64_ints(e, salt=0x51C7) % N_BUCKETS).astype(np.int32)
+        return pa.table({"e": pa.array(e, pa.int64()), "bucket": pa.array(b, pa.int32())})
+
+    def edge_unique(g: pa.Table) -> pa.Table:
+        e = np.unique(g.column("e").to_numpy(zero_copy_only=False))
+        return pa.table({"e": pa.array(e, pa.int64())})
+
+    return (
+        pairs.map_batches(edge_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(edge_unique, batch_format="pyarrow")
+    )
+
+
+def _oriented_csr(edges_packed: np.ndarray):
+    """Renumber nodes and orient each edge from the lower-(degree, id)
+    endpoint to the higher one; returns (node ids, oriented u, oriented v)
+    with u/v as dense indices sorted by (u, rank_v)."""
+    a = (edges_packed // PACK).astype(np.int64)
+    b = (edges_packed % PACK).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    deg = np.bincount(ai, minlength=len(nodes)) + np.bincount(bi, minlength=len(nodes))
+    # total order: (degree, dense id) — unique per node, skew-safe
+    rank = deg.astype(np.int64) * np.int64(len(nodes)) + np.arange(len(nodes))
+    swap = rank[ai] > rank[bi]
+    u = np.where(swap, bi, ai)
+    v = np.where(swap, ai, bi)
+    order = np.lexsort((rank[v], u))
+    return nodes, u[order], v[order]
+
+
+def triangles_per_node_driver(edges_packed: np.ndarray) -> pa.Table:
+    """Exact per-node triangle counts, fully vectorized: degree-oriented
+    wedges (same size-grouped triu expansion as pair generation, keyed by
+    out-degree) checked against the oriented edge set with one sorted
+    membership probe. Nodes in zero triangles are omitted (matches the
+    oracle's GROUP BY over enumerated triangles)."""
+    nodes, u, v = _oriented_csr(edges_packed)
+    n = len(nodes)
+    # wedges: per apex u, all pairs (x, y) of out-neighbours (rank-sorted,
+    # so x precedes y in orientation order)
+    apex, x, y = _wedge_pairs(u, v)
+    probe = x.astype(np.int64) * np.int64(n) + y.astype(np.int64)
+    eset = np.sort(u.astype(np.int64) * np.int64(n) + v.astype(np.int64))
+    if len(eset) == 0 or len(probe) == 0:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()), "n_triangles": pa.array([], pa.int64())}
+        )
+    pos = np.minimum(np.searchsorted(eset, probe), len(eset) - 1)
+    hits = eset[pos] == probe
+    tri_nodes = np.concatenate([apex[hits], x[hits], y[hits]])
+    cnt = np.bincount(tri_nodes, minlength=n)
+    keep = cnt > 0
+    return pa.table(
+        {
+            "s_suppkey": pa.array(nodes[keep], pa.int64()),
+            "n_triangles": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _wedge_pairs(u: np.ndarray, v: np.ndarray):
+    """Out-neighbour pairs per apex: returns (apex, first, second) arrays
+    via the size-grouped triu expansion. Wedge order (first, second)
+    follows the rank order v was sorted in, which is exactly the edge
+    orientation order."""
+    _, starts, counts = np.unique(u, return_index=True, return_counts=True)
+    apexes: list[np.ndarray] = []
+    firsts: list[np.ndarray] = []
+    seconds: list[np.ndarray] = []
+    apex_vals = u[starts]
+    for k in np.unique(counts):
+        if k < 2:
+            continue
+        sel = counts == k
+        st = starts[sel]
+        mat = v[st[:, None] + np.arange(k)[None, :]]  # rank-ordered already
+        iu, ju = np.triu_indices(int(k), 1)
+        m = len(st)
+        apexes.append(np.repeat(apex_vals[sel], len(iu)))
+        firsts.append(mat[:, iu].ravel())
+        seconds.append(mat[:, ju].ravel())
+    if not apexes:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    return np.concatenate(apexes), np.concatenate(firsts), np.concatenate(seconds)
+
+
+def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed per-node triangle counts: degree table (bucketed count)
+    -> broadcast ranks -> oriented edges -> wedge self-join on the apex ->
+    closing-edge hash join on the packed (v, w) key -> bucketed per-node
+    count. Each exchange is a bounded Dataset.join / 64-bucket groupby;
+    .materialize() barriers keep the two joins out of one streaming plan
+    (CLAUDE.md exchange rule). Degree ranks ride a ray.put broadcast here
+    (node-count bounded); at node counts past broadcast range the rank
+    attach becomes two more hash joins — documented, not implemented."""
+    import ray
+
+    def split(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array((e // PACK).astype(np.int64), pa.int64()),
+                "b": pa.array((e % PACK).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ab = edges.map_batches(split, batch_format="pyarrow").materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        ids, cnts = np.unique(ids, return_counts=True)
+        b = (hash64_ints(ids, salt=0x0DE6) % N_BUCKETS).astype(np.int32)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "deg": pa.array(cnts.astype(np.int64), pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def node_combine(g: pa.Table) -> pa.Table:
+        gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("deg", "sum")])
+        return gb.rename_columns(["node", "deg"])
+
+    deg_tbl = pa.Table.from_pylist(
+        ab.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(node_combine, batch_format="pyarrow")
+        .take_all()
+    )
+    nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
+    deg = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes)
+    nodes_sorted = nodes[order]
+    rank = deg[order].astype(np.int64) * np.int64(len(nodes)) + np.arange(len(nodes))
+    rank_ref = ray.put((nodes_sorted, rank))
+
+    def orient(t: pa.Table, ref=rank_ref) -> pa.Table:
+        ns, rk = ray.get(ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ra = rk[np.searchsorted(ns, a)]
+        rb = rk[np.searchsorted(ns, b)]
+        swap = ra > rb
+        u = np.where(swap, b, a)
+        w = np.where(swap, a, b)
+        ru = np.where(swap, rb, ra)
+        rw = np.where(swap, ra, rb)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(w, pa.int64()),
+                "ru": pa.array(ru, pa.int64()),
+                "rv": pa.array(rw, pa.int64()),
+            }
+        )
+
+    oriented = ab.map_batches(orient, batch_format="pyarrow").materialize()
+    n_parts = join_num_partitions(oriented.size_bytes())
+    # wedge join: out-edges paired on the shared apex
+    wedges = oriented.join(
+        oriented.map_batches(
+            lambda t: t.rename_columns(["u2", "w", "ru2", "rw"]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("u",),
+        right_on=("u2",),
+    )
+
+    def wedge_filter(t: pa.Table) -> pa.Table:
+        # keep each out-neighbour pair once, orientation-ordered: rv < rw
+        keep = pc.less(t.column("rv"), t.column("rw"))
+        t = t.filter(keep)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "apex": t.column("u"),
+                "v": t.column("v"),
+                "w": t.column("w"),
+                "vw": pa.array(_pack(v, w), pa.int64()),
+            }
+        )
+
+    wedges = wedges.map_batches(wedge_filter, batch_format="pyarrow").materialize()
+
+    def closing_key(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"uv": pa.array(_pack(u, v), pa.int64())})
+
+    closing = oriented.map_batches(closing_key, batch_format="pyarrow")
+    tri = wedges.join(
+        closing,
+        join_type="inner",
+        num_partitions=join_num_partitions(wedges.size_bytes()),
+        on=("vw",),
+        right_on=("uv",),
+    ).materialize()
+
+    def tri_nodes(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                t.column("apex").to_numpy(zero_copy_only=False),
+                t.column("v").to_numpy(zero_copy_only=False),
+                t.column("w").to_numpy(zero_copy_only=False),
+            ]
+        )
+        ids, cnts = np.unique(ids, return_counts=True)
+        b = (hash64_ints(ids, salt=0x791) % N_BUCKETS).astype(np.int32)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(ids, pa.int64()),
+                "n_triangles": pa.array(cnts.astype(np.int64), pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def tri_combine(g: pa.Table) -> pa.Table:
+        gb = (
+            g.drop_columns(["bucket"])
+            .group_by(["s_suppkey"])
+            .aggregate([("n_triangles", "sum")])
+        )
+        return gb.rename_columns(["s_suppkey", "n_triangles"])
+
+    return (
+        tri.map_batches(tri_nodes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(tri_combine, batch_format="pyarrow")
+    )
+
+
+def q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts on the co-supplier graph (size-adaptive:
+    driver wedge-check under DRIVER_EDGE_LIMIT edges, degree-oriented
+    double hash join above — equivalence-tested)."""
+    import ray
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+    if edges.count() <= DRIVER_EDGE_LIMIT:
+        tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        packed = tbl.column("e").to_numpy(zero_copy_only=False)
+        return triangles_per_node_driver(packed)
+    return triangles_per_node_distributed(edges)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def core_numbers(edges_packed: np.ndarray) -> pa.Table:
+    """Exact core number per node (the largest k such that the node
+    survives in the k-core) by iterative peeling: repeatedly remove all
+    nodes of minimum remaining degree. Runs on a bounded driver pull like
+    the small side of connected components; the distributed variant is the
+    same peel as rounds of degree-filtered edge subsets (one bucketed
+    degree count + filter per round) — the per-round primitive is exactly
+    ``node_partial``/``node_combine`` above."""
+    a = (edges_packed // PACK).astype(np.int64)
+    b = (edges_packed % PACK).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    n = len(nodes)
+    deg = (np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)).astype(np.int64)
+    core = np.zeros(n, np.int64)
+    alive_edge = np.ones(len(ai), bool)
+    alive_node = np.ones(n, bool)
+    k = 0
+    while alive_node.any():
+        k = max(k, int(deg[alive_node].min()))
+        while True:
+            peel = alive_node & (deg <= k)
+            if not peel.any():
+                break
+            core[peel] = k
+            alive_node &= ~peel
+            dead = alive_edge & (peel[ai] | peel[bi])
+            deg -= np.bincount(ai[dead], minlength=n)
+            deg -= np.bincount(bi[dead], minlength=n)
+            alive_edge &= ~dead
+    return pa.table(
+        {
+            "s_suppkey": pa.array(nodes, pa.int64()),
+            "core": pa.array(core, pa.int64()),
+        }
+    )
+
+
+def q_kcore(sf_dir: str):
+    """Core numbers over the co-supplier graph (library surface; gated by
+    a brute-force-equivalence pytest, not a SQL oracle — peeling is
+    iterative and not SQL-expressible)."""
+    import ray
+
+    edges = cooccurrence_edges(sf_dir)
+    tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    return core_numbers(tbl.column("e").to_numpy(zero_copy_only=False))

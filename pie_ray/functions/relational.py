@@ -437,12 +437,31 @@ def q_semi_anti_join(sf_dir: str):
 
 
 def q_setops_nations(sf_dir: str):
-    """B8 EXCEPT + INTERSECT under ONE driver entry (op-tagged union);
-    q_except_ / q_intersect remain the library surface. Materialize
-    serializes the two distinct-shuffle exchanges (see q_semi_anti_join)."""
-    ex = _tag_op(q_except_(sf_dir), "except").materialize()
-    inter = _tag_op(q_intersect(sf_dir), "intersect").materialize()
-    return ex.union(inter)
+    """B8 EXCEPT + INTERSECT + UNION ALL under ONE driver entry (op-tagged
+    union; ``n`` is the member count for the union_all channel and 1 for
+    the distinct set ops); q_except_ / q_intersect / q_union_all remain
+    the library surface. Materialize serializes the exchanges (see
+    q_semi_anti_join)."""
+
+    def with_n(ds, n_const: int | None):
+        def fn(t: pa.Table) -> pa.Table:
+            if n_const is not None:
+                t = t.append_column(
+                    "n", pa.array([n_const] * t.num_rows, pa.int64())
+                )
+            return t.select(["nationkey", "op", "n"])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    ex = with_n(_tag_op(q_except_(sf_dir), "except"), 1).materialize()
+    inter = with_n(_tag_op(q_intersect(sf_dir), "intersect"), 1).materialize()
+    # q_union_all's lowcard path already returns a tiny driver-side Table
+    ua_tbl = q_union_all(sf_dir)
+    ua_tbl = ua_tbl.append_column(
+        "op", pa.array(["union_all"] * ua_tbl.num_rows, pa.string())
+    ).select(["nationkey", "op", "n"])
+    ua = ray.data.from_arrow(ua_tbl)
+    return ex.union(inter).union(ua)
 
 
 # ---------------------------------------------------------------------------
@@ -1416,6 +1435,63 @@ def q_grouped_quantile_sketch(sf_dir: str):
     return grouped_quantile_sketch(ds, "event_type", "value", [0.5, 0.9])
 
 
+def q_quantiles_rollup(sf_dir: str):
+    """B3 order statistics, global + per-group under ONE entry (rollup
+    shape: per-return-flag rows plus an 'ALL' row). One pass builds the
+    mergeable per-(flag, value) count histogram (the q_grouped_quantiles
+    partial); the global row reuses the SAME histogram re-merged across
+    flags — the driver combine stays bounded by groups x distinct values,
+    never row count. q_quantiles / q_grouped_quantiles remain the library
+    surface."""
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["l_returnflag", "l_quantity"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "l_returnflag": gb.column("l_returnflag"),
+                "l_quantity": gb.column("l_quantity"),
+                "cnt": pc.cast(gb.column("count_all"), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = (
+        pa.Table.from_pylist(parts)
+        .group_by(["l_returnflag", "l_quantity"])
+        .aggregate([("cnt", "sum")])
+    ).sort_by([("l_returnflag", "ascending"), ("l_quantity", "ascending")])
+    flags = merged.column("l_returnflag").to_pylist()
+    vals = merged.column("l_quantity").to_numpy(zero_copy_only=False)
+    cnts = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
+    out_flags, med, p90 = [], [], []
+    start = 0
+    for i in range(1, len(flags) + 1):
+        if i == len(flags) or flags[i] != flags[start]:
+            out_flags.append(flags[start])
+            med.append(_lerp_percentile(vals[start:i], cnts[start:i], 0.5))
+            p90.append(_lerp_percentile(vals[start:i], cnts[start:i], 0.9))
+            start = i
+    # global row from the same histogram, re-merged across flags
+    g = (
+        pa.table({"v": pa.array(vals), "c": pa.array(cnts)})
+        .group_by(["v"])
+        .aggregate([("c", "sum")])
+    ).sort_by([("v", "ascending")])
+    gv = g.column("v").to_numpy(zero_copy_only=False)
+    gc = g.column("c_sum").to_numpy(zero_copy_only=False)
+    out_flags.append("ALL")
+    med.append(_lerp_percentile(gv, gc, 0.5))
+    p90.append(_lerp_percentile(gv, gc, 0.9))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_flags, pa.string()),
+            "median_qty": pa.array(med, pa.float64()),
+            "p90_qty": pa.array(p90, pa.float64()),
+        }
+    )
+
+
 def q_quantiles(sf_dir: str):
     """B3 approximate/order statistics: median and p90 (built-in Quantile)."""
     from ray.data.aggregate import Quantile
@@ -1461,6 +1537,17 @@ def q_sample(sf_dir: str):
     return sample
 
 
+def q_sampling(sf_dir: str):
+    """B9 sampling under ONE entry: runs the RANDOM channel's binomial
+    ±3σ self-check (q_sample — raises on failure, so a green driver row
+    proves the random path ran AND passed its statistical gate), then
+    returns the DETERMINISTIC md5-holdout rows, which the SQL oracle
+    reproduces exactly. q_sample / q_sample_hash remain the library
+    surface."""
+    q_sample(sf_dir)  # statistical gate; result intentionally discarded
+    return q_sample_hash(sf_dir)
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic ~1/16 sample: keep rows whose md5(orderkey_linenumber)
     starts with '0'. Unlike random_sample this is reproducible across runs,
@@ -1482,10 +1569,162 @@ def q_sample_hash(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_outer_join(sf_dir: str):
+    """B5 depth — LEFT OUTER join at row grain: every customer, paired
+    with each of their big orders (>250k) or a single null-padded row.
+    Runs on Ray Data's native ``join_type="left_outer"`` hash join with
+    bytes-derived partition count; unmatched nulls are coalesced to
+    sentinels (-1 / 0.0) so the driver's value hash never compares nulls
+    (same guard as rollup's COALESCE)."""
+    from pie_ray.util import join_num_partitions
+
+    cust = scan(sf_dir, "customer", columns=["c_custkey"])
+    orders = scan(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 250000.0")
+    joined = cust.join(
+        orders,
+        join_type="left_outer",
+        num_partitions=join_num_partitions(orders.size_bytes()),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "o_orderkey": pc.fill_null(t.column("o_orderkey"), pa.scalar(-1, pa.int64())),
+                "o_totalprice": pc.fill_null(t.column("o_totalprice"), pa.scalar(0.0)),
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+WEIGHTED_SAMPLE_K = 500
+
+
+def q_sample_weighted(sf_dir: str):
+    """B9 depth — deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets key = u^(1/w) with w its
+    weight (l_quantity) and u a content-derived uniform (md5 of the row
+    id, low 8 digest bytes little-endian / 2^64 — the exact integer
+    DuckDB's md5_number_lower returns, so the oracle reproduces every key
+    bit-for-bit); the global top-k keys ARE the weighted sample.
+
+    Distribution: per-batch partial top-k (each block forwards <= k rows,
+    same pushdown as q_topk_orders), tiny final sort — no full shuffle, no
+    driver pull beyond blocks x k rows. Reproducible across runs,
+    partitioning and engines, unlike random_sample: at 100 TB this is the
+    form of weighted selection (quality-weighted corpus subsampling) that
+    can be re-run and audited."""
+    import hashlib
+
+    k = WEIGHTED_SAMPLE_K
+    ds = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_pylist()
+        ln = t.column("l_linenumber").to_pylist()
+        u64 = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{o}_{n}".encode()).digest()[8:16], "little"
+                )
+                for o, n in zip(ok, ln)
+            ],
+            dtype=np.uint64,
+        )
+        u = u64.astype(np.float64) / 18446744073709551616.0
+        w = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        key = u ** (1.0 / w)
+        t = t.append_column("__key", pa.array(key, pa.float64()))
+        if t.num_rows <= k:
+            return t
+        idx = pc.select_k_unstable(
+            t, k, sort_keys=[("__key", "descending"), ("l_orderkey", "ascending")]
+        )
+        return t.take(idx)
+
+    partial = ds.map_batches(keyed, batch_format="pyarrow")
+    top = partial.sort(
+        ["__key", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(k)
+    return top.drop_columns(["__key"])
+
+
 # ---------------------------------------------------------------------------
 # B10: tumbling-window event aggregation (derived-column groupby; bounded
 # input, batch semantics — no watermarks by design, SURVEY.md §2B)
 # ---------------------------------------------------------------------------
+
+
+def q_window_tumbling(sf_dir: str):
+    """B10 depth — tumbling (15-min) and hopping (30-min window / 15-min
+    hop) aggregates under ONE op-tagged entry, the two standard fixed
+    windows of a streaming engine expressed over bounded event-time data.
+
+    Tumbling: each event lands in exactly the epoch-aligned 15-min bucket
+    that contains it. Hopping: overlapping 30-min windows starting every
+    15 min — each event belongs to the windows starting at floor15(ts)
+    and floor15(ts) - 15min, produced by a per-batch 2x explode (the
+    window-assignment fan-out is width/hop, bounded and known up front).
+    Sums are exact int64 cents, so the merge order never matters; group
+    count is (15-min buckets in the corpus) x 2 kinds — time-bounded, not
+    row-bounded — so the partial-agg + driver-combine path applies at any
+    corpus size (same argument as q_window_events' hourly groups)."""
+    import datetime
+
+    ds = scan(sf_dir, "events", columns=["ts", "value"])
+    hop = pa.scalar(datetime.timedelta(minutes=15))
+
+    def fn(t: pa.Table) -> pa.Table:
+        win0 = pc.floor_temporal(t.column("ts"), multiple=15, unit="minute")
+        value_c = cents(t.column("value"))
+        n = t.num_rows
+        parts = [
+            pa.table(
+                {
+                    "window_start": win0,
+                    "kind": pa.array(["tumble"] * n, pa.string()),
+                    "value_c": value_c,
+                }
+            ),
+            pa.table(
+                {
+                    "window_start": win0,
+                    "kind": pa.array(["hop"] * n, pa.string()),
+                    "value_c": value_c,
+                }
+            ),
+            pa.table(
+                {
+                    "window_start": pc.subtract(win0, hop),
+                    "kind": pa.array(["hop"] * n, pa.string()),
+                    "value_c": value_c,
+                }
+            ),
+        ]
+        return pa.concat_tables(parts)
+
+    exploded = ds.map_batches(fn, batch_format="pyarrow")
+    agg = lowcard_group_agg(
+        exploded,
+        keys=["window_start", "kind"],
+        sum_cols=["value_c"],
+        count_alias="n_events",
+    )
+    return pa.table(
+        {
+            "window_start": agg.column("window_start"),
+            "kind": agg.column("kind"),
+            "n_events": agg.column("n_events"),
+            "sum_value": pc.divide(
+                pc.cast(agg.column("value_c__sum"), pa.float64()), pa.scalar(100.0)
+            ),
+        }
+    )
 
 
 def q_window_events(sf_dir: str):

@@ -183,6 +183,22 @@ def q_quality(sf_dir: str):
     return ds.map_batches(quality_batch, batch_format="pyarrow")
 
 
+def text_stats_batch(t: pa.Table) -> pa.Table:
+    """Fused per-doc text statistics: ONE scan of documents produces the
+    ws token count AND the five quality columns (the former token_count +
+    text_quality driver entries, merged to free driver-cap slots — the
+    individual batch fns / query fns remain the library surface)."""
+    out = quality_batch(t)
+    return out.append_column(
+        "n_tokens_ws", token_count_batch(t).column("n_tokens_ws")
+    )
+
+
+def q_text_stats(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(text_stats_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # language ID — char-trigram overlap heuristic (no external model; the
 # sandbox documents table is synthetic English, but the operator is generic)

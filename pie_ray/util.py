@@ -57,7 +57,11 @@ def hash64_ints(arr: np.ndarray, salt: int = 0) -> np.ndarray:
     assignment for integer keys; the string paths keep blake2b). Purely a
     shuffle-spreading hash: results of bucketed operators never depend on
     WHICH bucket a key lands in, only that all rows of a key co-locate."""
-    x = arr.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(salt + 1)
+    # salt mix wraps mod 2^64 in Python int space (a numpy scalar multiply
+    # would emit a RuntimeWarning on the intended overflow)
+    x = arr.astype(np.uint64) + np.uint64(
+        (0x9E3779B97F4A7C15 * (salt + 1)) & 0xFFFFFFFFFFFFFFFF
+    )
     x = x ^ (x >> np.uint64(30))
     x = x * np.uint64(0xBF58476D1CE4E5B9)
     x = x ^ (x >> np.uint64(27))

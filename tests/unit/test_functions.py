@@ -483,7 +483,8 @@ def test_pagerank_local_vs_distributed_and_deterministic(ray_session, monkeypatc
 
 
 def test_text_ops_oracle_parity_on_non_ascii(ray_session, tmp_path):
-    """token_count and text_quality match their DuckDB oracles bit-exactly
+    """text_stats (fused token_count + text_quality) matches its DuckDB
+    oracle bit-exactly
     on adversarial text: accents (multi-byte chars), non-breaking spaces,
     tabs/newlines at the edges — the cases where byte-based ratios or
     Python's Unicode split() would silently diverge."""
@@ -512,7 +513,7 @@ def test_text_ops_oracle_parity_on_non_ascii(ray_session, tmp_path):
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
-    for name in ("token_count", "text_quality"):
+    for name in ("text_stats",):
         eng = entrymod.queries()[name](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
         ora = con.execute(entrymod.oracle_sql()[name]).fetchdf().sort_values("doc_id").reset_index(drop=True)
         for c in sorted(eng.columns):

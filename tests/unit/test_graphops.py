@@ -1,0 +1,147 @@
+"""Graph analytics (pie_ray/functions/graphops.py): triangle counting and
+k-core — known-graph gates, brute-force equivalence, and the
+driver-path ≡ distributed-path contract."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pie_ray.functions import graphops as G
+
+SF = "/root/testdata/sf0.001"
+
+
+def pack_edges(pairs):
+    a = np.array([p[0] for p in pairs], np.int64)
+    b = np.array([p[1] for p in pairs], np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return np.unique(lo * np.int64(1 << 32) + hi)
+
+
+def brute_triangles(pairs):
+    eset = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({n for p in eset for n in p})
+    cnt = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if ((x, y) in eset) and ((x, z) in eset) and ((y, z) in eset):
+            cnt[x] += 1
+            cnt[y] += 1
+            cnt[z] += 1
+    return {n: c for n, c in cnt.items() if c > 0}
+
+
+def brute_core_numbers(pairs):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for k in range(0, len(adj) + 2):
+        live = set(adj)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(live):
+                if sum(1 for m in adj[n] if m in live) < k:
+                    live.discard(n)
+                    changed = True
+        for n in live:
+            ref[n] = k
+        if not live:
+            break
+    return ref
+
+
+def table_to_dict(t: pa.Table, key: str, val: str) -> dict[int, int]:
+    return dict(zip(t.column(key).to_pylist(), t.column(val).to_pylist()))
+
+
+def test_triangles_k4():
+    # K4: every node sits in C(3,2) = 3 triangles
+    pairs = list(itertools.combinations([10, 20, 30, 40], 2))
+    out = table_to_dict(
+        G.triangles_per_node_driver(pack_edges(pairs)), "s_suppkey", "n_triangles"
+    )
+    assert out == {10: 3, 20: 3, 30: 3, 40: 3}
+
+
+def test_triangles_triangle_free():
+    # 4-cycle has no triangles -> empty result
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    t = G.triangles_per_node_driver(pack_edges(pairs))
+    assert t.num_rows == 0
+
+
+def test_triangles_random_vs_bruteforce():
+    rng = np.random.default_rng(7)
+    nodes = np.arange(30)
+    pairs = [
+        (int(a), int(b))
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.25
+    ]
+    out = table_to_dict(
+        G.triangles_per_node_driver(pack_edges(pairs)), "s_suppkey", "n_triangles"
+    )
+    assert out == brute_triangles(pairs)
+
+
+def test_kcore_known_graph():
+    # K4 (core 3) with a pendant path hanging off it (core 1)
+    pairs = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6)]
+    out = table_to_dict(G.core_numbers(pack_edges(pairs)), "s_suppkey", "core")
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
+
+
+def test_kcore_random_vs_bruteforce():
+    rng = np.random.default_rng(11)
+    pairs = [
+        (int(a), int(b))
+        for a, b in itertools.combinations(np.arange(25), 2)
+        if rng.random() < 0.2
+    ]
+    out = table_to_dict(G.core_numbers(pack_edges(pairs)), "s_suppkey", "core")
+    assert out == brute_core_numbers(pairs)
+
+
+def test_pairs_by_size_matches_itertools():
+    keys = np.array([1, 1, 1, 2, 2, 3, 4, 4, 4, 4], np.int64)
+    vals = np.array([5, 9, 7, 2, 8, 1, 6, 3, 0, 4], np.int64)
+    a, b = G._pairs_by_size(keys, vals)
+    got = set(zip(a.tolist(), b.tolist()))
+    want = set()
+    for k in np.unique(keys):
+        group = sorted(vals[keys == k].tolist())
+        want |= {tuple(sorted(p)) for p in itertools.combinations(group, 2)}
+    assert got == want
+
+
+def test_driver_vs_distributed_equivalence(ray_session):
+    edges = G.cooccurrence_edges(SF).materialize()
+    import ray
+
+    tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    packed = tbl.column("e").to_numpy(zero_copy_only=False)
+    drv = table_to_dict(G.triangles_per_node_driver(packed), "s_suppkey", "n_triangles")
+    dist_tbl = pa.Table.from_pylist(
+        G.triangles_per_node_distributed(edges).take_all()
+    )
+    dist = table_to_dict(dist_tbl, "s_suppkey", "n_triangles")
+    assert drv == dist and len(drv) > 0
+
+
+def test_edges_independent_of_partitioning(ray_session):
+    """The edge set is a pure function of the data — identical whatever
+    block layout the read produces."""
+    import ray
+
+    def edge_array(nblocks):
+        ds = G.cooccurrence_edges(SF, override_num_blocks=nblocks).materialize()
+        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        return np.sort(tbl.column("e").to_numpy(zero_copy_only=False))
+
+    assert np.array_equal(edge_array(1), edge_array(5))
