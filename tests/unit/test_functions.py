@@ -178,6 +178,64 @@ def test_knn_ivf_recall_vs_brute_force(ray_session, sf_dir):
     assert recall >= 0.9, f"IVF recall {recall} < 0.9 at {sf_dir}"
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_knn_pq_recall_vs_brute_force(ray_session, sf_dir):
+    import ray.data
+
+    from pie_ray.functions.similarity import knn_brute_force, knn_pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_rows = ds.count()
+    q = np.asarray(ds.filter(expr="vec_id == 0").take(1)[0]["embedding"], dtype=np.float64)
+    exact = {r["vec_id"] for r in knn_brute_force(ds, q, k=10).take_all()}
+    rows = knn_pq(ds, q, n_rows=n_rows, k=10).take_all()
+    assert len(rows) == 10
+    recall = len({r["vec_id"] for r in rows} & exact) / 10
+    assert recall >= 0.9, f"PQ recall {recall} < 0.9 at {sf_dir}"
+
+
+def test_pq_codes_compression_and_determinism(ray_session):
+    """The PQ code table is the persisted scan-side artifact: 16 uint8
+    codes per 64-float vector (16x), byte-identical whatever the block
+    layout of the encode."""
+    import ray
+    import ray.data
+
+    from pie_ray.functions.similarity import pq_encode_batch, pq_train
+    from pie_ray.util import list_to_matrix
+
+    def codes_with_blocks(nblocks):
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            override_num_blocks=nblocks,
+        )
+        sample = np.concatenate(
+            [
+                list_to_matrix(b.column("embedding"))
+                for b in ds.iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+        )
+        books = pq_train(sample)
+        out = (
+            ds.map_batches(
+                pq_encode_batch,
+                fn_kwargs={"books_ref": ray.put(books)},
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        return {r["vec_id"]: bytes(r["codes"]) for r in out}, books
+
+    c1, books = codes_with_blocks(1)
+    c2, _ = codes_with_blocks(4)
+    assert c1 == c2
+    assert all(len(v) == 16 for v in c1.values())  # 16 bytes vs 256-byte f32 vector
+    m, K, dsub = books.shape
+    assert (m, dsub) == (16, 4) and K <= 64
+
+
 def test_media_resize_shape_and_math(ray_session):
     from pie_ray.functions.multimodal import DecodeBackend, q_media_resize, resize_nearest
 
