@@ -140,7 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # four rows-only per-doc channels (lang/fingerprint/bpe/simhash) ->
     # text_meta. Round-3 slots freed this way carry the new operators:
     # window_tumbling (tumble+hop), sample_weighted (A-ES), outer_join
-    # (left outer), graph_triangles (size-adaptive triangle counting).
+    # (left outer), graph_triangles (size-adaptive triangle counting),
+    # and — after merging word_counts+heavy_hitters -> corpus_words and
+    # knn_lsh+knn_ivf(+pq) -> knn_ann — repetition_stats (Gopher-style
+    # dup-line / top-2-gram fractions) and decontaminate (benchmark
+    # 8-gram overlap flagging).
     return {k: _tuned(v) for k, v in {
         # KG pipeline stages (non-SQL; pytest gates: P/R=1.0 e2e, goldens)
         "kg_mentions": _kg_mentions,
@@ -151,10 +155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
-        # similarity search
+        # similarity search: exact top-k (SQL-oracled) + the three
+        # approximate variants (lsh/ivf/pq) op-tagged under one entry
         "knn_cosine": similarity.q_knn,
-        "knn_lsh": similarity.q_knn_lsh,
-        "knn_ivf": similarity.q_knn_ivf,
+        "knn_ann": similarity.q_knn_ann,
         # dedup suite
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
@@ -165,9 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": graphops.q_graph_triangles,
         # training-data text ops
         "text_stats": textops.q_text_stats,
-        "word_counts": textops.q_word_counts,
+        "corpus_words": textops.q_corpus_words,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
-        "heavy_hitters": textops.q_heavy_hitters,
+        "repetition_stats": textops.q_repetition_stats,
+        "decontaminate": textops.q_decontaminate,
         "text_meta": textops.q_text_meta,
         # order statistics
         "grouped_quantile_sketch": relational.q_grouped_quantile_sketch,
@@ -607,22 +612,87 @@ def oracle_sql() -> dict[str, str]:
                    w2 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING)
         """,
-        "word_counts": r"""
-            SELECT word, COUNT(*) AS n FROM (
-              SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+')) AS word
-              FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
-            ) GROUP BY word HAVING COUNT(*) >= 10
-        """,
-        "heavy_hitters": r"""
-            -- exact counts of words above 2*total/k: the engine's
-            -- Misra-Gries candidate pass cannot miss these, and its second
-            -- pass counts exactly, so approximate blocking + exact output
+        "corpus_words": r"""
+            -- merged corpus word statistics: op='count' full frequency
+            -- table (>= 10), op='heavy' heavy hitters above 2*total/k —
+            -- the engine's Misra-Gries candidate pass cannot miss these
+            -- and its second pass counts exactly, so approximate blocking
+            -- still yields exact SQL-matchable output
             WITH tok AS (
               SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+')) AS word
               FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
             ), tot AS (SELECT COUNT(*) AS t FROM tok)
-            SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+            SELECT word, COUNT(*) AS n, 'count' AS op FROM tok
+            GROUP BY word HAVING COUNT(*) >= 10
+            UNION ALL
+            SELECT word, COUNT(*) AS n, 'heavy' AS op FROM tok
+            GROUP BY word
             HAVING COUNT(*) >= greatest(1, (2 * (SELECT t FROM tot)) // 256)
+        """,
+        "repetition_stats": r"""
+            -- Gopher-style per-doc repetition signals; every fraction is
+            -- one exact int/int division (bit-identical to the engine).
+            -- string_split(text, chr(10)) matches Python str.split('\n')
+            -- on every edge case (trailing newline -> trailing '' line,
+            -- '' -> one '' line)
+            WITH lines AS (
+              SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS len FROM (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+                FROM documents
+              ) GROUP BY doc_id, line
+            ), lstats AS (
+              SELECT doc_id,
+                     SUM(cnt) AS n_lines,
+                     SUM(cnt) - COUNT(*) AS n_dup_lines,
+                     SUM(cnt * len) AS total_chars,
+                     SUM((cnt - 1) * len) AS dup_chars
+              FROM lines GROUP BY doc_id
+            ), docs AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+') AS words
+              FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+            ), grams AS (
+              SELECT doc_id,
+                     unnest([array_to_string(words[x:x+1], ' ')
+                             for x in range(1, greatest(len(words), 1))]) AS gram
+              FROM docs
+            ), gcnt AS (
+              SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+            ), gstats AS (
+              SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_grams FROM gcnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(l.n_lines AS BIGINT) AS n_lines,
+                   l.n_dup_lines * 1.0 / l.n_lines AS dup_line_frac,
+                   CASE WHEN l.total_chars = 0 THEN 0.0
+                        ELSE l.dup_chars * 1.0 / l.total_chars END AS dup_line_char_frac,
+                   CASE WHEN COALESCE(g.n_grams, 0) = 0 THEN 0.0
+                        ELSE g.top_c * 1.0 / g.n_grams END AS top_2gram_frac
+            FROM documents d
+            JOIN lstats l USING (doc_id)
+            LEFT JOIN gstats g USING (doc_id)
+        """,
+        "decontaminate": r"""
+            -- benchmark decontamination: docs with doc_id % 13 = 0 stand in
+            -- for the eval-benchmark set; flag every other doc sharing any
+            -- word-8-gram, counting its distinct contaminated grams.
+            -- words[x:x+7] is DuckDB's 1-based INCLUSIVE slice = 8 words
+            WITH docs AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '[ \t\n\f\r]+') AS words
+              FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+            ), grams AS (
+              SELECT doc_id,
+                     unnest([array_to_string(words[x:x+7], ' ')
+                             for x in range(1, greatest(len(words) - 6, 1))]) AS gram
+              FROM docs
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 13 = 0
+            )
+            SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_overlap
+            FROM grams g JOIN bench b USING (gram)
+            WHERE g.doc_id % 13 <> 0
+            GROUP BY g.doc_id
         """,
         "tfidf_top_terms": r"""
             -- rank computed from tf * ln(N/df) (same libm ln as the

@@ -446,11 +446,33 @@ def knn_pq(ds, query_vec: np.ndarray, n_rows: int, k: int = 10, cand: int = PQ_C
 
 
 def q_knn_pq(sf_dir: str):
-    """PQ compressed-domain ANN (library surface; recall-vs-brute-force,
-    compression-ratio and determinism gates in tests — the driver entry
-    cap is full)."""
+    """PQ compressed-domain ANN (recall-vs-brute-force, compression-ratio
+    and determinism gates in tests; driver coverage via the merged
+    q_knn_ann entry)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     n_rows = ds.count()
     first = ds.filter(expr="vec_id == 0").take(1)
     q = np.asarray(first[0]["embedding"], dtype=np.float64)
     return knn_pq(ds, q, n_rows=n_rows, k=10)
+
+
+def q_knn_ann(sf_dir: str):
+    """Merged driver entry for the three APPROXIMATE ANN variants (each
+    keeps its own library function + recall gate): op='lsh' multi-probe
+    hyperplane LSH, op='ivf' coarse-quantization probe, op='pq' product-
+    quantization ADC retrieve-then-rerank. All approximate by construction
+    (rows-only oracle); recall ≥ 0.9 vs knn_brute_force gated in
+    tests/unit/test_similarity.py."""
+    import pyarrow as pa
+
+    def tag(op: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("op", pa.array([op] * len(t), pa.string()))
+
+        return fn
+
+    out = None
+    for op, q in (("lsh", q_knn_lsh), ("ivf", q_knn_ivf), ("pq", q_knn_pq)):
+        part = q(sf_dir).map_batches(tag(op), batch_format="pyarrow")
+        out = part if out is None else out.union(part)
+    return out

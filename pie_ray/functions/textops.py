@@ -594,6 +594,182 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics — per-document duplicate-line and
+# repeated-n-gram fractions (the standard LM-data quality signals for
+# boilerplate / spam detection). Map-only: one stateless pass over
+# documents, no shuffle; scales linearly with cores at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def repetition_batch(t: pa.Table) -> pa.Table:
+    """Per doc: line count, duplicate-line fraction (occurrences beyond the
+    first / total lines), duplicate-line CHARACTER fraction, and the
+    fraction of word-2-grams taken by the most frequent 2-gram. Lines are
+    raw ``text.split('\\n')`` (DuckDB ``string_split(text, chr(10))`` has
+    byte-identical edge semantics — trailing newline yields a trailing ''
+    line, '' yields one '' line); words use the shared ws_tokens contract.
+    Every fraction is ONE exact int/int double division, so values are
+    bit-identical to the SQL oracle."""
+    from collections import Counter
+
+    texts = pc.fill_null(t.column("text"), "").to_pylist()
+    n = len(texts)
+    n_lines = np.empty(n, np.int64)
+    dup_line_frac = np.empty(n, np.float64)
+    dup_char_frac = np.empty(n, np.float64)
+    top2_frac = np.empty(n, np.float64)
+    for i, s in enumerate(texts):
+        lines = s.split("\n")
+        lc = Counter(lines)
+        nl = len(lines)
+        n_lines[i] = nl
+        dup_line_frac[i] = (nl - len(lc)) / nl
+        total_chars = sum(len(ln) for ln in lines)
+        dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items() if c > 1)
+        dup_char_frac[i] = dup_chars / total_chars if total_chars else 0.0
+        words = ws_tokens(s.lower())
+        if len(words) >= 2:
+            gc = Counter(map(" ".join, zip(words, words[1:])))
+            top2_frac[i] = max(gc.values()) / (len(words) - 1)
+        else:
+            top2_frac[i] = 0.0
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_lines": pa.array(n_lines),
+            "dup_line_frac": pa.array(dup_line_frac),
+            "dup_line_char_frac": pa.array(dup_char_frac),
+            "top_2gram_frac": pa.array(top2_frac),
+        }
+    )
+
+
+def q_repetition_stats(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training documents sharing any word
+# 8-gram with an eval-benchmark document set (the standard train/test
+# contamination check). The benchmark side is SMALL by construction (a
+# fixed eval suite, not a second corpus): its distinct gram hashes are
+# collected once on the driver (bounded, guarded) and broadcast via
+# ray.put; the corpus side is a pure task-parallel map against the sorted
+# hash array — no shuffle at any corpus scale. The driver testdata has one
+# documents table, so docs with doc_id % DECON_BENCH_MOD == 0 stand in as
+# the benchmark set (deterministic; at 100 TB this is a separate table).
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8
+DECON_BENCH_MOD = 13
+# benchmark gram sets are eval suites (≤ millions of grams); abort rather
+# than silently pull an unbounded set through the driver
+DECON_BENCH_GRAMS_MAX = 50_000_000
+
+
+def _gram_hashes(words: list[str], n: int = DECON_NGRAM) -> np.ndarray:
+    """Distinct word-n-gram 64-bit hashes of one document. Membership tests
+    run on blake2b-64 hashes of the ' '-joined gram (collision probability
+    ~|grams|^2/2^64 — exact in practice; the SQL oracle compares the gram
+    strings themselves)."""
+    from pie_ray.util import hash64_array
+
+    if len(words) < n:
+        return np.empty(0, np.uint64)
+    grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    return hash64_array(list(grams), salt=b"decon")
+
+
+def q_decontaminate(sf_dir: str):
+    """(doc_id, n_overlap) for every NON-benchmark document sharing ≥ 1
+    word-8-gram with the benchmark set; n_overlap counts the doc's distinct
+    contaminated grams."""
+    import ray as _ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    # pass 1: distinct benchmark gram hashes (per-batch unique, driver union)
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t.column("text"), "").to_pylist()
+        per_doc = [
+            _gram_hashes(ws_tokens(s.lower()))
+            for did, s in zip(ids, texts)
+            if did % DECON_BENCH_MOD == 0
+        ]
+        merged = (
+            np.unique(np.concatenate(per_doc)) if per_doc else np.empty(0, np.uint64)
+        )
+        return pa.table({"h": pa.array(merged, pa.uint64())})
+
+    parts: list[np.ndarray] = []
+    total = 0
+    for b in docs.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        arr = b.column("h").to_numpy(zero_copy_only=False)
+        total += len(arr)
+        if total > DECON_BENCH_GRAMS_MAX:
+            raise ValueError(
+                f"benchmark gram set exceeds {DECON_BENCH_GRAMS_MAX} hashes; "
+                "decontamination expects a small eval-benchmark side"
+            )
+        parts.append(arr)
+    bench = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    )
+    bench_ref = _ray.put(bench)
+
+    # pass 2: task map over the corpus, searchsorted membership per doc
+    def flag_overlap(t: pa.Table, ref=None) -> pa.Table:
+        bench_sorted = _ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t.column("text"), "").to_pylist()
+        out_ids: list[int] = []
+        out_n: list[int] = []
+        for did, s in zip(ids, texts):
+            if did % DECON_BENCH_MOD == 0:
+                continue
+            g = _gram_hashes(ws_tokens(s.lower()))
+            if len(g) == 0 or len(bench_sorted) == 0:
+                continue
+            pos = np.searchsorted(bench_sorted, g)
+            ok = pos < len(bench_sorted)
+            n_hit = int((bench_sorted[pos[ok]] == g[ok]).sum())
+            if n_hit:
+                out_ids.append(int(did))
+                out_n.append(n_hit)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_overlap": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        flag_overlap, fn_kwargs={"ref": bench_ref}, batch_format="pyarrow"
+    )
+
+
+def q_corpus_words(sf_dir: str):
+    """Merged driver entry for the two corpus-wide word statistics (each
+    keeps its own library function): op='count' rows are the full
+    word-frequency table (>= WORD_COUNT_MIN), op='heavy' rows are the
+    Misra-Gries + exact-second-pass heavy hitters."""
+    wc = q_word_counts(sf_dir)
+    hh = q_heavy_hitters(sf_dir)
+
+    def tag_count(t: pa.Table) -> pa.Table:
+        return t.append_column("op", pa.array(["count"] * len(t), pa.string()))
+
+    hh_tagged = hh.append_column("op", pa.array(["heavy"] * len(hh), pa.string()))
+    return ray.data.from_arrow(hh_tagged).union(
+        wc.map_batches(tag_count, batch_format="pyarrow")
+    )
+
+
 def _tfidf_rank_bucket(g):
     g = g.drop_columns(["bucket"])
     order = pc.sort_indices(

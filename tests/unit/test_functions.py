@@ -578,3 +578,144 @@ def test_text_ops_oracle_parity_on_non_ascii(ray_session, tmp_path):
             a = eng[c].to_numpy()
             b = ora[c].to_numpy()
             assert (a == b).all(), f"{name}.{c}: {a} != {b}"
+
+
+def test_repetition_stats_oracle_parity_multiline(ray_session, tmp_path):
+    """repetition_stats matches its DuckDB oracle bit-exactly on crafted
+    multi-line documents — the sf testdata is single-line, so duplicate-line
+    channels (dup_line_frac / dup_line_char_frac) are only exercised here.
+    Covers: trailing newline (trailing '' line), all-duplicate doc, empty
+    text, null text, whitespace-only, single-word, and a dominant 2-gram."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    texts = [
+        "spam line\nspam line\nspam line\nspam line",       # all-dup lines
+        "a b\nc d\na b\n",                                   # trailing newline -> '' line
+        "",                                                   # one '' line
+        None,                                                 # null text
+        "   \t  ",                                            # ws-only: lines yes, words no
+        "word",                                               # single word: no 2-grams
+        "go go go go stop",                                  # dominant 2-gram 'go go'
+        "x\n\n\nx\ny",                                       # dup empty lines (0 chars)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+
+    eng = (
+        entrymod.queries()["repetition_stats"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = (
+        con.execute(entrymod.oracle_sql()["repetition_stats"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(eng.columns) == sorted(ora.columns)
+    assert len(eng) == len(ora) == len(texts)
+    for c in sorted(eng.columns):
+        a = eng[c].to_numpy(dtype="float64")
+        b = ora[c].to_numpy(dtype="float64")
+        assert (a == b).all(), f"{c}: {a} != {b}"
+    # spot-check the crafted semantics
+    by_id = eng.set_index("doc_id")
+    assert by_id.loc[0, "dup_line_frac"] == 0.75          # 4 lines, 1 distinct
+    assert by_id.loc[1, "n_lines"] == 4                    # trailing '' line counts
+    assert by_id.loc[6, "top_2gram_frac"] == 0.75          # 'go go' 3 of 4 grams
+    assert by_id.loc[7, "dup_line_char_frac"] == 1 / 3     # dup 'x' line: 1 of 3 chars
+
+
+def test_decontaminate_matches_oracle_and_bruteforce(ray_session, tmp_path):
+    """decontaminate flags exactly the docs sharing a word-8-gram with the
+    benchmark set (doc_id % 13 == 0), counting DISTINCT contaminated grams,
+    and agrees with both the SQL oracle and a Python brute force."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from pie_ray.functions.textops import DECON_BENCH_MOD, DECON_NGRAM, ws_tokens
+
+    bench_a = "alpha bravo charlie delta echo foxtrot golf hotel"       # 8 words
+    bench_b = "one two three four five six seven eight nine"            # 9 words
+    texts = {
+        0: bench_a + " extra tail words here",                          # benchmark
+        13: bench_b,                                                     # benchmark
+        1: "prefix " + bench_a,                                          # 1 gram from 0
+        2: bench_a + " " + bench_b,                                      # grams from both
+        3: "Alpha BRAVO charlie delta echo foxtrot golf hotel",          # case-folded hit
+        4: "alpha bravo charlie delta echo foxtrot golf",                # 7 words: miss
+        5: "totally unrelated text with no overlap at all whatsoever",
+        6: "",                                                            # empty
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids], pa.string()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+
+    eng = (
+        entrymod.queries()["decontaminate"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = (
+        con.execute(entrymod.oracle_sql()["decontaminate"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(eng["doc_id"], eng["n_overlap"]))
+    want = dict(zip(ora["doc_id"], ora["n_overlap"]))
+    assert got == want
+
+    # brute force in Python
+    def grams(s):
+        w = ws_tokens(s.lower())
+        return {
+            " ".join(w[i : i + DECON_NGRAM])
+            for i in range(max(len(w) - DECON_NGRAM + 1, 0))
+        }
+
+    bench = set().union(*(grams(texts[i]) for i in ids if i % DECON_BENCH_MOD == 0))
+    brute = {
+        i: len(grams(texts[i]) & bench)
+        for i in ids
+        if i % DECON_BENCH_MOD != 0 and grams(texts[i]) & bench
+    }
+    assert got == brute
+    assert set(got) == {1, 2, 3}
+    assert got[2] >= 2  # hits grams from BOTH benchmark docs
+
+
+def test_knn_ann_merged_entry_covers_all_variants(ray_session):
+    """The merged knn_ann driver entry unions the lsh/ivf/pq variants with
+    an op tag; each contributes exactly k rows of (vec_id, sim, op)."""
+    from pie_ray.functions.similarity import q_knn_ann
+
+    df = q_knn_ann("/root/testdata/sf0.001").to_pandas()
+    assert sorted(df.columns) == ["op", "sim", "vec_id"]
+    counts = df.groupby("op").size().to_dict()
+    assert set(counts) == {"lsh", "ivf", "pq"}
+    assert all(v == 10 for v in counts.values()), counts
