@@ -240,8 +240,10 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
     # node set + out-weight per src: ONE distributed pass of per-batch
     # partials, node-bounded driver combine (no exchange)
     def node_partials(t: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
         gb = t.group_by(["src"]).aggregate([("weight", "sum")])
-        gb = gb.rename_columns(["node", "out_w"])
+        gb = rename_grouped(gb, ["src"], ["node", "out_w"])
         dst = pa.table(
             {
                 "node": pc.unique(t.column("dst")),
@@ -265,6 +267,8 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
     ranks = np.full(n, 1.0 / n)
 
     def contrib(t: pa.Table, rank_ref=None) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
         keys_, ranks_, outw_ = _ray.get(rank_ref)
         si = pc.index_in(t.column("src").combine_chunks(), value_set=keys_)
         si_np = si.to_numpy(zero_copy_only=False)
@@ -272,7 +276,7 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
         send = ranks_[si_np] * w / outw_[si_np]
         part = pa.table({"dst": t.column("dst"), "c": pa.array(send)})
         gb = part.group_by(["dst"]).aggregate([("c", "sum")])
-        return gb.rename_columns(["dst", "c"])
+        return rename_grouped(gb, ["dst"], ["dst", "c"])
 
     for _ in range(iters):
         ref = _ray.put((keys_arr, ranks, outw_arr))
