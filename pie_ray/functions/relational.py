@@ -1768,12 +1768,26 @@ def q_order_lineitem_join(sf_dir: str):
     li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(t: pa.Table) -> pa.Table:
-        # revenue in exact 1e-4 dollars: cents * (100 - discount points)
+        # revenue in exact 1e-4 dollars: cents * (100 - discount points),
+        # PRE-REDUCED per l_orderkey inside the batch before the join: an
+        # order's ~4 lineitems are usually co-located in one batch, so the
+        # join ships ~orderkey-many rows instead of lineitem-many (the
+        # partial stays exact — cnt carries the joined COUNT(*))
+        from pie_ray.util import rename_grouped
+
         rev4 = pc.multiply(
             cents(t.column("l_extendedprice")),
             pc.subtract(pa.scalar(100, pa.int64()), cents(t.column("l_discount"))),
         )
-        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev4": rev4})
+        part = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev4": rev4,
+                "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        gb = part.group_by(["l_orderkey"]).aggregate([("rev4", "sum"), ("cnt", "sum")])
+        return rename_grouped(gb, ["l_orderkey"], ["l_orderkey", "rev4", "cnt"])
 
     from pie_ray.util import join_num_partitions
 
@@ -1786,13 +1800,11 @@ def q_order_lineitem_join(sf_dir: str):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-    agg = lowcard_group_agg(
-        joined, keys=["o_orderpriority"], sum_cols=["rev4"], count_alias="n_items"
-    )
+    agg = lowcard_group_agg(joined, keys=["o_orderpriority"], sum_cols=["rev4", "cnt"])
     return pa.table(
         {
             "o_orderpriority": agg.column("o_orderpriority"),
-            "n_items": agg.column("n_items"),
+            "n_items": agg.column("cnt__sum"),
             "sum_revenue": pc.divide(
                 pc.cast(agg.column("rev4__sum"), pa.float64()), pa.scalar(10000.0)
             ),
