@@ -613,3 +613,141 @@ def q_dedup_embedding(sf_dir: str):
     # document near-dup path): driver DSU below the edge threshold,
     # distributed hash-min + join above it
     return _assign_components(ds.select_columns(["vec_id"]), pairs, "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4 / RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# Duplicated lines are boilerplate (nav bars, cookie banners, footers) —
+# a tiny distinct set even at web scale, so the dup-line hash set travels
+# through the driver like decontaminate's benchmark grams. Abort rather
+# than silently pull an unbounded set.
+LINE_DUP_MAX = 50_000_000
+LINE_COUNT_BUCKETS = 64
+_LINE_WS = " \t\r"
+
+
+def _explode_lines(t: pa.Table):
+    """Vectorized split of a (doc_id, text) batch into per-line arrays:
+    (doc_idx, line_strings, lens) where lens[i] = #lines of doc i and
+    doc_idx repeats each row index lens[i] times. Blank lines (empty after
+    trimming spaces/tabs/CR) are INCLUDED — callers mask them."""
+    txt = pc.fill_null(t.column("text"), "")
+    lst = pc.split_pattern(txt, "\n")
+    lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+    lines = pc.list_flatten(lst)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    return doc_idx, lines, lens
+
+
+def _line_hashes(lines) -> np.ndarray:
+    from pie_ray.util import hash64_array
+
+    return hash64_array(lines.to_pylist(), salt=b"line")
+
+
+def dup_line_hashes(docs_ds, min_count: int = 2) -> np.ndarray:
+    """Sorted uint64 hashes of every NON-BLANK line occurring >= min_count
+    times corpus-wide. Per-batch partial counts -> ONE bucketed exchange on
+    hash(line) % 64 -> vectorized combine -> bounded driver pull."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, lines, _ = _explode_lines(t)
+        blank = pc.equal(pc.utf8_trim(lines, _LINE_WS), "")
+        h = _line_hashes(lines)[~blank.to_numpy(zero_copy_only=False)]
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq, pa.uint64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                "bucket": pa.array(
+                    (uniq % LINE_COUNT_BUCKETS).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = g.group_by(["h"]).aggregate([("c", "sum")])
+        gb = rename_grouped(gb, ["h"], ["h", "c"])
+        return gb.filter(pc.greater_equal(gb.column("c"), min_count)).select(["h"])
+
+    dups = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: combine(g.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+    parts: list[np.ndarray] = []
+    total = 0
+    for b in dups.iter_batches(batch_format="pyarrow"):
+        arr = b.column("h").to_numpy(zero_copy_only=False)
+        total += len(arr)
+        if total > LINE_DUP_MAX:
+            raise ValueError(
+                f"duplicated-line set exceeds {LINE_DUP_MAX} hashes; raise "
+                "LINE_DUP_MAX or dedup in key ranges"
+            )
+        parts.append(arr)
+    return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+
+def dedup_lines(docs_ds, min_count: int = 2):
+    """Remove every non-blank line occurring >= min_count times corpus-wide
+    from EVERY document (C4-style boilerplate removal; blank lines pass
+    through untouched). Output (doc_id, text, n_dropped) for all input
+    docs — a fully-boilerplate doc comes back with text '' and its count.
+
+    Two passes over the corpus, one bucketed exchange, then a stateless
+    task map with the broadcast sorted dup-hash array (ray.put once)."""
+    import ray as _ray
+
+    dup_ref = _ray.put(dup_line_hashes(docs_ds, min_count))
+
+    def strip_dups(t: pa.Table, ref=None) -> pa.Table:
+        dup_sorted = _ray.get(ref)
+        doc_idx, lines, lens = _explode_lines(t)
+        blank = pc.equal(pc.utf8_trim(lines, _LINE_WS), "").to_numpy(
+            zero_copy_only=False
+        )
+        h = _line_hashes(lines)
+        if len(dup_sorted):
+            pos = np.searchsorted(dup_sorted, h)
+            ok = pos < len(dup_sorted)
+            is_dup = np.zeros(len(h), bool)
+            is_dup[ok] = dup_sorted[pos[ok]] == h[ok]
+        else:
+            is_dup = np.zeros(len(h), bool)
+        keep = blank | ~is_dup
+        kept_per_doc = np.bincount(doc_idx[keep], minlength=len(lens)).astype(np.int64)
+        kept_lines = lines.filter(pa.array(keep))
+        offsets = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        # int32 offsets: a single batch never holds 2^31 lines
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)), kept_lines.combine_chunks()
+            ),
+            "\n",
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": joined,
+                "n_dropped": pa.array(lens - kept_per_doc, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(
+        strip_dups, fn_kwargs={"ref": dup_ref}, batch_format="pyarrow"
+    )
+
+
+def q_dedup_lines(sf_dir: str, min_count: int = 2):
+    """Library/query surface over the documents table. The synthetic driver
+    table has single-line docs with no exact dup lines, so this is an
+    identity map there; the conformance test gates it against a planted
+    multi-line corpus with a DuckDB explode/anti-join/re-agg oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_lines(ds, min_count)
