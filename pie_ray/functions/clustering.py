@@ -1,0 +1,166 @@
+"""Distributed k-means over an embedding column — the clustering step a
+training-data pipeline uses for corpus stratification, domain balancing
+and semantic-dedup blocking.
+
+Scale shape: Lloyd's algorithm where EVERY iteration is one streaming pass
+with a broadcast centroid matrix (``ray.put`` once per iteration) and
+per-batch partial (k x dim float64 sums, k counts) — the only thing that
+ever reaches the driver is k x dim per batch-combine, so there is no
+shuffle and no materialization of the corpus at any scale. Seeding is
+deterministic (the k vectors with the smallest splitmix64(vec_id) — a pure
+function of ids, independent of partitioning), so a fit is reproducible
+across runs, partitionings and parallelism up to float summation order
+(partial sums are float64; assignment ties break toward the lower cluster
+id). At 10^12 rows run the fit on a hash-sampled subset (any rate via
+``sample_hash``-style id filtering) and only the final assign pass over
+the full corpus — assignment is a stateless map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from pie_ray.util import hash64_ints, list_to_matrix
+
+KMEANS_SEED_SALT = 29
+
+
+def _batch_stats(t: pa.Table, cents_ref, vec_col: str) -> pa.Table:
+    """Per-batch partial: (cluster, count, sum_vec list<double>) — k rows max."""
+    cents = ray.get(cents_ref)  # (k, dim) float64
+    mat = list_to_matrix(t.column(vec_col), dtype=np.float64)
+    # ||x-c||^2 = x^2 - 2 x.c + c^2; x^2 constant per row — drop it
+    d = -2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    assign = np.argmin(d, axis=1)
+    k, dim = cents.shape
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    sums = np.zeros((k, dim), np.float64)
+    np.add.at(sums, assign, mat)
+    nz = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "cluster": pa.array(nz.astype(np.int64), pa.int64()),
+            "count": pa.array(counts[nz], pa.int64()),
+            "sum_vec": pa.array(list(sums[nz]), pa.list_(pa.float64())),
+        }
+    )
+
+
+def _seed_centroids(emb_ds, k: int, vec_col: str, id_col: str) -> np.ndarray:
+    """k vectors with the globally smallest hash64(vec_id) — deterministic
+    for any partitioning; gathered via per-batch top-k, driver merge."""
+
+    def best(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = hash64_ints(ids, salt=KMEANS_SEED_SALT)
+        top = np.argsort(h, kind="stable")[:k]
+        mat = list_to_matrix(t.column(vec_col), dtype=np.float64)[top]
+        return pa.table(
+            {
+                "h": pa.array(h[top], pa.uint64()),
+                "vec": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    hs: list[np.ndarray] = []
+    vs: list[np.ndarray] = []
+    for b in emb_ds.map_batches(best, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        hs.append(b.column("h").to_numpy(zero_copy_only=False))
+        vs.append(list_to_matrix(b.column("vec"), dtype=np.float64))
+    h = np.concatenate(hs)
+    v = np.vstack(vs)
+    top = np.argsort(h, kind="stable")[:k]
+    if len(top) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(top)}")
+    return v[top]
+
+
+def kmeans_fit(
+    emb_ds,
+    k: int,
+    iters: int = 25,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, int]:
+    """Fit k-means; returns (centroids (k, dim) float64, iterations run).
+    Empty clusters keep their previous centroid. Converges when the max
+    centroid shift (L2) drops below ``tol``."""
+    cents = _seed_centroids(emb_ds, k, vec_col, id_col)
+    it = 0
+    for it in range(1, iters + 1):
+        ref = ray.put(cents)
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, np.int64)
+        stats = emb_ds.map_batches(
+            _batch_stats, fn_kwargs={"cents_ref": ref, "vec_col": vec_col},
+            batch_format="pyarrow",
+        )
+        for b in stats.iter_batches(batch_format="pyarrow"):
+            # one iter_batches batch can concatenate several per-task
+            # partials, so cluster ids repeat — scatter-add, never +=
+            cid = b.column("cluster").to_numpy(zero_copy_only=False)
+            np.add.at(counts, cid, b.column("count").to_numpy(zero_copy_only=False))
+            np.add.at(sums, cid, list_to_matrix(b.column("sum_vec"), dtype=np.float64))
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.sqrt(((new - cents) ** 2).sum(axis=1)).max())
+        cents = new
+        if shift < tol:
+            break
+    return cents, it
+
+
+def kmeans_assign(emb_ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Stateless map adding ``cluster`` (int64, argmin L2, ties to the
+    lower id) to every row; centroids broadcast once via ray.put."""
+    ref = ray.put(np.asarray(centroids, np.float64))
+
+    def tag(t: pa.Table, cents_ref=None) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = list_to_matrix(t.column(vec_col), dtype=np.float64)
+        d = -2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        return t.append_column(
+            "cluster", pa.array(np.argmin(d, axis=1).astype(np.int64), pa.int64())
+        )
+
+    return emb_ds.map_batches(tag, fn_kwargs={"cents_ref": ref}, batch_format="pyarrow")
+
+
+def kmeans_local(mat: np.ndarray, seeds: np.ndarray, iters: int = 25, tol: float = 1e-6):
+    """Single-process reference Lloyd's with the same update rule — the
+    equivalence gate for the distributed fit (tests/unit/test_clustering)."""
+    cents = seeds.astype(np.float64).copy()
+    k = len(cents)
+    it = 0
+    for it in range(1, iters + 1):
+        d = -2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                new[c] = mat[sel].mean(axis=0)
+        shift = float(np.sqrt(((new - cents) ** 2).sum(axis=1)).max())
+        cents = new
+        if shift < tol:
+            break
+    return cents, it
+
+
+def q_kmeans(sf_dir: str, k: int = 10):
+    """Library/query surface: fit over the embeddings table and return the
+    per-row (vec_id, label, cluster) assignment. Gated on the k-means
+    objective in tests (the synthetic labels are nearly inseparable in
+    these vectors, so label purity is not a meaningful target)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    cents, _ = kmeans_fit(ds, k)
+    return kmeans_assign(ds, cents).select_columns(["vec_id", "label", "cluster"])
