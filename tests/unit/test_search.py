@@ -1,0 +1,67 @@
+"""BM25 top-k: DuckDB-oracle parity over the driver documents table and a
+planted corpus, determinism across partitioning, edge cases."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from pie_ray.functions.search import bm25_oracle_sql, bm25_topk, q_bm25
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(path: str, query: str, k: int = 10) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT doc_id, text FROM '{path}'")
+    return con.execute(bm25_oracle_sql(query, k=k)).fetchdf()
+
+
+def test_bm25_matches_oracle_on_driver_table(ray_session):
+    query = "spark join window"
+    got = q_bm25(SF, query=query, k=10).to_pandas()
+    want = _oracle(f"{SF}/documents.parquet", query, k=10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # per-doc score is a float sum over query terms; summation order is
+    # unspecified in both engines, so parity is to within rounding
+    assert np.allclose(got["score"], want["score"], rtol=1e-12, atol=0)
+
+
+def test_bm25_planted_relevance(ray_session, tmp_path):
+    texts = ["cat dog fish"] * 5 + ["zebra quokka zebra zebra", "zebra apple"] + ["dog dog"] * 3
+    path = str(tmp_path / "d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        path,
+    )
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    top = bm25_topk(ds, "zebra", k=3).to_pandas()
+    # rare term: only the two zebra docs score; tf-heavier doc first
+    assert top["doc_id"].tolist() == [5, 6]
+    want = _oracle(path, "zebra", k=3)
+    assert np.allclose(top["score"], want["score"], rtol=1e-12, atol=0)
+
+
+def test_bm25_partition_independent(ray_session):
+    outs = []
+    for parts in (1, 8):
+        ds = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(parts)
+        outs.append(bm25_topk(ds, "merge sort", k=5).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_bm25_empty_query_and_no_match(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    assert bm25_topk(ds, "   ", k=5).num_rows == 0
+    assert bm25_topk(ds, "zzzznotaword", k=5).num_rows == 0
