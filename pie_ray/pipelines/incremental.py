@@ -1,0 +1,252 @@
+"""Incremental KG ingestion — process only never-seen pages, rebuild the
+derived tables from append-only increments.
+
+The cost profile of the flagship pipeline is NER-dominated (the actor-pool
+decode is >70% of wall time at 1M pages — BASELINE.md), so the incremental
+contract is: a page whose url is already in the ledger NEVER re-enters
+extract/NER. New pages are found with the Bloom screen
+(pie_ray.functions.bloom): a filter miss is a hard "new" guarantee (those
+pages skip every join — their html bytes never enter a shuffle), and the
+filter hits are exact-checked against the url ledger so only Bloom false
+positives (~fpp x new pages, small by construction) survive as extra work.
+
+Durable state under ``root`` is APPEND-ONLY pre-canonicalization triples:
+
+    root/raw/delta_000000/    raw (pre-canon) triples per increment
+    root/urls/delta_000000/   processed-url ledger per increment
+    root/triples/  root/graph/   DERIVED caches, rebuilt per update
+    root/_INC_META.json       {n_updates, n_urls}
+
+Why raw triples and not the canonical outputs: entity linking is not
+monotone under key-set growth — the LSH hot-band cap bounds candidate
+pairs per band, so adding keys to a hot band can change WHICH old pairs
+are emitted and split a previously-merged component. Rewriting old canon
+ids through a delta map is therefore not exact; re-linking over the raw
+key universe is, and it is cheap relative to NER (distinct person keys,
+not the corpus). Link/canonicalize/dedup/graph re-run over the raw union
+each update — the same exchanges a fresh build pays, minus all NER for
+already-seen pages. The rebuild is a pure function of the raw deltas, so
+a crashed update re-runs idempotently; triples/ and graph/ swap in via
+atomic renames and are never observed half-written.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# exact-check path cutover: below this many Bloom-hit candidate pages the
+# confirm runs as a candidate-filtered ledger scan (driver holds candidate
+# urls only); above, a key-only left_outer anti-join (urls shuffle, html
+# never moves) whose driver pull is bounded by the FALSE-POSITIVE count
+INC_DRIVER_CANDIDATES = 200_000
+
+META_NAME = "_INC_META.json"
+
+
+def _read_meta(root: str) -> dict:
+    with open(os.path.join(root, META_NAME)) as f:
+        return json.load(f)
+
+
+def _write_meta(root: str, meta: dict) -> None:
+    tmp = os.path.join(root, META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, META_NAME))
+
+
+def _swap_in(build_dir: str, final_dir: str) -> None:
+    """Atomically replace ``final_dir`` with ``build_dir`` (derived caches
+    are never observed half-written; a crash leaves the old version)."""
+    old = final_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(final_dir):
+        os.rename(final_dir, old)
+    os.rename(build_dir, final_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _delta_files(root: str, table: str) -> list[str]:
+    """Parquet files across all increments (an increment of pages with zero
+    emitted triples writes no files — nothing to skip; explicit file lists
+    are what ``read_parquet`` wants, and they dodge directory re-listing)."""
+    return sorted(glob.glob(os.path.join(root, table, "delta_*", "*.parquet")))
+
+
+def _raw_triples(pages_ds, cfg):
+    from pie_ray.pipelines.kg import extract_stage, raw_triples_stage
+
+    return raw_triples_stage(extract_stage(pages_ds, cfg), cfg)
+
+
+def _write_increment(root: str, k: int, pages_ds, cfg) -> int:
+    """Append one increment: raw triples + processed-url ledger rows. The
+    ledger records EVERY input url (a lang-filtered or PII-free page is
+    still processed — a recrawl of it must not re-enter NER). Both writes
+    STREAM (the page delta is never materialized — its html can be TBs);
+    the page count comes back from the written ledger's parquet metadata."""
+    import pyarrow.parquet as pq
+
+    raw_dir = os.path.join(root, "raw", f"delta_{k:06d}")
+    urls_dir = os.path.join(root, "urls", f"delta_{k:06d}")
+    os.makedirs(raw_dir, exist_ok=True)
+    os.makedirs(urls_dir, exist_ok=True)
+    _raw_triples(pages_ds, cfg).write_parquet(raw_dir)
+    pages_ds.map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow"
+    ).write_parquet(urls_dir)
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(urls_dir, "*.parquet"))
+    )
+
+
+def _rebuild(root: str, cfg) -> dict:
+    """Raw-delta union -> link -> canonicalize -> dedup -> graph. Same code
+    path as the fresh pipeline (pipelines.kg), so incremental output is
+    equal BY CONSTRUCTION to a fresh build over the union of all inputs."""
+    import ray.data
+
+    from pie_ray.pipelines.kg import canonicalize_stage, graph_stage, link_stage
+    from pie_ray.stages.graph import write_graph
+
+    raw = ray.data.read_parquet(_delta_files(root, "raw")).materialize()
+    canon = link_stage(raw, cfg)
+    triples = canonicalize_stage(raw, canon, cfg).materialize()
+
+    tri_build = os.path.join(root, "triples.building")
+    shutil.rmtree(tri_build, ignore_errors=True)
+    os.makedirs(tri_build)
+    triples.write_parquet(tri_build)
+    _swap_in(tri_build, os.path.join(root, "triples"))
+
+    g_build = os.path.join(root, "graph.building")
+    shutil.rmtree(g_build, ignore_errors=True)
+    write_graph(graph_stage(triples, cfg), g_build, num_parts=cfg.num_graph_parts)
+    _swap_in(g_build, os.path.join(root, "graph"))
+    return {
+        "triples_path": os.path.join(root, "triples"),
+        "graph_path": os.path.join(root, "graph"),
+        "n_triples": triples.count(),
+    }
+
+
+def incremental_build(pages_ds, root: str, cfg=None) -> dict:
+    """Fresh build that leaves incremental state behind (increment 0)."""
+    from pie_ray.pipelines.kg import KgConfig
+
+    cfg = cfg or KgConfig()
+    os.makedirs(root, exist_ok=True)
+    n_urls = _write_increment(root, 0, pages_ds, cfg)
+    res = _rebuild(root, cfg)
+    _write_meta(root, {"n_updates": 1, "n_urls": n_urls})
+    return {**res, "n_new_pages": n_urls}
+
+
+def _keep_urls(t: pa.Table, urls_ref=None) -> pa.Table:
+    import ray
+
+    return t.filter(pc.is_in(t.column("url"), value_set=ray.get(urls_ref)))
+
+
+def _truly_new(pages_ds, root: str, meta: dict, fpp: float):
+    """Split a (possibly heavily re-crawled) page set into the provably-new
+    rows plus the exact-checked Bloom false positives. Returns a Dataset."""
+    import ray
+    import ray.data
+
+    from pie_ray.functions.bloom import bloom_build, bloom_screen
+    from pie_ray.util import join_num_partitions
+
+    urls_ds = ray.data.read_parquet(_delta_files(root, "urls"))
+    bf = bloom_build(urls_ds, "url", capacity=max(1024, meta["n_urls"]), fpp=fpp)
+    definitely_new = bloom_screen(pages_ds, bf, "url", keep="new")
+    cand_urls_ds = bloom_screen(
+        pages_ds.map_batches(lambda t: t.select(["url"]), batch_format="pyarrow"),
+        bf,
+        "url",
+        keep="seen",
+    )
+    n_cand = cand_urls_ds.count()
+    if n_cand == 0:
+        return definitely_new
+
+    if n_cand <= INC_DRIVER_CANDIDATES:
+        # candidate-filtered ledger scan: driver memory = candidate urls
+        cand = pa.array(
+            sorted({r["url"] for r in cand_urls_ds.take_all()}), pa.string()
+        )
+        cref = ray.put(cand)
+        confirmed = {
+            r["url"]
+            for r in urls_ds.map_batches(
+                _keep_urls, fn_kwargs={"urls_ref": cref}, batch_format="pyarrow"
+            ).take_all()
+        }
+        fp_urls = sorted(set(cand.to_pylist()) - confirmed)
+    else:
+        # key-only anti-join: urls (strings) shuffle, output = FPs only
+        marker = urls_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "r_url": t.column("url"),
+                    "__seen": pa.array([1] * t.num_rows, pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = cand_urls_ds.join(
+            marker,
+            join_type="left_outer",
+            num_partitions=join_num_partitions(urls_ds.size_bytes()),
+            on=("url",),
+            right_on=("r_url",),
+        )
+        fp_urls = sorted(
+            {
+                r["url"]
+                for r in joined.map_batches(
+                    lambda t: t.filter(pc.is_null(t.column("__seen"))).select(["url"]),
+                    batch_format="pyarrow",
+                ).take_all()
+            }
+        )
+    if not fp_urls:
+        return definitely_new
+    fref = ray.put(pa.array(fp_urls, pa.string()))
+    fp_pages = pages_ds.map_batches(
+        _keep_urls, fn_kwargs={"urls_ref": fref}, batch_format="pyarrow"
+    )
+    return definitely_new.union(fp_pages)
+
+
+def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3) -> dict:
+    """Ingest a new crawl: screen out every already-processed url, run
+    extract/NER on the remainder only, append the increment, rebuild the
+    derived triples + graph. No new pages -> no-op (caches untouched).
+
+    ``fpp`` bounds the exact-recheck overhead (FP pages re-screened ~ fpp x
+    new pages) AND the anti-join path's driver pull — at 10^12-page scale
+    pick fpp so fpp x crawl size fits the driver (1e-3 default)."""
+    from pie_ray.pipelines.kg import KgConfig
+
+    cfg = cfg or KgConfig()
+    meta = _read_meta(root)
+    new_pages = _truly_new(pages_ds, root, meta, fpp)
+    n_new = _write_increment(root, meta["n_updates"], new_pages, cfg)
+    if n_new == 0:
+        # nothing genuinely new: the empty delta dirs are skipped on read,
+        # meta stays put (the slot is reused), caches stay untouched
+        return {"n_new_pages": 0, "rebuilt": False}
+    res = _rebuild(root, cfg)
+    _write_meta(
+        root,
+        {"n_updates": meta["n_updates"] + 1, "n_urls": meta["n_urls"] + n_new},
+    )
+    return {**res, "n_new_pages": n_new, "rebuilt": True}
