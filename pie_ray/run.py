@@ -34,6 +34,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ner-actors", type=int, default=0, help="max NER actors (0 = auto)")
     p.add_argument("--resume", action="store_true", help="skip partitions already done")
     p.add_argument("--tau", type=float, default=0.35, help="linking Jaccard threshold")
+    p.add_argument(
+        "--ingest",
+        action="store_true",
+        help="incremental mode: first run builds + leaves a url ledger; later "
+        "runs NER only never-seen pages and rebuild triples/graph "
+        "(pipelines/incremental.py). Mutually exclusive with --resume.",
+    )
+    p.add_argument(
+        "--fpp", type=float, default=1e-3, help="ingest Bloom false-positive rate"
+    )
     return p
 
 
@@ -89,6 +99,28 @@ def main(argv: list[str] | None = None) -> int:
             if parts is None:
                 return read_pages(path, langs=cfg.langs)
             return read_pages_parts(path, parts, args.num_parts, langs=cfg.langs)
+
+    if args.ingest:
+        if args.resume:
+            print("--ingest manages its own state; drop --resume", file=sys.stderr)
+            return 2
+        import os
+
+        from pie_ray.pipelines.incremental import (
+            META_NAME,
+            incremental_build,
+            incremental_update,
+        )
+
+        t0 = time.perf_counter()
+        if os.path.exists(os.path.join(args.output, META_NAME)):
+            report = incremental_update(args.output, factory(None), cfg, fpp=args.fpp)
+        else:
+            report = incremental_build(factory(None), args.output, cfg)
+        report["wall_s"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(report, indent=1))
+        ray.shutdown()
+        return 0
 
     if not args.resume:
         # fresh run: wipe manifests AND their outputs together — stale
