@@ -421,3 +421,111 @@ def q_kcore(sf_dir: str):
     edges = cooccurrence_edges(sf_dir)
     tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
     return core_numbers(tbl.column("e").to_numpy(zero_copy_only=False))
+
+
+# ------------------------------------------------------- connected components
+
+
+def connected_components(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    nodes_ds=None,
+    node_col: str | None = None,
+    force_distributed: bool = False,
+):
+    """Public connected components over ANY edge Dataset (string or int64
+    node ids) -> Dataset ``(node, component)``; component = min member id.
+
+    Size-adaptive exactly like the linking stage it generalizes
+    (pie_ray/stages/linking.py): below CC_DRIVER_THRESHOLD edges a driver
+    union-find labels everything (edge pull bounded by the threshold, never
+    the node count); above it, the alternating hash-min label-propagation
+    rounds run distributed and nodes get labels via one hash join. Both
+    paths agree because Arrow's ``min`` and Python's ``min`` order int64 and
+    utf8 identically (tested driver == distributed).
+
+    ``nodes_ds``/``node_col`` optionally supply the node universe (isolated
+    nodes come out as singleton components); default is the set of edge
+    endpoints. The node universe is never pulled to the driver — labels are
+    applied as a broadcast task map (small path) or hash join (scale path).
+    """
+    import ray
+
+    from pie_ray.stages.linking import CC_DRIVER_THRESHOLD, cc_distributed
+    from pie_ray.state.dsu import DSU
+    from pie_ray.util import hash64_array
+
+    pairs = edges_ds.map_batches(
+        lambda t: pa.table({"a": t.column(src), "b": t.column(dst)}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if nodes_ds is None:
+        nodes_ds, node_col = pairs, None
+
+    def node_batch(t: pa.Table) -> pa.Table:
+        if node_col is not None:
+            arr = pc.unique(t.column(node_col).combine_chunks())
+        else:
+            arr = pc.unique(
+                pa.concat_arrays(
+                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                )
+            )
+        h = hash64_array([str(v) for v in arr.to_pylist()], salt=b"ccn")
+        return pa.table(
+            {"node": arr, "bucket": pa.array((h % N_BUCKETS).astype("int32"), pa.int32())}
+        )
+
+    nodes = (
+        nodes_ds.map_batches(node_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pa.table({"node": pc.unique(g.column("node").combine_chunks())}),
+            batch_format="pyarrow",
+        )
+    )
+
+    n_edges = pairs.count()
+    if n_edges <= CC_DRIVER_THRESHOLD and not force_distributed:
+        dsu = DSU()
+        for batch in pairs.iter_batches(batch_format="pyarrow"):
+            for x, y in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+                dsu.union(x, y)
+        cmap = dsu.canon_map()
+        ks = sorted(cmap)
+        ktype = pa.string() if (ks and isinstance(ks[0], str)) else pa.int64()
+        cref = ray.put((pa.array(ks, ktype), pa.array([cmap[k] for k in ks], ktype)))
+
+        def assign(t: pa.Table, lookup_ref=None) -> pa.Table:
+            keys_, vals_ = ray.get(lookup_ref)
+            idx = pc.index_in(t.column("node").combine_chunks(), value_set=keys_)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "component": pc.coalesce(vals_.take(idx), t.column("node")),
+                }
+            )
+
+        return nodes.map_batches(
+            assign, fn_kwargs={"lookup_ref": cref}, batch_format="pyarrow"
+        )
+
+    labels = cc_distributed(pairs)
+    joined = nodes.join(
+        labels,
+        join_type="left_outer",
+        num_partitions=join_num_partitions(pairs.size_bytes()),
+        on=("node",),
+        right_on=("node",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "component": pc.coalesce(t.column("label"), t.column("node")),
+            }
+        ),
+        batch_format="pyarrow",
+    )

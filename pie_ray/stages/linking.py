@@ -167,15 +167,21 @@ def _min_label_by_node(ds, src_col: str, lab_col: str):
     pattern: hash(node) % CC_BUCKETS shuffle, vectorized Arrow group_by min
     inside each bucket (node cardinality is the graph's node count — Ray's
     per-group Python dispatch is avoided)."""
-    from pie_ray.util import hash64_array
+    from pie_ray.util import hash64_array, hash64_ints
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # per-batch combine first: shrink shuffle rows to distinct nodes/batch
         gb = t.group_by([src_col]).aggregate([(lab_col, "min")])
         gb = gb.rename_columns([src_col, lab_col])
-        b = (hash64_array(gb.column(src_col).to_pylist(), salt=b"cc") % CC_BUCKETS).astype(
-            "int32"
-        )
+        col = gb.column(src_col)
+        # int node ids (graphops.connected_components over arbitrary edge
+        # tables) hash via vectorized splitmix64; strings keep blake2b.
+        # Bucket choice only spreads the shuffle — results never depend on it.
+        if pa.types.is_integer(col.type):
+            h = hash64_ints(col.to_numpy(zero_copy_only=False).astype("int64"), salt=0xCC)
+        else:
+            h = hash64_array(col.to_pylist(), salt=b"cc")
+        b = (h % CC_BUCKETS).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 
     def min_bucket(g: pa.Table) -> pa.Table:

@@ -145,3 +145,71 @@ def test_edges_independent_of_partitioning(ray_session):
         return np.sort(tbl.column("e").to_numpy(zero_copy_only=False))
 
     assert np.array_equal(edge_array(1), edge_array(5))
+
+
+# ---------------------------------------------------- connected components
+
+
+def _brute_cc(pairs, extra_nodes=()):
+    from pie_ray.state.dsu import DSU
+
+    dsu = DSU()
+    for a, b in pairs:
+        dsu.union(a, b)
+    out = dict(dsu.canon_map())
+    for n in extra_nodes:
+        out.setdefault(n, n)
+    for a, b in pairs:
+        out.setdefault(a, a), out.setdefault(b, b)
+    return out
+
+
+def _cc_dict(ds):
+    return {r["node"]: r["component"] for r in ds.take_all()}
+
+
+def test_connected_components_random_int_graph(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 300, 500).astype(np.int64)
+    b = rng.integers(0, 300, 500).astype(np.int64)
+    keep = a != b
+    pairs = list(zip(a[keep].tolist(), b[keep].tolist()))
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(a[keep]), "dst": pa.array(b[keep])})
+    ).repartition(4)
+
+    expect = _brute_cc(pairs)
+    got = _cc_dict(G.connected_components(edges))
+    assert got == expect
+    # the scale path must agree exactly with the driver union-find
+    got_dist = _cc_dict(G.connected_components(edges, force_distributed=True))
+    assert got_dist == expect
+
+
+def test_connected_components_strings_and_isolated_nodes(ray_session):
+    import ray.data
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(["bob", "carol", "dave", "erin"]),
+                "v": pa.array(["alice", "bob", "erin", "dave"]),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(
+        pa.table({"id": pa.array(["alice", "bob", "carol", "dave", "erin", "zed"])})
+    )
+    got = _cc_dict(
+        G.connected_components(edges, src="u", dst="v", nodes_ds=nodes, node_col="id")
+    )
+    assert got == {
+        "alice": "alice",
+        "bob": "alice",
+        "carol": "alice",
+        "dave": "dave",
+        "erin": "dave",
+        "zed": "zed",  # isolated node -> singleton component
+    }
