@@ -85,6 +85,32 @@ def _raw_triples(pages_ds, cfg):
     return raw_triples_stage(extract_stage(pages_ds, cfg), cfg)
 
 
+def _ledger_rows(root: str) -> int:
+    """Exact processed-url count from the ledger's parquet metadata (O(1)
+    per file). Used as the Bloom capacity — crash re-appends can duplicate
+    urls and overcount, which only oversizes the filter (the safe side)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _delta_files(root, "urls")
+    )
+
+
+def _delta_fingerprint(root: str) -> str:
+    """Identity of the on-disk raw-delta set (names + sizes). Recorded in
+    the meta after every rebuild, so an update can tell whether the derived
+    caches incorporate everything that is durable — the crash case this
+    closes: a run killed after its increment landed but before the rebuild
+    leaves urls in the ledger, so a later all-seen recrawl would otherwise
+    no-op forever while triples/graph silently miss the increment."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for f in _delta_files(root, "raw"):
+        h.update(f"{os.path.relpath(f, root)}:{os.path.getsize(f)};".encode())
+    return h.hexdigest()
+
+
 def _write_increment(root: str, k: int, pages_ds, cfg) -> int:
     """Append one increment: raw triples + processed-url ledger rows. The
     ledger records EVERY input url (a lang-filtered or PII-free page is
@@ -97,6 +123,10 @@ def _write_increment(root: str, k: int, pages_ds, cfg) -> int:
     urls_dir = os.path.join(root, "urls", f"delta_{k:06d}")
     os.makedirs(raw_dir, exist_ok=True)
     os.makedirs(urls_dir, exist_ok=True)
+    # a crashed update leaves files in this slot and is replayed into it —
+    # count only THIS run's files (pre-existing urls are already screened
+    # out upstream, so they must not inflate this run's new-page count)
+    before = set(glob.glob(os.path.join(urls_dir, "*.parquet")))
     _raw_triples(pages_ds, cfg).write_parquet(raw_dir)
     pages_ds.map_batches(
         lambda t: t.select(["url"]), batch_format="pyarrow"
@@ -104,6 +134,7 @@ def _write_increment(root: str, k: int, pages_ds, cfg) -> int:
     return sum(
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(os.path.join(urls_dir, "*.parquet"))
+        if f not in before
     )
 
 
@@ -145,7 +176,14 @@ def incremental_build(pages_ds, root: str, cfg=None) -> dict:
     os.makedirs(root, exist_ok=True)
     n_urls = _write_increment(root, 0, pages_ds, cfg)
     res = _rebuild(root, cfg)
-    _write_meta(root, {"n_updates": 1, "n_urls": n_urls})
+    _write_meta(
+        root,
+        {
+            "n_updates": 1,
+            "n_urls": _ledger_rows(root),
+            "built_fp": _delta_fingerprint(root),
+        },
+    )
     return {**res, "n_new_pages": n_urls}
 
 
@@ -240,13 +278,20 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3) -> dict
     meta = _read_meta(root)
     new_pages = _truly_new(pages_ds, root, meta, fpp)
     n_new = _write_increment(root, meta["n_updates"], new_pages, cfg)
-    if n_new == 0:
-        # nothing genuinely new: the empty delta dirs are skipped on read,
-        # meta stays put (the slot is reused), caches stay untouched
+    if n_new == 0 and _delta_fingerprint(root) == meta.get("built_fp"):
+        # nothing genuinely new AND the caches incorporate every durable
+        # delta: true no-op (empty delta dirs are skipped on read, meta
+        # stays put — the slot is reused)
         return {"n_new_pages": 0, "rebuilt": False}
+    # n_new == 0 with a fingerprint mismatch means a previous update
+    # crashed between its increment landing and its rebuild — rebuild now
     res = _rebuild(root, cfg)
     _write_meta(
         root,
-        {"n_updates": meta["n_updates"] + 1, "n_urls": meta["n_urls"] + n_new},
+        {
+            "n_updates": meta["n_updates"] + (1 if n_new else 0),
+            "n_urls": _ledger_rows(root),
+            "built_fp": _delta_fingerprint(root),
+        },
     )
     return {**res, "n_new_pages": n_new, "rebuilt": True}

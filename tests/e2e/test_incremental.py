@@ -75,6 +75,51 @@ def test_incremental_noop_on_all_seen(fresh_and_inc):
     assert before and after == before  # derived caches untouched
 
 
+def test_incremental_crash_between_increment_and_rebuild(
+    ray_session, tmp_path_factory
+):
+    """Simulate a run killed AFTER its increment landed (raw + urls durable)
+    but BEFORE the rebuild: the next update — even an all-seen recrawl —
+    must detect the stale caches via the delta fingerprint and rebuild, so
+    the crashed increment's triples are never silently lost."""
+    from pie_ray.pipelines import incremental as inc
+    from pie_ray.pipelines.kg import KgConfig
+    from pie_ray.sources.synth import synth_pages
+
+    root = str(tmp_path_factory.mktemp("kg_crash"))
+    inc.incremental_build(synth_pages(120), root)
+
+    # crash replay: the increment of pages 120..180 is durable, rebuild+meta
+    # never happened (this is exactly the state a SIGKILL leaves)
+    meta = inc._read_meta(root)
+    new_pages = inc._truly_new(synth_pages(180), root, meta, fpp=1e-3)
+    assert inc._write_increment(root, meta["n_updates"], new_pages, KgConfig()) == 60
+    stale = _triple_rows(f"{root}/triples")
+
+    # all-seen recrawl of the ORIGINAL corpus: 0 new pages, but the caches
+    # are stale -> must rebuild and incorporate the crashed increment
+    res = inc.incremental_update(root, synth_pages(120))
+    assert res["n_new_pages"] == 0 and res["rebuilt"]
+    rebuilt = _triple_rows(f"{root}/triples")
+    assert rebuilt != stale  # the crashed increment changed the output
+    # recovery == a fresh build over ALL 180 pages (canonicalization may
+    # merge old entities under the larger key universe, so equality with
+    # the fresh union — not supersetness of the stale set — is the invariant)
+    import tempfile
+
+    from pie_ray.pipelines.kg import run_pipeline
+
+    with tempfile.TemporaryDirectory() as fd:
+        run_pipeline(synth_pages(180), fd)
+        assert rebuilt == _triple_rows(f"{fd}/triples")
+    # ledger-derived bloom capacity covers the crashed increment's urls
+    assert inc._read_meta(root)["n_urls"] == 180
+
+    # and now it is a true no-op
+    res2 = inc.incremental_update(root, synth_pages(180))
+    assert res2 == {"n_new_pages": 0, "rebuilt": False}
+
+
 def test_incremental_antijoin_path(fresh_and_inc, monkeypatch):
     """Force the at-scale branch (candidate count above the driver cutover:
     key-only left_outer anti-join against the ledger) and require the same
