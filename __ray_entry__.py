@@ -238,13 +238,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "global_agg": """
-            -- all seven global aggregates under one entry; stddev from the
-            -- same closed form over exact integer sums as the engine (one
-            -- float expression, no accumulation drift)
+            -- all eight global aggregates under one entry; stddev and the
+            -- quantity/discount Pearson correlation from the same closed
+            -- forms over exact integer sums as the engine (identical float
+            -- expressions evaluated once — no accumulation drift; discount
+            -- is exact integer percent, so every moment is an exact sum)
             WITH s AS (
               SELECT COUNT(*) AS n,
                      SUM(CAST(l_quantity AS BIGINT)) AS s1,
                      SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+                     SUM(CAST(round(l_discount*100) AS BIGINT)) AS sy,
+                     SUM(CAST(round(l_discount*100) AS BIGINT)
+                         * CAST(round(l_discount*100) AS BIGINT)) AS sy2,
+                     SUM(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_discount*100) AS BIGINT)) AS sxy,
                      COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS nd,
                      MIN(CAST(year(l_shipdate) AS BIGINT)) AS miny,
                      MAX(CAST(year(l_shipdate) AS BIGINT)) AS maxy
@@ -256,7 +263,10 @@ def oracle_sql() -> dict[str, str]:
                    maxy AS max_year,
                    s1 * 1.0 / n AS mean_qty,
                    sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) AS std_qty,
-                   CAST(nd AS BIGINT) AS n_distinct_qty
+                   CAST(nd AS BIGINT) AS n_distinct_qty,
+                   CAST(n * sxy - s1 * sy AS DOUBLE)
+                     / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                        * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr_qty_disc
             FROM s
         """,
         "pricing_summary": """

@@ -187,7 +187,7 @@ def q_global_agg(sf_dir: str):
     expression, no accumulation drift."""
     import math
 
-    ds = scan(sf_dir, "lineitem", columns=["l_quantity", "l_shipdate"])
+    ds = scan(sf_dir, "lineitem", columns=["l_quantity", "l_shipdate", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
         q = pc.cast(t.column("l_quantity"), pa.int64())
@@ -195,11 +195,19 @@ def q_global_agg(sf_dir: str):
         years = pc.cast(pc.year(t.column("l_shipdate")), pa.int64()).to_numpy(
             zero_copy_only=False
         )
+        # discount in exact integer percent (values are 0.00..0.10 in cent
+        # steps) — keeps every corr sum an exact int64 at any scale factor
+        dn = np.round(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
         return pa.table(
             {
                 "n": pa.array([len(qn)], pa.int64()),
                 "s1": pa.array([int(qn.sum())], pa.int64()),
                 "s2": pa.array([int((qn * qn).sum())], pa.int64()),
+                "sy": pa.array([int(dn.sum())], pa.int64()),
+                "sy2": pa.array([int((dn * dn).sum())], pa.int64()),
+                "sxy": pa.array([int((qn * dn).sum())], pa.int64()),
                 "distinct": pa.array([np.unique(qn).tolist()], pa.list_(pa.int64())),
                 "min_year": pa.array([int(years.min())], pa.int64()),
                 "max_year": pa.array([int(years.max())], pa.int64()),
@@ -210,10 +218,20 @@ def q_global_agg(sf_dir: str):
     n = sum(r["n"] for r in rows)
     s1 = sum(r["s1"] for r in rows)
     s2 = sum(r["s2"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    sy2 = sum(r["sy2"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
     distinct: set[int] = set()
     for r in rows:
         distinct.update(r["distinct"])
     std = math.sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) if n > 1 else 0.0
+    # Pearson corr from the SAME closed form (and the same float-conversion
+    # points) as the oracle SQL: exact integer moments, then
+    # num / (sqrt(dx) * sqrt(dy)) evaluated once in float
+    num = n * sxy - s1 * sy
+    dx = n * s2 - s1 * s1
+    dy = n * sy2 - sy * sy
+    corr = float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))) if dx and dy else 0.0
     return pa.table(
         {
             "n": pa.array([n], pa.int64()),
@@ -223,6 +241,7 @@ def q_global_agg(sf_dir: str):
             "mean_qty": pa.array([s1 * 1.0 / n], pa.float64()),
             "std_qty": pa.array([std], pa.float64()),
             "n_distinct_qty": pa.array([len(distinct)], pa.int64()),
+            "corr_qty_disc": pa.array([corr], pa.float64()),
         }
     )
 
