@@ -63,9 +63,10 @@ def neighbors_khop(
     dist = {src: 0}
     frontier = [src]
     for hop in range(1, k + 1):
+        adj = _adjacency_of(graph_dir, frontier, num_parts)
         nxt: list[str] = []
         for node in frontier:
-            for entry in neighbors(graph_dir, node, num_parts):
+            for entry in adj.get(node, ()):
                 dst = entry["dst"]
                 if dst not in dist:
                     dist[dst] = hop
@@ -74,6 +75,68 @@ def neighbors_khop(
             break
         frontier = nxt
     return dist
+
+
+def _adjacency_of(
+    graph_dir: str, nodes: list[str], num_parts: int
+) -> dict[str, list[dict]]:
+    """Batched point lookup: adjacency for a whole frontier at once. Nodes
+    are grouped by their hash partition so N frontier nodes cost
+    min(N, touched-partitions) directory reads — strictly fewer than the
+    per-node loop when a frontier clusters (it always does on small P)."""
+    by_part: dict[int, list[str]] = {}
+    for n in nodes:
+        by_part.setdefault(part_of(n, num_parts), []).append(n)
+    out: dict[str, list[dict]] = {}
+    for part, members in by_part.items():
+        pdir = os.path.join(graph_dir, f"part={part}")
+        if not os.path.isdir(pdir):
+            continue
+        import pyarrow as pa
+
+        t = pq.read_table(pdir, columns=["src", "adj"])
+        t = t.filter(pc.is_in(t.column("src"), value_set=pa.array(members)))
+        for s, row in zip(t.column("src").to_pylist(), t.column("adj")):
+            out.setdefault(s, []).extend(row.as_py())
+    return out
+
+
+def shortest_path(
+    graph_dir: str,
+    src: str,
+    dst: str,
+    max_hops: int = 6,
+    num_parts: int | None = None,
+) -> list[str] | None:
+    """Unweighted shortest path src -> dst over the partitioned sink (BFS
+    with parent tracking, partition-batched frontier reads, early exit).
+    Returns the node list including both endpoints, or None if dst is not
+    reachable within ``max_hops``. Deterministic: the frontier expands in
+    sorted order, so equal-length paths tie-break identically every run."""
+    if num_parts is None:
+        num_parts = _num_parts(graph_dir)
+    if src == dst:
+        return [src]
+    parent: dict[str, str] = {src: src}
+    frontier = [src]
+    for _ in range(max_hops):
+        adj = _adjacency_of(graph_dir, sorted(frontier), num_parts)
+        nxt: list[str] = []
+        for node in sorted(frontier):
+            for entry in sorted(e["dst"] for e in adj.get(node, ())):
+                if entry in parent:
+                    continue
+                parent[entry] = node
+                if entry == dst:
+                    path = [dst]
+                    while path[-1] != src:
+                        path.append(parent[path[-1]])
+                    return path[::-1]
+                nxt.append(entry)
+        if not nxt:
+            return None
+        frontier = nxt
+    return None
 
 
 def degree_topk(graph_dir: str, k: int = 10) -> list[tuple[str, int]]:

@@ -57,3 +57,55 @@ def test_neighbors_khop(ray_session, tmp_path):
     for n in (n for n, v in d2.items() if v == 1):
         reachable |= {e["dst"] for e in neighbors(gdir, n)}
     assert hop2 <= reachable
+
+
+def test_shortest_path(ray_session, tmp_path):
+    """BFS shortest path over the partitioned sink: path validity (every
+    consecutive pair is a real edge), length optimality vs a brute BFS over
+    the full edge list, and None for unreachable / over-budget targets."""
+    from collections import deque
+
+    import ray.data
+
+    from pie_ray.pipelines.graph_query import neighbors, shortest_path
+    from pie_ray.pipelines.kg import run_pipeline
+    from pie_ray.sources.synth import synth_pages
+
+    out = str(tmp_path / "kgsp")
+    res = run_pipeline(synth_pages(200, override_num_blocks=4), out)
+    gdir = res["graph_path"]
+
+    # full edge list -> brute BFS distances from one source
+    adj_all: dict[str, set[str]] = {}
+    for r in ray.data.read_parquet(gdir).take_all():
+        adj_all.setdefault(r["src"], set()).update(e["dst"] for e in r["adj"])
+    src = sorted(adj_all)[0]
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for v in sorted(adj_all.get(u, ())):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+
+    checked = 0
+    for target, d in sorted(dist.items()):
+        if target == src or d > 3:
+            continue
+        path = shortest_path(gdir, src, target, max_hops=4)
+        assert path is not None and len(path) - 1 == d, (target, d, path)
+        assert path[0] == src and path[-1] == target
+        for a, b in zip(path, path[1:]):
+            assert b in {e["dst"] for e in neighbors(gdir, a)}
+        checked += 1
+        if checked >= 8:
+            break
+    assert checked >= 3  # the synthetic KG must offer real multi-hop paths
+
+    assert shortest_path(gdir, src, src) == [src]
+    assert shortest_path(gdir, src, "per:nobody at all", max_hops=3) is None
+    # a genuinely reachable node beyond the hop budget -> None
+    far = [n for n, d in dist.items() if d >= 2]
+    if far:
+        assert shortest_path(gdir, src, far[0], max_hops=1) is None
