@@ -232,3 +232,175 @@ def bm25_oracle_sql(query: str, k: int = 10, k1: float = BM25_K1, b: float = BM2
     SELECT doc_id, score FROM scored
     ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
+
+
+# ------------------------------------------------- materialized text index
+
+TEXT_INDEX_PARTS = 64
+# driver bound for the indexed query path: sum of the query terms' posting
+# rows. Interactive point queries stay far below it; a stop-word-heavy
+# query against a huge corpus should use the scan path (bm25_topk), which
+# distributes the scoring.
+INDEX_DRIVER_ROWS = 5_000_000
+
+
+def _posting_rows(t: pa.Table) -> pa.Table:
+    """(word, doc_id, tf, dl) for every distinct (doc, word) in the batch —
+    exact per-document tf because a document never spans batches."""
+    from pie_ray.util import hash64_array, rename_grouped
+
+    text = pc.fill_null(t.column("text").combine_chunks(), "")
+    trimmed = pc.utf8_trim(pc.utf8_lower(text), characters=WS_CHARS)
+    nonempty = pc.not_equal(trimmed, "")
+    lists = pc.split_pattern_regex(trimmed.filter(nonempty), r"[ \t\n\f\r]+")
+    dl = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    words = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    ids = (
+        t.column("doc_id").combine_chunks().filter(nonempty).to_numpy(zero_copy_only=False)
+    )
+    sub = pa.table(
+        {
+            "word": words,
+            "doc_id": pa.array(ids[parent], pa.int64()),
+            "dl": pa.array(dl[parent], pa.int64()),
+        }
+    )
+    gb = rename_grouped(
+        sub.group_by(["word", "doc_id"]).aggregate([("dl", "count"), ("dl", "min")]),
+        ["word", "doc_id"],
+        ["word", "doc_id", "tf", "dl"],
+    )
+    part = (
+        hash64_array(gb.column("word").to_pylist(), salt=b"tidx") % TEXT_INDEX_PARTS
+    ).astype("int32")
+    return gb.append_column("part", pa.array(part, pa.int32()))
+
+
+def build_text_index(docs_ds, out_dir: str, num_parts: int = TEXT_INDEX_PARTS) -> dict:
+    """Materialize an inverted index: posting rows hash-partitioned by term
+    (ONE bucketed exchange, postings sorted by (word, doc_id) inside each
+    partition so parquet row-group stats prune term lookups), plus a
+    corpus-stats sidecar. The search counterpart of the partitioned graph
+    sink: a query then reads only its terms' partitions — never the corpus."""
+    import json
+    import os
+
+    from pie_ray.functions.textops import token_count_batch
+
+    def sort_part(g: pa.Table) -> pa.Table:
+        return g.take(
+            pc.sort_indices(g, sort_keys=[("word", "ascending"), ("doc_id", "ascending")])
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        docs_ds.map_batches(_posting_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sort_part, batch_format="pyarrow")
+        .write_parquet(os.path.join(out_dir, "postings"), partition_cols=["part"])
+    )
+
+    # corpus stats (N docs incl. empty ones, avgdl) — one streaming pass
+    n_docs = 0
+    tot_len = 0
+    for bt in docs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "len": pa.array(
+                    [pc.sum(token_count_batch(t).column("n_tokens_ws")).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        n_docs += pc.sum(bt.column("n")).as_py() or 0
+        tot_len += pc.sum(bt.column("len")).as_py() or 0
+    meta = {"n_docs": n_docs, "total_len": tot_len, "num_parts": num_parts}
+    with open(os.path.join(out_dir, "_INDEX_META.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bm25_topk_indexed(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> pa.Table:
+    """BM25 top-k served from the materialized index: reads ONLY the query
+    terms' posting partitions (parquet filter on the sorted word column —
+    row-group pruning), scores driver-side over the matched rows. Identical
+    results to the scan path ``bm25_topk`` (gated in tests). Driver memory
+    = the query terms' posting rows, capped at INDEX_DRIVER_ROWS."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pie_ray.util import hash64_array
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    q_terms = sorted(set(ws_tokens(query.lower())))
+    if not q_terms:
+        return empty
+    with open(os.path.join(index_dir, "_INDEX_META.json")) as f:
+        meta = json.load(f)
+    n_docs, num_parts = meta["n_docs"], meta["num_parts"]
+    if n_docs == 0:
+        return empty
+    avgdl = meta["total_len"] / n_docs
+
+    parts = hash64_array(q_terms, salt=b"tidx") % num_parts
+    tabs = []
+    for part in sorted(set(int(p) for p in parts)):
+        pdir = os.path.join(index_dir, "postings", f"part={part}")
+        if not os.path.isdir(pdir):
+            continue
+        terms = [t for t, p in zip(q_terms, parts) if int(p) == part]
+        tabs.append(
+            pq.read_table(
+                pdir,
+                columns=["word", "doc_id", "tf", "dl"],
+                filters=[("word", "in", terms)],
+            )
+        )
+    if not tabs:
+        return empty
+    m = pa.concat_tables(tabs)
+    if m.num_rows > INDEX_DRIVER_ROWS:
+        raise ValueError(
+            f"query matches {m.num_rows} posting rows (> {INDEX_DRIVER_ROWS}); "
+            "use the distributed scan path bm25_topk() for stop-word-scale terms"
+        )
+    if m.num_rows == 0:
+        return empty
+
+    # same arithmetic as bm25_topk, in deterministic sorted (word, doc) order
+    m = m.take(pc.sort_indices(m, sort_keys=[("word", "ascending"), ("doc_id", "ascending")]))
+    words = m.column("word").to_pylist()
+    df: dict[str, int] = {}
+    for w in words:
+        df[w] = df.get(w, 0) + 1
+    idf = {w: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))) for w, d in df.items()}
+    tf = m.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dlv = m.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+    w_idf = np.array([idf[w] for w in words])
+    s = w_idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dlv / avgdl))
+    scored = pa.table(
+        {"doc_id": m.column("doc_id"), "s": pa.array(s, pa.float64())}
+    )
+    from pie_ray.util import rename_grouped
+
+    gb = rename_grouped(
+        scored.group_by(["doc_id"]).aggregate([("s", "sum")]), ["doc_id"], ["doc_id", "score"]
+    )
+    order = pc.sort_indices(
+        gb, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
+    return gb.take(order[:k])

@@ -65,3 +65,34 @@ def test_bm25_empty_query_and_no_match(ray_session):
     ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     assert bm25_topk(ds, "   ", k=5).num_rows == 0
     assert bm25_topk(ds, "zzzznotaword", k=5).num_rows == 0
+
+
+def test_indexed_bm25_matches_scan_path(ray_session, tmp_path):
+    """The materialized index must reproduce the scan path exactly: same
+    top-k doc order, scores equal to 1e-9 (same formula, different but
+    deterministic summation order)."""
+    import ray.data
+
+    from pie_ray.functions.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    idx = str(tmp_path / "tidx")
+    meta = build_text_index(docs, idx)
+    assert meta["n_docs"] == docs.count()
+
+    for q in ("spark join window", "the shuffle", "zzz-not-a-word", ""):
+        scan_res = bm25_topk(docs, q, k=10)
+        idx_res = bm25_topk_indexed(idx, q, k=10)
+        assert idx_res.column("doc_id").to_pylist() == scan_res.column(
+            "doc_id"
+        ).to_pylist(), q
+        import numpy as np
+
+        a = np.array(scan_res.column("score").to_pylist())
+        b = np.array(idx_res.column("score").to_pylist())
+        assert np.allclose(a, b, rtol=0, atol=1e-9), q
