@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_media_frames,
         q_media_resize,
     )
+    from pie_ray.functions.spandedup import q_dedup_spans
+    from pie_ray.functions.validate import q_validate
 
     # EXACTLY 50 entries, flagship-first: the driver records correctness
     # rows for at most ~50 queries (round-2 lesson — the kg_*/media_* rows
@@ -207,10 +209,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled md5 holdout; weighted = deterministic A-ES top-k
         "sampling": relational.q_sampling,
         "sample_weighted": relational.q_sample_weighted,
+        # --- entries 51+ sit BEYOND the ~50-row driver recording cap ---
+        # (kept last on purpose: unrecorded today, verified for free if
+        # the cap lifts; both are pytest-gated either way)
+        "validate_rows": q_validate,
+        "dedup_spans": q_dedup_spans,
     }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from pie_ray.functions.validate import validate_oracle_sql
+
     return {
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
@@ -744,4 +753,5 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY sim DESC, vec_id LIMIT 10
         """,
+        "validate_rows": validate_oracle_sql(),
     }
