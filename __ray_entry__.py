@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the cap lifts; both are pytest-gated either way)
         "validate_rows": q_validate,
         "dedup_spans": q_dedup_spans,
+        "full_outer_join": relational.q_full_outer_join,
+        "stratified_sample": relational.q_stratified_sample,
     }.items()}
 
 
@@ -754,4 +756,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id LIMIT 10
         """,
         "validate_rows": validate_oracle_sql(),
+        "full_outer_join": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+                   COALESCE(c.c_acctbal, -1.0) AS c_acctbal,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(o.o_totalprice, 0.0) AS o_totalprice
+            FROM (SELECT * FROM customer WHERE c_acctbal > 7000.0) c
+            FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+              ON c.c_custkey = o.o_custkey
+        """,
+        "stratified_sample": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY o_orderpriority
+                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+              ) AS rn
+              FROM orders
+            ) WHERE rn <= 5
+        """,
     }

@@ -1829,3 +1829,121 @@ def q_order_lineitem_join(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# B5 depth: FULL OUTER join (both sides null-padded)
+# ---------------------------------------------------------------------------
+
+
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER join at row grain: rich customers (acctbal > 7000) vs big
+    orders (totalprice > 400k) on custkey — thresholds chosen so BOTH sides
+    have unmatched rows at sf0.001 and sf0.01 (6/226 and 50/2093 left/right
+    unmatched), exercising both null-padding directions. Ray Data's native
+    ``join_type="full_outer"`` hash join with bytes-derived partitioning;
+    unmatched nulls coalesced to sentinels (-1 / 0.0) so the driver's value
+    hash never compares nulls (same guard as q_outer_join)."""
+    from pie_ray.util import join_num_partitions
+
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 7000.0"
+    )
+    orders = scan(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 400000.0")
+    joined = cust.join(
+        orders,
+        join_type="full_outer",
+        num_partitions=join_num_partitions(orders.size_bytes()),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        # Ray's full_outer merges the right key INTO the left key column
+        # (c_custkey is never null in the output) — only the payload
+        # columns need sentinel fills
+        return pa.table(
+            {
+                "custkey": t.column("c_custkey"),
+                "c_acctbal": pc.fill_null(t.column("c_acctbal"), pa.scalar(-1.0)),
+                "o_orderkey": pc.fill_null(
+                    t.column("o_orderkey"), pa.scalar(-1, pa.int64())
+                ),
+                "o_totalprice": pc.fill_null(t.column("o_totalprice"), pa.scalar(0.0)),
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# B9 depth: stratified (per-group) deterministic sampling
+# ---------------------------------------------------------------------------
+
+STRATIFIED_N = 5
+
+
+def stratified_sample(ds, group_col: str, id_cols: list[str], n: int):
+    """Deterministic n rows PER GROUP: within each group, the n rows with
+    the smallest md5 of the '_'-joined id columns (ties broken by the ids)
+    — a repeatable stratified holdout, exactly SQL-expressible via
+    row_number() over (partition by group order by md5(...)).
+
+    Scale shape: same partial pushdown as per-group top-k — every batch
+    forwards <= n rows per group into ONE group-key shuffle, so a
+    billion-row group ships n rows per block, never its mass. Group count
+    is assumed shuffle-sized (it is the stratification key, e.g. language
+    or source); the md5 loop is per-row but bounded by the batch.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        ids = [t.column(c).to_pylist() for c in id_cols]
+        keys = [
+            hashlib.md5("_".join(str(v) for v in row).encode()).hexdigest()
+            for row in zip(*ids)
+        ]
+        return t.append_column("__mkey", pa.array(keys, pa.string()))
+
+    def topn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        order = pc.sort_indices(
+            t,
+            sort_keys=[(group_col, "ascending"), ("__mkey", "ascending")]
+            + [(c, "ascending") for c in id_cols],
+        )
+        t = t.take(order)
+        grp = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        m = len(grp)
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(new)
+        base = np.zeros(m, np.int64)
+        base[starts] = starts
+        np.maximum.accumulate(base, out=base)
+        rank = np.arange(m) - base
+        return t.filter(pa.array(rank < n))
+
+    partial = ds.map_batches(key_batch, batch_format="pyarrow").map_batches(
+        topn, batch_format="pyarrow"
+    )
+    final = partial.groupby(group_col).map_groups(topn, batch_format="pyarrow")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__mkey"])
+
+    return final.map_batches(strip, batch_format="pyarrow")
+
+
+def q_stratified_sample(sf_dir: str):
+    """B9 depth — STRATIFIED_N orders per priority class, deterministic."""
+    ds = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return stratified_sample(
+        ds, "o_orderpriority", ["o_orderkey"], STRATIFIED_N
+    )
