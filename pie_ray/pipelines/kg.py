@@ -50,8 +50,12 @@ def extract_stage(pages_ds, cfg: KgConfig):
     read/gen -> extract -> NER chain fuses onto the NER actor pool)."""
     from pie_ray.stages.extract import extract_batch
 
+    # langs=None/() disables the filter (e.g. WARC input has no lang column
+    # at read time — lang-id runs downstream on the extracted text)
     return pages_ds.map_batches(
-        extract_batch, fn_kwargs={"langs": tuple(cfg.langs)}, batch_format="pyarrow"
+        extract_batch,
+        fn_kwargs={"langs": tuple(cfg.langs) if cfg.langs else None},
+        batch_format="pyarrow",
     )
 
 

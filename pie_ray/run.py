@@ -27,7 +27,17 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--input", help="Parquet dir/file of T0 pages (url, warc_ts, html, text, lang)")
     src.add_argument("--synth", type=int, metavar="N", help="synthesize N pages instead")
     p.add_argument("--output", required=True, help="output root (triples/, graph/, _manifests/)")
-    p.add_argument("--langs", default="en", help="comma-separated language allowlist")
+    p.add_argument(
+        "--langs",
+        default="en",
+        help="comma-separated language allowlist ('' = no filter, e.g. for WARC)",
+    )
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="input layout; *.warc / *.warc.gz paths auto-detect",
+    )
     p.add_argument("--num-parts", type=int, default=16, help="NER resume partitions")
     p.add_argument("--graph-parts", type=int, default=64, help="graph sink partitions")
     p.add_argument("--ner-batch-size", type=int, default=256)
@@ -66,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     n_cpus = int(ray.cluster_resources().get("CPU", 4))
     max_actors = args.ner_actors or max(2, n_cpus - 2)
     cfg = KgConfig(
-        langs=tuple(args.langs.split(",")),
+        langs=tuple(s for s in args.langs.split(",") if s),
         ner_batch_size=args.ner_batch_size,
         ner_concurrency=(1, max_actors),
         tau=args.tau,
@@ -87,6 +97,39 @@ def main(argv: list[str] | None = None) -> int:
             return synth_pages_for_parts(
                 n, parts, args.num_parts, override_num_blocks=nblocks
             )
+
+    elif args.input and (
+        args.input.endswith((".warc", ".warc.gz")) or args.input_format == "warc"
+    ):
+        path = args.input
+        corpus_id = f"warc:{path}"
+
+        def factory(parts=None):
+            from pie_ray.sources.warc import read_warc
+
+            # WARC carries no lang column (emitted ''): the lang filter
+            # cannot push down; extract runs with langs=None and lang-id
+            # happens downstream. Resume rounds prune by the standard
+            # url-hash rule AFTER the parse (record-level pruning; file-
+            # level pruning is not possible inside an archive).
+            ds = read_warc(path)
+            if parts is None:
+                return ds
+
+            import numpy as np
+            import pyarrow as pa
+
+            from pie_ray.util import hash64_array
+
+            want = np.array(sorted(parts), dtype=np.uint64)
+
+            def keep_parts(t: pa.Table) -> pa.Table:
+                pr = hash64_array(
+                    t.column("url").to_pylist(), salt=b"part"
+                ) % args.num_parts
+                return t.filter(pa.array(np.isin(pr, want)))
+
+            return ds.map_batches(keep_parts, batch_format="pyarrow")
 
     else:
         path = args.input
