@@ -73,6 +73,13 @@ def iter_warc_records(stream):
             headers[k.strip().lower()] = v.strip()
         length = int(headers.get(b"content-length", b"0"))
         payload = stream.read(length)
+        if len(payload) < length:
+            # a crashed crawler leaves truncated archives; fail loudly
+            # rather than emit a half page and then misparse the tail
+            raise ValueError(
+                f"truncated WARC record: expected {length} payload bytes, "
+                f"got {len(payload)}"
+            )
         yield headers, payload
 
 

@@ -112,3 +112,9 @@ def test_iter_records_streaming_and_malformed():
     ]
     with pytest.raises(ValueError, match="malformed WARC"):
         list(iter_warc_records(io.BytesIO(b"NOT A WARC\r\n")))
+
+
+def test_truncated_archive_fails_loudly():
+    raw = build_warc_bytes(RECORDS, compress=False)
+    with pytest.raises(ValueError, match="truncated WARC"):
+        list(iter_warc_records(io.BytesIO(raw[: len(raw) - 30])))
