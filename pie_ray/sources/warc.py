@@ -136,6 +136,46 @@ def read_warc(paths, **kwargs):
     return ray.data.read_datasource(WarcDatasource(paths, **kwargs))
 
 
+def read_wet(paths, **kwargs):
+    """WET archives (Common Crawl's pre-extracted text: same WARC framing,
+    ``WARC-Type: conversion``, payload = UTF-8 plain text) -> Dataset of
+    (url, warc_ts, text, lang=''). Feeds text-stage pipelines (documents
+    operators, NER-on-preextracted) without the HTML stripper; note the T0
+    byte-identity invariant does NOT hold for WET text (the extraction was
+    Common Crawl's, not the frozen spec v1 stripper)."""
+    import ray.data
+    from ray.data.datasource import FileBasedDatasource
+
+    def _wet_table(rows: list[tuple]) -> pa.Table:
+        urls, tss, texts = zip(*rows)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+
+    class _Wet(FileBasedDatasource):
+        def _read_stream(self, f, path):
+            stream = io.BufferedReader(f)
+            rows: list[tuple] = []
+            for headers, payload in iter_warc_records(stream):
+                if headers.get(b"warc-type") != b"conversion":
+                    continue
+                url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+                ts = _parse_warc_date(headers.get(b"warc-date", b""))
+                rows.append((url, ts, payload.decode("utf-8", "replace")))
+                if len(rows) >= WARC_BATCH_ROWS:
+                    yield _wet_table(rows)
+                    rows = []
+            if rows:
+                yield _wet_table(rows)
+
+    return ray.data.read_datasource(_Wet(paths, **kwargs))
+
+
 def build_warc_bytes(records: list[dict], compress: bool = False) -> bytes:
     """Synthesis/test helper: serialize records (keys: warc_type, url, date,
     payload, http: bool) into WARC bytes (one gzip member per record when

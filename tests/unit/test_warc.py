@@ -118,3 +118,31 @@ def test_truncated_archive_fails_loudly():
     raw = build_warc_bytes(RECORDS, compress=False)
     with pytest.raises(ValueError, match="truncated WARC"):
         list(iter_warc_records(io.BytesIO(raw[: len(raw) - 30])))
+
+
+def test_read_wet(ray_session, tmp_path):
+    from pie_ray.sources.warc import read_wet
+
+    wet_records = [
+        {"warc_type": "warcinfo", "payload": b"software: test\r\n"},
+        {
+            "warc_type": "conversion",
+            "url": "http://a.example/page1",
+            "date": "2026-08-17T12:00:00Z",
+            "payload": "Hello one — déjà extracted.".encode(),
+        },
+        {
+            "warc_type": "conversion",
+            "url": "http://b.example/page2",
+            "date": "2026-08-17T13:30:05+02:00",
+            "payload": b"Second text body.",
+        },
+    ]
+    p = os.path.join(str(tmp_path), "t.wet.gz")
+    with open(p, "wb") as f:
+        f.write(build_warc_bytes(wet_records, compress=True))
+    df = read_wet(p).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(df.columns) == ["url", "warc_ts", "text", "lang"]
+    assert list(df["url"]) == EXPECT_URLS
+    assert df.loc[0, "text"] == "Hello one — déjà extracted."
+    assert list(df["warc_ts"]) == EXPECT_TS
