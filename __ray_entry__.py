@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_media_frames,
         q_media_resize,
     )
+    from pie_ray.functions.lm_quality import q_lm_perplexity
     from pie_ray.functions.spandedup import q_dedup_spans
     from pie_ray.functions.validate import q_validate
 
@@ -216,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "full_outer_join": relational.q_full_outer_join,
         "stratified_sample": relational.q_stratified_sample,
+        "lm_perplexity": q_lm_perplexity,
     }.items()}
 
 
