@@ -295,3 +295,53 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3) -> dict
         },
     )
     return {**res, "n_new_pages": n_new, "rebuilt": True}
+
+
+def compact_deltas(root: str) -> dict:
+    """Rewrite the accumulated per-increment delta dirs (raw triples + url
+    ledger) into ONE delta each. After many ``--ingest`` rounds the root
+    holds one small-file directory per update; every rebuild and Bloom
+    refresh then pays per-file open costs, and object stores throttle on
+    file count long before bytes. Compaction is a pure rewrite — row
+    content is unchanged, so the derived caches stay valid: the recorded
+    ``built_fp`` is re-stamped to the post-compaction fingerprint IF the
+    caches were current (a crash between the swap and the meta write, or
+    compacting a root with a pending unbuilt increment, leaves a
+    fingerprint mismatch and the next update rebuilds — wasteful but
+    correct, the same recovery path as a killed update).
+
+    Crash-safe by the same discipline as the rebuild: each table writes to
+    ``<table>.compacting`` then swaps in atomically; stale ``.compacting``
+    garbage from a killed run is cleared on the next attempt."""
+    import ray.data
+
+    meta = _read_meta(root)
+    caches_current = meta.get("built_fp") == _delta_fingerprint(root)
+    stats: dict = {}
+    for table in ("raw", "urls"):
+        deltas = sorted(glob.glob(os.path.join(root, table, "delta_*")))
+        stats[f"{table}_deltas_before"] = len(deltas)
+        stats[f"{table}_files_before"] = len(_delta_files(root, table))
+        if len(deltas) <= 1:
+            continue
+        files = _delta_files(root, table)
+        build = os.path.join(root, f"{table}.compacting")
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(os.path.join(build, "delta_000000"))
+        if files:
+            # coalesce toward ~128 MB output files (the point of compacting
+            # is FEWER files; write_parquet otherwise emits one per block)
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            n_out = max(1, -(-total_bytes // (128 << 20)))
+            ds = ray.data.read_parquet(files)
+            if n_out < len(files):
+                ds = ds.repartition(n_out)
+            ds.write_parquet(os.path.join(build, "delta_000000"))
+        _swap_in(build, os.path.join(root, table))
+    stats["raw_files_after"] = len(_delta_files(root, "raw"))
+    stats["urls_files_after"] = len(_delta_files(root, "urls"))
+    if caches_current:
+        meta["built_fp"] = _delta_fingerprint(root)
+        _write_meta(root, meta)
+    stats["caches_current"] = caches_current
+    return stats

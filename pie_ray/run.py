@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="Parquet dir/file of T0 pages (url, warc_ts, html, text, lang)")
     src.add_argument("--synth", type=int, metavar="N", help="synthesize N pages instead")
+    src.add_argument(
+        "--compact",
+        action="store_true",
+        help="maintenance: merge accumulated --ingest delta dirs under "
+        "--output into one delta each (no new pages processed)",
+    )
     p.add_argument("--output", required=True, help="output root (triples/, graph/, _manifests/)")
     p.add_argument(
         "--langs",
@@ -67,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
     import ray.data
 
     from pie_ray.util import tune_data_context
+
+    if args.compact:
+        import json as _json
+
+        from pie_ray.pipelines.incremental import compact_deltas
+
+        tune_data_context()
+        stats = compact_deltas(args.output)
+        print(_json.dumps(stats, indent=1))
+        ray.shutdown()
+        return 0
 
     tune_data_context()
 
