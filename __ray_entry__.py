@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": relational.q_full_outer_join,
         "stratified_sample": relational.q_stratified_sample,
         "lm_perplexity": q_lm_perplexity,
+        "cube_revenue": relational.q_cube_revenue,
     }.items()}
 
 
@@ -775,5 +776,12 @@ def oracle_sql() -> dict[str, str]:
               ) AS rn
               FROM orders
             ) WHERE rn <= 5
+        """,
+        "cube_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
     }

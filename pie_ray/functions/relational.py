@@ -1947,3 +1947,53 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(
         ds, "o_orderpriority", ["o_orderkey"], STRATIFIED_N
     )
+
+
+# ---------------------------------------------------------------------------
+# B4 depth: GROUP BY CUBE (full grouping sets)
+# ---------------------------------------------------------------------------
+
+
+def q_cube_revenue(sf_dir: str):
+    """CUBE(l_returnflag, l_linestatus) revenue — all four grouping sets.
+    ONE distributed pass computes the finest level (exact int-cents,
+    bounded-cardinality partial agg); the three coarser levels are derived
+    from its <= |flags|x|statuses| rows on the driver, so CUBE costs the
+    same exchange as a plain grouped agg at any corpus size."""
+    from collections import defaultdict
+
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "price_c": cents(t.column("l_extendedprice")),
+            }
+        )
+
+    lvl2 = lowcard_group_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["price_c"],
+    )
+    flags2 = lvl2.column("l_returnflag").to_pylist()
+    stats2 = lvl2.column("l_linestatus").to_pylist()
+    sums2 = lvl2.column("price_c__sum").to_pylist()
+    by_flag: dict = defaultdict(int)
+    by_stat: dict = defaultdict(int)
+    for f, s, c in zip(flags2, stats2, sums2):
+        by_flag[f] += c
+        by_stat[s] += c
+    total = sum(sums2)
+    flags = flags2 + list(by_flag) + ["ALL"] * len(by_stat) + ["ALL"]
+    stats = stats2 + ["ALL"] * len(by_flag) + list(by_stat) + ["ALL"]
+    sums = sums2 + list(by_flag.values()) + list(by_stat.values()) + [total]
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "l_linestatus": pa.array(stats, pa.string()),
+            "sum_price": pa.array([s / 100.0 for s in sums], pa.float64()),
+        }
+    )
