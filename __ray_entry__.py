@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.q_stratified_sample,
         "lm_perplexity": q_lm_perplexity,
         "cube_revenue": relational.q_cube_revenue,
+        "window_rank_events": relational.q_window_rank_events,
     }.items()}
 
 
@@ -783,5 +784,13 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "window_rank_events": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   COALESCE(lag(value) OVER w, -1.0) AS prev_value,
+                   COALESCE(lead(value) OVER w, -1.0) AS next_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     }

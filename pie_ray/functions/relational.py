@@ -1997,3 +1997,72 @@ def q_cube_revenue(sf_dir: str):
             "sum_price": pa.array([s / 100.0 for s in sums], pa.float64()),
         }
     )
+
+
+def q_window_rank_events(sf_dir: str):
+    """B10 depth — navigation window functions per key: row_number, lag and
+    lead of ``value`` per user ordered by (ts, event_id). Same single
+    bucket-shuffle + vectorized sorted pass as q_window_funcs_events; lag /
+    lead are pure value COPIES (no arithmetic), so floats match the SQL
+    oracle bit-for-bit; window edges use a -1.0 sentinel (COALESCE'd the
+    same way in the oracle — the driver hash never compares nulls)."""
+    from pie_ray.util import hash64_ints
+
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=7) % 32
+        ).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        vals = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                    "prev_value": pa.array([], pa.float64()),
+                    "next_value": pa.array([], pa.float64()),
+                }
+            )
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new)
+        base = np.zeros(n, np.int64)
+        base[starts] = starts
+        np.maximum.accumulate(base, out=base)
+        rn = np.arange(n) - base + 1
+        prev = np.full(n, -1.0)
+        prev[~new] = vals[np.flatnonzero(~new) - 1]
+        last = np.empty(n, bool)  # last row of its user run
+        last[:-1] = new[1:]
+        last[-1] = True
+        nxt = np.full(n, -1.0)
+        nxt[~last] = vals[np.flatnonzero(~last) + 1]
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "rn": pa.array(rn, pa.int64()),
+                "prev_value": pa.array(prev, pa.float64()),
+                "next_value": pa.array(nxt, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
