@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pie_ray.functions.lm_quality import q_lm_perplexity
     from pie_ray.functions.spandedup import q_dedup_spans
     from pie_ray.functions.validate import q_validate
+    from pie_ray.pipelines.curation import q_curate_corpus
 
     # EXACTLY 50 entries, flagship-first: the driver records correctness
     # rows for at most ~50 queries (round-2 lesson — the kg_*/media_* rows
@@ -220,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": q_lm_perplexity,
         "cube_revenue": relational.q_cube_revenue,
         "window_rank_events": relational.q_window_rank_events,
+        "curate_corpus_v2": q_curate_corpus,
     }.items()}
 
 

@@ -102,12 +102,15 @@ def unigram_model(docs_ds, min_count: int = 5):
     return h_all[order], logp, total_tokens, oov_logp
 
 
-def score_perplexity(docs_ds, min_count: int = 5):
-    """(doc_id, n_tokens, bits_per_word) for every input doc; empty docs
-    come back with n_tokens=0, bits_per_word=0.0 (nothing dropped)."""
+def score_perplexity(docs_ds, min_count: int = 5, keep_cols: tuple = (), model=None):
+    """(doc_id, n_tokens, bits_per_word[, *keep_cols]) for every input doc;
+    empty docs come back with n_tokens=0, bits_per_word=0.0 (nothing
+    dropped). Pass a prebuilt ``model`` (the unigram_model tuple) to score
+    several streams — or the same stream twice, e.g. once for band edges
+    and once carrying ``text`` — without re-paying the count exchange."""
     import ray as _ray
 
-    vocab_h, vocab_logp, _total, oov_logp = unigram_model(docs_ds, min_count)
+    vocab_h, vocab_logp, _total, oov_logp = model or unigram_model(docs_ds, min_count)
     model_ref = _ray.put((vocab_h, vocab_logp, oov_logp))
 
     def score(t: pa.Table, ref=None) -> pa.Table:
@@ -149,13 +152,14 @@ def score_perplexity(docs_ds, min_count: int = 5):
             sums = np.zeros(n_rows)
         sums = np.where(lens > 0, sums, 0.0)
         bits = np.where(lens > 0, -sums / np.maximum(lens, 1) / np.log(2.0), 0.0)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_tokens": pa.array(lens, pa.int64()),
-                "bits_per_word": pa.array(bits, pa.float64()),
-            }
-        )
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "bits_per_word": pa.array(bits, pa.float64()),
+        }
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
 
     return docs_ds.map_batches(score, fn_kwargs={"ref": model_ref}, batch_format="pyarrow")
 

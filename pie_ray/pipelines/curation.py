@@ -1,0 +1,120 @@
+"""Full training-data curation pipeline v2 — the composition of this
+round's operators into the standard web-corpus recipe (CCNet → C4 →
+Lee-et-al order):
+
+    1. validate      : schema gate (non-null, non-blank text) → quarantine
+    2. LM band filter: corpus self-perplexity, keep the middle of the
+                       bits-per-word distribution (drop boilerplate AND
+                       gibberish tails)
+    3. line dedup    : C4-style corpus-duplicated line removal
+    4. span dedup    : exact duplicate-passage (word-8-gram) removal
+    5. length floor  : docs left under min_tokens after the cuts are dropped
+
+Each stage reports rows in/out (and chars dropped where applicable) — the
+no-silent-caps rule: every removal is counted, quarantined rows carry
+reasons. All stages are the library operators with their own gates; this
+module owns only the composition and the report.
+
+Scale shape: three corpus-wide exchanges total (unigram counts, line
+counts, gram counts) + stateless maps. Driver state is bounded everywhere:
+band edges come from the mergeable histogram quantile sketch (n_bins
+counters, never the score column), the LM/dup-line/dup-gram artifacts are
+capped broadcasts, and report sums use streaming ``Dataset.sum``/``count``
+— no corpus-sized pull anywhere. The LM is trained ONCE and reused for the
+band-edge pass and the filtering pass (one extra scoring pass instead of a
+doc_id join — stateless beats a shuffle)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def curate_corpus(
+    docs_ds,
+    bits_lo_q: float = 0.05,
+    bits_hi_q: float = 0.95,
+    min_tokens: int = 10,
+    lm_min_count: int = 5,
+):
+    """(curated_ds with (doc_id, text, n_tokens), report dict)."""
+    from pie_ray.functions.dedup import dedup_lines
+    from pie_ray.functions.lm_quality import score_perplexity, unigram_model
+    from pie_ray.functions.relational import quantile_sketch
+    from pie_ray.functions.spandedup import dedup_spans
+    from pie_ray.functions.validate import matches, not_null, validate
+
+    report: dict = {"rows_in": docs_ds.count()}
+
+    # 1. validate: text present and non-blank (matches() passes nulls by
+    #    design — not_null is the load-bearing rule for them)
+    clean, quarantined = validate(docs_ds, [not_null("text"), matches("text", r"\S")])
+    report["rows_quarantined"] = quarantined.count()
+
+    # 2. perplexity band: train the LM once; edges from the histogram
+    #    sketch over a score-only pass; filter in a second stateless pass
+    #    that carries text (band edges are two driver floats)
+    model = unigram_model(clean, min_count=lm_min_count)
+    scored = score_perplexity(clean, model=model).filter(expr="n_tokens > 0")
+    scored = scored.materialize()  # consumed 3x: min/max, sketch, (via clean) refilter
+    edges = quantile_sketch(scored, "bits_per_word", [bits_lo_q, bits_hi_q])
+    # widen by the sketch's error bound (one bin width): an interpolated
+    # edge can land a hair inside the score mass and cut rows the true
+    # quantile keeps — the band must be conservative OUTWARD
+    from ray.data.aggregate import Max, Min
+
+    mm = scored.aggregate(
+        Min("bits_per_word", alias_name="lo"), Max("bits_per_word", alias_name="hi")
+    )
+    err = (float(mm["hi"]) - float(mm["lo"])) / 8192
+    lo, hi = edges[bits_lo_q] - err, edges[bits_hi_q] + err
+    report["bits_band"] = (lo, hi)
+    banded = (
+        score_perplexity(clean, model=model, keep_cols=("text",))
+        .filter(expr=f"bits_per_word >= {lo!r} and bits_per_word <= {hi!r}")
+        .select_columns(["doc_id", "text"])
+        .materialize()
+    )
+    report["rows_after_band"] = banded.count()
+
+    # 3 + 4. line dedup then span dedup (line-level first: removing
+    # boilerplate lines shrinks the gram universe the span pass counts)
+    lined = dedup_lines(banded).materialize()
+    report["chars_dropped_lines"] = int(lined.sum("n_dropped") or 0)
+    spanned = dedup_spans(
+        lined.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        )
+    ).materialize()
+    report["chars_dropped_spans"] = int(spanned.sum("n_chars_dropped") or 0)
+
+    # 5. length floor on the FINAL text
+    def finalize(t: pa.Table) -> pa.Table:
+        from pie_ray.functions.textops import token_count_batch
+
+        tc = token_count_batch(t.select(["doc_id", "text"]))
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "n_tokens": tc.column("n_tokens_ws"),
+            }
+        )
+        return out.filter(
+            pc.greater_equal(out.column("n_tokens"), pa.scalar(min_tokens, pa.int64()))
+        )
+
+    curated = spanned.map_batches(finalize, batch_format="pyarrow").materialize()
+    report["rows_out"] = curated.count()
+    return curated, report
+
+
+def q_curate_corpus(sf_dir: str):
+    """Driver surface: the curated rows (the stage report is the library
+    call's second return). Deterministic: band edges are a pure function of
+    the score histogram, all dedup artifacts are content hashes."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    curated, _report = curate_corpus(ds)
+    return curated

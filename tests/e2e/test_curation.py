@@ -1,0 +1,97 @@
+"""Curation pipeline v2: stage accounting, each operator's visible effect
+on a planted corpus, partition independence, and a real-table run."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from pie_ray.pipelines.curation import curate_corpus, q_curate_corpus
+
+BOILER = "subscribe to our newsletter today"                  # own line, 8x
+PASSAGE = "one two three four five six seven eight nine ten"  # 10 words, 8x
+
+# Normal docs: line 1 mixes corpus-common words with per-doc unique tokens
+# every 3 words (so no cross-doc 8-gram forms there), line 2 is the exact
+# duplicated boilerplate line, line 3 embeds the shared passage between
+# per-doc tokens (line differs -> survives line dedup; the inner 8-grams
+# are shared -> span dedup cuts exactly the passage).
+_W = "data systems pipeline news crawl tokens quality filters".split()
+NORMAL = [
+    " ".join(
+        [_W[0], _W[1], f"u{i}a", _W[2], _W[3], f"u{i}b",
+         _W[4], _W[5], f"u{i}c", _W[6], _W[7], f"u{i}d"]
+    )
+    + f"\n{BOILER}\npre{i} {PASSAGE} post{i}"
+    for i in range(8)
+]
+PLANTED = NORMAL + [
+    None,                                   # quarantined: null
+    "   ",                                  # quarantined: blank
+    "zq wv xj qk zz vv jj kk zq wv xj qk",  # gibberish: high bits tail
+]
+
+
+def _write(tmp_path, texts) -> str:
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        p,
+    )
+    return p
+
+
+def _run(path, blocks):
+    ds = ray.data.read_parquet(path, override_num_blocks=blocks)
+    curated, report = curate_corpus(
+        ds, bits_lo_q=0.02, bits_hi_q=0.85, min_tokens=5, lm_min_count=2
+    )
+    df = curated.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df, report
+
+
+def test_stage_accounting_and_effects(ray_session, tmp_path):
+    path = _write(tmp_path, PLANTED)
+    df, report = _run(path, blocks=3)
+    assert report["rows_in"] == len(PLANTED)
+    assert report["rows_quarantined"] == 2          # null + blank
+    assert report["rows_after_band"] < report["rows_in"] - 2  # a tail fell
+    assert report["chars_dropped_lines"] > 0        # BOILER line removed
+    assert report["chars_dropped_spans"] > 0        # PASSAGE removed
+    assert report["rows_out"] == len(df)
+    # the surviving docs: no boilerplate line, no duplicated passage,
+    # own content intact
+    assert len(df) == 8
+    for _, row in df.iterrows():
+        assert BOILER not in row["text"]
+        assert PASSAGE not in row["text"]
+        assert f"u{row['doc_id']}a" in row["text"]   # own words kept verbatim
+        assert f"pre{row['doc_id']}" in row["text"]  # passage context kept
+        assert row["n_tokens"] >= 5
+    # the gibberish doc (id 10) fell to the band cut
+    assert 10 not in set(df["doc_id"])
+
+
+def test_partition_independence(ray_session, tmp_path):
+    path = _write(tmp_path, PLANTED)
+    a, ra = _run(path, blocks=1)
+    b, rb = _run(path, blocks=4)
+    pd.testing.assert_frame_equal(a, b)
+    assert ra == rb
+
+
+def test_driver_table_run(ray_session):
+    df = q_curate_corpus("/root/testdata/sf0.001").to_pandas()
+    assert 0 < len(df) <= 500
+    assert set(df.columns) == {"doc_id", "text", "n_tokens"}
+    assert (df["n_tokens"] >= 10).all()
