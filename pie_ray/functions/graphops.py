@@ -529,3 +529,63 @@ def connected_components(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# KG build diff — what changed between two triple sets
+# ---------------------------------------------------------------------------
+
+
+def triples_diff(old_ds, new_ds):
+    """Set difference of two (subj, pred, obj) triple tables in BOTH
+    directions: rows tagged change='added' exist only in ``new_ds``,
+    'removed' only in ``old_ds``. The ops tool for incremental builds —
+    after an ``--ingest`` update, exactly which facts appeared/vanished.
+
+    One bucketed exchange: each side tags itself, both union, and the
+    per-bucket pass keeps triples whose (side-distinct) presence count is
+    1 — duplicates WITHIN a side collapse first, so multiplicity changes
+    are not diffs (triple tables are canonically deduped anyway)."""
+    import ray
+
+    from pie_ray.util import hash64_array
+
+    COLS = ["subj", "pred", "obj"]
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = pc.binary_join_element_wise(
+                *[t.column(c) for c in COLS], "\x1f"
+            )
+            h = hash64_array(keys.to_pylist(), salt=b"tdiff")
+            out = t.select(COLS)
+            out = out.append_column(
+                "bucket", pa.array((h % 64).astype(np.int32), pa.int32())
+            )
+            return out.append_column(
+                "side", pa.array([side] * t.num_rows, pa.string())
+            )
+
+        return fn
+
+    tagged = old_ds.map_batches(tag("old"), batch_format="pyarrow").union(
+        new_ds.map_batches(tag("new"), batch_format="pyarrow")
+    )
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        # side-distinct first (multiplicity within one side is not a diff)
+        d = g.group_by(COLS + ["side"]).aggregate([])
+        gb = d.group_by(COLS).aggregate([("side", "count"), ("side", "min")])
+        from pie_ray.util import rename_grouped
+
+        gb = rename_grouped(gb, COLS, COLS + ["n_sides", "one_side"])
+        only = gb.filter(pc.equal(gb.column("n_sides"), 1))
+        change = pc.if_else(
+            pc.equal(only.column("one_side"), "old"),
+            pa.scalar("removed"),
+            pa.scalar("added"),
+        )
+        return only.select(COLS).append_column("change", change)
+
+    return tagged.groupby("bucket").map_groups(diff_bucket, batch_format="pyarrow")
