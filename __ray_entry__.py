@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": relational.q_cube_revenue,
         "window_rank_events": relational.q_window_rank_events,
         "curate_corpus_v2": q_curate_corpus,
+        "merge_upsert": relational.q_merge_upsert,
+        "unpivot_revenue": relational.q_unpivot_revenue,
+        "window_ntile_events": relational.q_window_ntile_events,
     }.items()}
 
 
@@ -794,5 +797,46 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(lead(value) OVER w, -1.0) AS next_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "merge_upsert": """
+            -- CDC keyed upsert: base snapshot (version 0) + delta (every
+            -- 7th orderkey, +500 cents, version 1); highest version wins
+            WITH base AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+                     CAST(0 AS BIGINT) AS version
+              FROM orders
+            ), upd AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(round(o_totalprice*100) AS BIGINT) + 500 AS price_cents,
+                     CAST(1 AS BIGINT) AS version
+              FROM orders WHERE o_orderkey % 7 = 0
+            ), allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+            SELECT o_orderkey, o_custkey, price_cents, version FROM allr
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY version DESC) = 1
+        """,
+        "unpivot_revenue": """
+            -- wide->long inverse of pivot_revenue: exact int64 sums melted
+            WITH s AS (
+              SELECT l_returnflag,
+                     SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM s
+            UNION ALL
+            SELECT l_returnflag, 'sum_price_cents' AS measure, sum_price_cents AS value FROM s
+        """,
+        "window_ntile_events": """
+            SELECT event_id, user_id,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   percent_rank() OVER w AS pct,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY user_id ORDER BY value, event_id
+                   ) AS BIGINT) AS nt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
         """,
     }

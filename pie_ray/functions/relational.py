@@ -2066,3 +2066,298 @@ def q_window_rank_events(sf_dir: str):
         .groupby("bucket")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC-style keyed upsert merge (SCD-1 "MERGE INTO ... latest version wins")
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
+    """Latest-version-per-key merge of two same-schema datasets: the row
+    with the highest ``version_col`` per ``key_cols`` survives (SCD-1 /
+    MERGE semantics — updates overwrite, unseen keys insert). ONE bounded
+    exchange: rows bucket on hash(key) % 64, each bucket resolves its keys
+    with a vectorized sort + first-of-run pass. No per-key groupby, no
+    driver pull — scales to any corpus; version ties are broken
+    deterministically by preferring the LAST-sorted duplicate (callers
+    should keep versions unique per key, as real CDC streams do)."""
+    from pie_ray.util import hash64_array, hash64_ints
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        acc = np.zeros(t.num_rows, np.uint64)
+        for k in key_cols:
+            col = t.column(k)
+            if pa.types.is_integer(col.type):
+                h = hash64_ints(col.to_numpy(zero_copy_only=False), salt=11)
+            else:
+                h = hash64_array(col.to_pylist(), salt=b"mu")
+            acc ^= h.astype(np.uint64)
+        return t.append_column(
+            "__bucket", pa.array((acc % 64).astype(np.int32), pa.int32())
+        )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[(k, "ascending") for k in key_cols]
+            + [(version_col, "descending")],
+        )
+        g = g.take(order)
+        n = g.num_rows
+        if n == 0:
+            return g
+        first = np.zeros(n, bool)
+        first[0] = True
+        for k in key_cols:
+            col = g.column(k).combine_chunks()
+            neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+            first[1:] |= neq.to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(first))
+
+    return (
+        base_ds.union(updates_ds)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
+def q_merge_upsert(sf_dir: str):
+    """Driver entry: orders is the base snapshot (version 0); a deterministic
+    CDC delta (every 7th orderkey, price bumped 500 cents, version 1)
+    upserts into it. Exact int-cents so the merged values hash bit-equal."""
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+    def shape(version: int, bump: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_custkey": t.column("o_custkey"),
+                    "price_cents": pc.add(cents(t.column("o_totalprice")), bump),
+                    "version": pa.array(
+                        np.full(t.num_rows, version, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    base = scan(sf_dir, "orders", columns=cols).map_batches(
+        shape(0, 0), batch_format="pyarrow"
+    )
+    def pick_delta(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % 7 == 0))
+
+    upd = (
+        scan(sf_dir, "orders", columns=cols)
+        .map_batches(pick_delta, batch_format="pyarrow")
+        .map_batches(shape(1, 500), batch_format="pyarrow")
+    )
+    return merge_upsert(base, upd, ["o_orderkey"], "version")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (wide -> long), the inverse of q_pivot_revenue
+# ---------------------------------------------------------------------------
+
+
+def melt(ds, id_vars: list[str], value_vars: list[str], var_name: str = "measure",
+         value_name: str = "value"):
+    """Distributed wide->long explode: each row becomes len(value_vars) rows
+    (id_vars, var_name=<column name>, value_name=<that column's value>).
+    Stateless map-only (fuse-friendly), no shuffle: the explode is a
+    per-batch Arrow concat of one slice per value column."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        pieces = []
+        for v in value_vars:
+            cols = {k: t.column(k) for k in id_vars}
+            cols[var_name] = pa.array([v] * t.num_rows, pa.string())
+            cols[value_name] = t.column(v)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_unpivot_revenue(sf_dir: str):
+    """Driver entry: per-returnflag sums of quantity and price-cents
+    (exact int64 partial agg), melted to (l_returnflag, measure, value)
+    long form — the inverse shape of pivot_revenue."""
+    ds = scan(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "price_c": cents(t.column("l_extendedprice")),
+            }
+        )
+
+    agg = lowcard_group_agg(
+        ds.map_batches(to_ints, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["qty", "price_c"],
+    )
+    wide = pa.table(
+        {
+            "l_returnflag": agg.column("l_returnflag"),
+            "sum_qty": agg.column("qty__sum"),
+            "sum_price_cents": agg.column("price_c__sum"),
+        }
+    )
+    return melt(
+        ray.data.from_arrow(wide),
+        id_vars=["l_returnflag"],
+        value_vars=["sum_qty", "sum_price_cents"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking window functions: rank / dense_rank / percent_rank / ntile
+# ---------------------------------------------------------------------------
+
+
+def q_window_ntile_events(sf_dir: str):
+    """B10 depth — ranking windows per user: rank/dense_rank/percent_rank
+    over a TIE-RICH key (event_type — ties are the whole point of these
+    three), plus ntile(4) over the unique (value, event_id) order. Same
+    one-bucket-shuffle + vectorized sorted pass as q_window_rank_events;
+    percent_rank is the same (rank-1)/(n-1) double division DuckDB does,
+    so floats match bit-for-bit."""
+    from pie_ray.util import hash64_ints
+
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=7) % 32
+        ).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        n = g.num_rows
+        empty = {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "drnk": pa.array([], pa.int64()),
+            "pct": pa.array([], pa.float64()),
+            "nt": pa.array([], pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty)
+        # pass 1: (user_id, event_type) ordering for rank/dense/percent
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("event_type", "ascending")]
+        )
+        s = g.take(order)
+        users = s.column("user_id").to_numpy(zero_copy_only=False)
+        new_u = np.zeros(n, bool)
+        new_u[0] = True
+        new_u[1:] = users[1:] != users[:-1]
+        et = s.column("event_type").combine_chunks()
+        new_key = new_u.copy()
+        new_key[1:] |= pc.not_equal(et.slice(1), et.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.zeros(n, np.int64)
+        starts[new_u] = np.flatnonzero(new_u)
+        np.maximum.accumulate(starts, out=starts)
+        # rank: position of the first row of this tie-group within the user
+        tie_start = np.zeros(n, np.int64)
+        tie_start[new_key] = np.flatnonzero(new_key)
+        np.maximum.accumulate(tie_start, out=tie_start)
+        rnk = tie_start - starts + 1
+        # dense_rank: running count of tie-group starts within the user
+        grp = np.cumsum(new_key)
+        grp_at_start = np.zeros(n, np.int64)
+        grp_at_start[new_u] = grp[new_u]
+        np.maximum.accumulate(grp_at_start, out=grp_at_start)
+        drnk = grp - grp_at_start + 1
+        # percent_rank: (rank-1)/(user_rows-1), 0.0 for single-row users
+        last_u = np.empty(n, bool)
+        last_u[:-1] = new_u[1:]
+        last_u[-1] = True
+        idx_last = np.flatnonzero(last_u)
+        lens = np.diff(np.concatenate(([0], idx_last + 1)))
+        run_len = np.repeat(lens, lens)
+        pct = np.where(run_len > 1, (rnk - 1) / np.maximum(run_len - 1, 1), 0.0)
+        ids_pass1 = s.column("event_id")
+
+        # pass 2: ntile(4) over the unique (value, event_id) order
+        order2 = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("value", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        s2 = g.take(order2)
+        users2 = s2.column("user_id").to_numpy(zero_copy_only=False)
+        new2 = np.zeros(n, bool)
+        new2[0] = True
+        new2[1:] = users2[1:] != users2[:-1]
+        starts2 = np.zeros(n, np.int64)
+        starts2[new2] = np.flatnonzero(new2)
+        np.maximum.accumulate(starts2, out=starts2)
+        pos2 = np.arange(n) - starts2
+        last2 = np.empty(n, bool)
+        last2[:-1] = new2[1:]
+        last2[-1] = True
+        idx_last2 = np.flatnonzero(last2)
+        lens2 = np.diff(np.concatenate(([0], idx_last2 + 1)))
+        rl2 = np.repeat(lens2, lens2)
+        # SQL ntile(k): first (n % k) buckets get ceil(n/k) rows
+        k = 4
+        big = rl2 % k
+        size_big = -(-rl2 // k)  # ceil
+        size_small = rl2 // k
+        cut = big * size_big  # rows covered by the big buckets
+        nt = np.where(
+            pos2 < cut,
+            pos2 // np.maximum(size_big, 1),
+            big + (pos2 - cut) // np.maximum(size_small, 1),
+        ) + 1
+
+        t1 = pa.table(
+            {
+                "event_id": ids_pass1,
+                "rnk": pa.array(rnk, pa.int64()),
+                "drnk": pa.array(drnk, pa.int64()),
+                "pct": pa.array(pct, pa.float64()),
+            }
+        )
+        t2 = pa.table(
+            {"event_id": s2.column("event_id"), "nt": pa.array(nt, pa.int64())}
+        )
+        j = t1.join(t2, keys=["event_id"], join_type="inner")
+        j = j.take(pc.sort_indices(j, sort_keys=[("event_id", "ascending")]))
+        uid = g.take(
+            pc.sort_indices(g, sort_keys=[("event_id", "ascending")])
+        ).column("user_id")
+        return pa.table(
+            {
+                "event_id": j.column("event_id"),
+                "user_id": uid,
+                "rnk": j.column("rnk"),
+                "drnk": j.column("drnk"),
+                "pct": j.column("pct"),
+                "nt": j.column("nt"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
