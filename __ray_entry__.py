@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": relational.q_merge_upsert,
         "unpivot_revenue": relational.q_unpivot_revenue,
         "window_ntile_events": relational.q_window_ntile_events,
+        "explode_embedding": relational.q_explode_embedding,
+        "cross_join": relational.q_cross_join,
     }.items()}
 
 
@@ -838,5 +840,16 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS nt
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+        """,
+        "explode_embedding": """
+            -- UNNEST WITH ORDINALITY of the vector column (0-based pos)
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                   unnest(embedding) AS val
+            FROM embeddings
+        """,
+        "cross_join": """
+            SELECT n_nationkey, n_name, r_regionkey, r_name
+            FROM nation CROSS JOIN region
         """,
     }

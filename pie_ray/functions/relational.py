@@ -2361,3 +2361,77 @@ def q_window_ntile_events(sf_dir: str):
         .groupby("bucket")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNNEST / explode of a list column, and broadcast CROSS JOIN
+# ---------------------------------------------------------------------------
+
+
+def explode_list(ds, id_cols: list[str], list_col: str,
+                 pos_name: str = "pos", value_name: str = "val"):
+    """Distributed UNNEST WITH ORDINALITY: one output row per list element,
+    carrying ``id_cols``, the 0-based element position and the element
+    value. Stateless per-batch Arrow explode (flatten + np.repeat of ids —
+    no Python loop over rows), no shuffle. Null/empty lists emit no rows
+    (DuckDB unnest semantics)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column(list_col).combine_chunks()
+        lens = (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        values = pc.list_flatten(col)
+        idx = np.repeat(np.arange(t.num_rows), lens)
+        # position within each list: global arange minus each row's start
+        starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        pos = np.arange(int(lens.sum())) - starts
+        cols = {c: t.column(c).take(pa.array(idx)) for c in id_cols}
+        cols[pos_name] = pa.array(pos, pa.int64())
+        cols[value_name] = values
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_explode_embedding(sf_dir: str):
+    """Driver entry: UNNEST the embedding vectors — (vec_id, pos, val),
+    one row per vector component."""
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return explode_list(ds, ["vec_id"], "embedding")
+
+
+def cross_join(big_ds, small_table: pa.Table):
+    """Broadcast CROSS JOIN: every big-side row pairs with every row of the
+    (small, driver-resident) right table. The right side ships to workers
+    once via the object store (captured ref) — each batch explodes to
+    n x m rows with vectorized repeat/tile, no shuffle. For two LARGE
+    inputs a cross join is O(n*m) output and is the wrong tool at scale —
+    this is deliberately the broadcast form only."""
+    import ray as _ray
+
+    small_ref = _ray.put(small_table)
+
+    def pair(t: pa.Table) -> pa.Table:
+        s = _ray.get(small_ref)
+        n, m = t.num_rows, s.num_rows
+        left_idx = pa.array(np.repeat(np.arange(n), m))
+        right_idx = pa.array(np.tile(np.arange(m), n))
+        cols = {c: t.column(c).take(left_idx) for c in t.column_names}
+        for c in s.column_names:
+            cols[c] = s.column(c).take(right_idx)
+        return pa.table(cols)
+
+    return big_ds.map_batches(pair, batch_format="pyarrow")
+
+
+def q_cross_join(sf_dir: str):
+    """Driver entry: nation x region (25 x 5) — the canonical small-dims
+    cartesian product."""
+    import pyarrow.parquet as pq
+
+    nations = scan(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    region = pq.read_table(table_path(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    return cross_join(nations, region)
