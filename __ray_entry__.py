@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ntile_events": relational.q_window_ntile_events,
         "explode_embedding": relational.q_explode_embedding,
         "cross_join": relational.q_cross_join,
+        "global_sort": relational.q_global_sort,
     }.items()}
 
 
@@ -851,5 +852,10 @@ def oracle_sql() -> dict[str, str]:
         "cross_join": """
             SELECT n_nationkey, n_name, r_regionkey, r_name
             FROM nation CROSS JOIN region
+        """,
+        "global_sort": """
+            SELECT event_id, user_id, value,
+                   CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
+            FROM events
         """,
     }
