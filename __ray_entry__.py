@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_embedding": relational.q_explode_embedding,
         "cross_join": relational.q_cross_join,
         "global_sort": relational.q_global_sort,
+        "histogram_quantity": relational.q_histogram_quantity,
     }.items()}
 
 
@@ -857,5 +858,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
             FROM events
+        """,
+        "histogram_quantity": """
+            -- fixed-width bins: floor((v - 0) / 5.0) over [0, 50)
+            SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY bin
         """,
     }

@@ -2530,3 +2530,57 @@ def q_global_sort(sf_dir: str):
     order-insensitive hash)."""
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "value"])
     return global_rank(ds, "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin numeric histogram (the EDA staple; exact, mergeable counts)
+# ---------------------------------------------------------------------------
+
+
+def histogram(ds, col: str, lo: float, hi: float, nbins: int) -> pa.Table:
+    """Exact fixed-width histogram of ``col`` over [lo, hi): per-batch
+    np.bincount partials (nbins+2 ints each — underflow bin -1 and
+    overflow bin nbins included) merged by addition on the driver. ONE
+    map pass, no shuffle; driver state is O(nbins). Bin rule is
+    floor((v-lo)/width) in float64 — the same double math the SQL oracle
+    computes, so edge values bin identically."""
+    width = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(col), pa.float64()).drop_null().to_numpy(
+            zero_copy_only=False
+        )
+        b = np.floor((v - lo) / width)
+        b = np.clip(b, -1, nbins).astype(np.int64) + 1  # -1..nbins -> 0..nbins+1
+        cnt = np.bincount(b, minlength=nbins + 2)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64), pa.int64()),
+                "c": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = np.zeros(nbins + 2, np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        counts[row["b"]] += row["c"]
+    bins = np.arange(-1, nbins + 1, dtype=np.int64)
+    keep = counts > 0
+    return pa.table(
+        {
+            "bin": pa.array(bins[keep], pa.int64()),
+            "lo": pa.array(np.where(bins == -1, -np.inf, lo + bins * width)[keep]),
+            "hi": pa.array(
+                np.where(bins == nbins, np.inf, lo + (bins + 1) * width)[keep]
+            ),
+            "n": pa.array(counts[keep], pa.int64()),
+        }
+    )
+
+
+def q_histogram_quantity(sf_dir: str):
+    """Driver entry: 10-bin histogram of lineitem quantity over [0, 50)
+    (integer-valued column — no float edge ambiguity in the oracle)."""
+    ds = scan(sf_dir, "lineitem", columns=["l_quantity"])
+    t = histogram(ds, "l_quantity", 0.0, 50.0, 10)
+    return t.select(["bin", "n"])
