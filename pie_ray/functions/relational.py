@@ -2442,6 +2442,47 @@ def q_cross_join(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def sample_range_boundaries(ds, key_col: str, num_ranges: int):
+    """Range-partitioning boundaries for a total order on ``key_col``:
+    each batch ships <= 32 stride-sampled keys to the driver, which picks
+    the num_ranges-1 sample quantiles. Returns a sorted deduped numpy
+    array, or None for an empty dataset. Boundaries only balance load —
+    exactness of consumers (global_rank, the sorted sink) never depends
+    on the sample."""
+
+    def sample_keys(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        n = len(keys)
+        stride = max(1, n // 32)
+        return pa.table({"k": keys.take(pa.array(range(0, n, stride)))})
+
+    samples = ds.map_batches(sample_keys, batch_format="pyarrow").take_all()
+    if not samples:
+        return None
+    ks = np.sort(np.asarray([r["k"] for r in samples]))
+    qs = np.linspace(0, len(ks) - 1, num_ranges + 1)[1:-1].astype(np.int64)
+    return np.unique(ks[qs])
+
+
+def make_range_tagger(key_col: str, boundaries: np.ndarray):
+    """Batch fn appending ``__range`` = searchsorted(boundaries, key,
+    side='right') — all ties of a key value land in ONE range, so ranges
+    partition the total order exactly. The boundary array rides the
+    object store once (captured ref), not per task."""
+    import ray as _ray
+
+    bref = _ray.put(boundaries)
+
+    def add_range(t: pa.Table) -> pa.Table:
+        b = _ray.get(bref)
+        r = np.searchsorted(
+            b, t.column(key_col).to_numpy(zero_copy_only=False), side="right"
+        ).astype(np.int32)
+        return t.append_column("__range", pa.array(r, pa.int32()))
+
+    return add_range
+
+
 def global_rank(ds, key_col: str, tie_col: str, rank_name: str = "rn",
                 num_ranges: int = 64):
     """Dense global row numbering under ORDER BY (key_col, tie_col) — the
@@ -2462,32 +2503,15 @@ def global_rank(ds, key_col: str, tie_col: str, rank_name: str = "rn",
     in one range by construction — a total order cannot split ties — so
     callers with a near-constant key should rank on a finer key.
     ``tie_col`` must be unique per row (it makes the order total)."""
-    from pie_ray.util import hash64_ints
-
-    def sample_keys(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col)
-        n = len(keys)
-        stride = max(1, n // 32)
-        return pa.table({"k": keys.take(pa.array(range(0, n, stride)))})
-
-    samples = ds.map_batches(sample_keys, batch_format="pyarrow").take_all()
-    if not samples:
+    boundaries = sample_range_boundaries(ds, key_col, num_ranges)
+    if boundaries is None:
         return ds.map_batches(
             lambda t: t.append_column(rank_name, pa.array([], pa.int64())),
             batch_format="pyarrow",
         )
     import ray as _ray
 
-    ks = np.sort(np.asarray([r["k"] for r in samples]))
-    qs = np.linspace(0, len(ks) - 1, num_ranges + 1)[1:-1].astype(np.int64)
-    boundaries = np.unique(ks[qs])
-    bref = _ray.put(boundaries)
-
-    def add_range(t: pa.Table) -> pa.Table:
-        b = _ray.get(bref)
-        r = np.searchsorted(b, t.column(key_col).to_numpy(zero_copy_only=False),
-                            side="right").astype(np.int32)
-        return t.append_column("__range", pa.array(r, pa.int32()))
+    add_range = make_range_tagger(key_col, boundaries)
 
     def count_ranges(t: pa.Table) -> pa.Table:
         cnt = np.bincount(

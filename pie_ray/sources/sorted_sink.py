@@ -1,0 +1,116 @@
+"""Range-partitioned SORTED parquet layout — the "optimize table layout"
+operator: write a dataset clustered on a sort key so later reads can prune
+whole key ranges at the directory level (the same pruning contract as
+pages.py's hash layout, but for RANGE predicates).
+
+Write shape (TeraSort partitioning, shared with relational.global_rank):
+sampled boundaries -> ONE range exchange -> each range sorts locally by
+(key, tie) and lands as its own hive ``range=k/`` directory, internally
+sorted. A JSON sidecar records the boundaries + columns; ``read_sorted``
+trusts directory pruning ONLY when the sidecar matches (a layout written
+under different boundaries would silently drop rows otherwise — same
+safety rule as pages._hive_sidecar_valid).
+
+Scale: boundaries/counts are metadata-sized; the one exchange moves each
+row once. At 100 TB this is the standard "compact + cluster" maintenance
+pass; re-cluster periodically rather than per ingest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SORTED_META = "_SORTED_META.json"
+
+
+def write_sorted_parquet(ds, path: str, key_col: str, tie_col: str,
+                         num_ranges: int = 64) -> dict:
+    """Cluster ``ds`` on (key_col, tie_col) into hive ``range=k/`` dirs,
+    each internally sorted, plus a boundary sidecar. Returns the meta."""
+    from pie_ray.functions.relational import (
+        make_range_tagger,
+        sample_range_boundaries,
+    )
+
+    boundaries = sample_range_boundaries(ds, key_col, num_ranges)
+    if boundaries is None:
+        boundaries = np.empty(0, np.float64)
+
+    def sort_range(g: pa.Table) -> pa.Table:
+        rng = g.column("__range")  # constant within the group (groupby key)
+        g = g.drop_columns(["__range"])
+        order = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), (tie_col, "ascending")]
+        )
+        return g.take(order).append_column("range", pc.cast(rng, pa.int32()))
+
+    tagged = ds.map_batches(
+        make_range_tagger(key_col, boundaries), batch_format="pyarrow"
+    )
+    tagged.groupby("__range").map_groups(
+        sort_range, batch_format="pyarrow"
+    ).write_parquet(path, partition_cols=["range"])
+    meta = {
+        "key_col": key_col,
+        "tie_col": tie_col,
+        "boundaries": [float(b) for b in boundaries],
+    }
+    with open(os.path.join(path, SORTED_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
+                columns: list[str] | None = None):
+    """Range-pruned scan of a write_sorted_parquet layout: only the hive
+    directories whose key range intersects [lo, hi] are read (None = open
+    end). Requires the sidecar; refuses to guess on a foreign layout. A
+    residual vectorized filter inside the read tasks makes the bound exact
+    (directory granularity is coarser than the predicate)."""
+    import ray
+
+    meta_path = os.path.join(path, SORTED_META)
+    if not os.path.isfile(meta_path):
+        raise FileNotFoundError(
+            f"{SORTED_META} missing under {path} — not a sorted layout"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    b = np.asarray(meta["boundaries"], np.float64)
+    key = meta["key_col"]
+    n_ranges = len(b) + 1
+    # range r holds keys in [b[r-1], b[r]) (searchsorted side='right':
+    # a key equal to boundary j lands in range j+1)
+    first = 0 if lo is None else int(np.searchsorted(b, lo, side="right"))
+    last = n_ranges - 1 if hi is None else int(np.searchsorted(b, hi, side="right"))
+    import glob as _glob
+
+    # a LIST of paths to read_parquet must be files, not directories
+    files = [
+        f
+        for r in range(first, min(last, n_ranges - 1) + 1)
+        for f in sorted(
+            _glob.glob(os.path.join(path, f"range={r}", "*.parquet"))
+        )
+    ]
+    if not files:
+        return ray.data.from_arrow(pa.table({key: pa.array([], pa.float64())}))
+    ds = ray.data.read_parquet(files, columns=columns)
+
+    def residual(t: pa.Table) -> pa.Table:
+        v = t.column(key)
+        mask = pa.array(np.ones(t.num_rows, bool))
+        if lo is not None:
+            mask = pc.and_(mask, pc.greater_equal(v, lo))
+        if hi is not None:
+            mask = pc.and_(mask, pc.less_equal(v, hi))
+        return t.filter(mask)
+
+    if lo is None and hi is None:
+        return ds
+    return ds.map_batches(residual, batch_format="pyarrow")

@@ -1,0 +1,87 @@
+"""write_sorted_parquet / read_sorted: round-trip completeness, per-file
+sort order, directory range disjointness, and pruned range reads."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from pie_ray.sources.sorted_sink import read_sorted, write_sorted_parquet
+
+
+def _make(n=4000, seed=4):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "k": pa.array(rng.normal(scale=10, size=n)),
+            "payload": pa.array([f"p{i}" for i in range(n)]),
+        }
+    )
+
+
+def test_sorted_layout_roundtrip_and_pruning(ray_session):
+    t = _make()
+    out = tempfile.mkdtemp(prefix="sorted_")
+    try:
+        meta = write_sorted_parquet(
+            ray.data.from_arrow(t).repartition(6), out, "k", "id", num_ranges=8
+        )
+        b = np.asarray(meta["boundaries"])
+        assert len(b) >= 1 and (np.diff(b) > 0).all()
+
+        # each range dir: internally sorted files, keys within the dir bound
+        seen = 0
+        for d in sorted(glob.glob(os.path.join(out, "range=*"))):
+            r = int(d.rsplit("=", 1)[1])
+            tab = pa.concat_tables(
+                pq.read_table(f)
+                for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+            )
+            keys = tab.column("k").to_numpy()
+            ids = tab.column("id").to_numpy()
+            order = np.lexsort((ids, keys))
+            assert (order == np.arange(len(keys))).all(), f"{d} not sorted"
+            if r > 0:
+                assert keys.min() >= b[r - 1]
+            if r < len(b):
+                assert keys.max() < b[r]
+            seen += len(keys)
+        assert seen == t.num_rows
+
+        # full read-back is the same multiset of rows
+        got = read_sorted(out).to_pandas().sort_values("id").reset_index(drop=True)
+        assert got.id.tolist() == list(range(t.num_rows))
+
+        # bounded read: exact rows, and only intersecting dirs touched
+        lo, hi = -5.0, 5.0
+        want = np.flatnonzero(
+            (t.column("k").to_numpy() >= lo) & (t.column("k").to_numpy() <= hi)
+        )
+        got2 = read_sorted(out, lo=lo, hi=hi).to_pandas()
+        assert sorted(got2.id.tolist()) == sorted(want.tolist())
+
+        # an out-of-domain range prunes everything
+        assert read_sorted(out, lo=1e9, hi=2e9).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_read_sorted_refuses_foreign_layout(ray_session):
+    out = tempfile.mkdtemp(prefix="plain_")
+    try:
+        pq.write_table(_make(100), os.path.join(out, "x.parquet"))
+        try:
+            read_sorted(out)
+            raise AssertionError("expected FileNotFoundError")
+        except FileNotFoundError:
+            pass
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
