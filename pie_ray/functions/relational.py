@@ -2170,7 +2170,8 @@ def melt(ds, id_vars: list[str], value_vars: list[str], var_name: str = "measure
     """Distributed wide->long explode: each row becomes len(value_vars) rows
     (id_vars, var_name=<column name>, value_name=<that column's value>).
     Stateless map-only (fuse-friendly), no shuffle: the explode is a
-    per-batch Arrow concat of one slice per value column."""
+    per-batch Arrow concat of one slice per value column. All value_vars
+    must share one Arrow type (they land in a single column)."""
 
     def explode(t: pa.Table) -> pa.Table:
         pieces = []
@@ -2502,7 +2503,12 @@ def global_rank(ds, key_col: str, tie_col: str, rank_name: str = "rn",
     boundaries (boundaries only balance load). Heavy key ties concentrate
     in one range by construction — a total order cannot split ties — so
     callers with a near-constant key should rank on a finer key.
-    ``tie_col`` must be unique per row (it makes the order total)."""
+    ``tie_col`` must be unique per row (it makes the order total).
+
+    The input is SCANNED THREE times (sample, count, rank) rather than
+    materialized between passes — at corpus scale two extra streaming map
+    passes are cheaper than pinning the whole dataset in the object store;
+    pass a pre-materialized ds if the input is an expensive derived chain."""
     boundaries = sample_range_boundaries(ds, key_col, num_ranges)
     if boundaries is None:
         return ds.map_batches(

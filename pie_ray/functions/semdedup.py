@@ -44,31 +44,35 @@ _PAIR_BLOCK = 1024
 
 def _dup_components(mat: np.ndarray, tau: float) -> np.ndarray:
     """Index-level connected components of the cos ≥ tau graph over the
-    (already L2-normalized) rows of ``mat``. Blockwise matmul; returns the
-    component root index per row (array DSU, path-halving)."""
+    (already L2-normalized) rows of ``mat``: blockwise matmul collects the
+    upper-triangle edge list, then fully vectorized hash-min label
+    propagation with pointer jumping (O(log n) rounds, no Python loop over
+    pairs — a cluster of identical vectors yields O(m²/2) edges, which a
+    per-pair union loop would crawl through). Returns the min row index of
+    each row's component (the same canonical label a min-root DSU gives)."""
     m = mat.shape[0]
-    parent = np.arange(m, dtype=np.int64)
-
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
+    edges_a, edges_b = [], []
     for lo in range(0, m, _PAIR_BLOCK):
         hi = min(lo + _PAIR_BLOCK, m)
         sims = mat[lo:hi] @ mat.T  # (block, m)
         rows, cols = np.nonzero(sims >= tau)
         rows = rows + lo
         over = rows < cols  # upper triangle only
-        for a, b in zip(rows[over], cols[over]):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-    return np.fromiter((find(int(i)) for i in range(m)), np.int64, m)
+        edges_a.append(rows[over])
+        edges_b.append(cols[over])
+    a = np.concatenate(edges_a) if edges_a else np.empty(0, np.int64)
+    b = np.concatenate(edges_b) if edges_b else np.empty(0, np.int64)
+    lab = np.arange(m, dtype=np.int64)
+    while True:
+        prev = lab
+        lab = lab.copy()
+        if len(a):
+            mn = np.minimum(prev[a], prev[b])
+            np.minimum.at(lab, a, mn)
+            np.minimum.at(lab, b, mn)
+        lab = lab[lab]  # pointer jump
+        if np.array_equal(lab, prev):
+            return lab
 
 
 def semantic_dedup(

@@ -37,6 +37,11 @@ def write_sorted_parquet(ds, path: str, key_col: str, tie_col: str,
         sample_range_boundaries,
     )
 
+    key_type = ds.schema().types[ds.schema().names.index(key_col)]
+    if not (pa.types.is_integer(key_type) or pa.types.is_floating(key_type)):
+        # the sidecar stores boundaries as JSON floats; a string key would
+        # round-trip wrong and silently mis-prune reads
+        raise TypeError(f"sorted layout requires a numeric key, got {key_type}")
     boundaries = sample_range_boundaries(ds, key_col, num_ranges)
     if boundaries is None:
         boundaries = np.empty(0, np.float64)
