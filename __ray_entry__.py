@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_join": relational.q_cross_join,
         "global_sort": relational.q_global_sort,
         "histogram_quantity": relational.q_histogram_quantity,
+        "regional_revenue": relational.q_regional_revenue,
     }.items()}
 
 
@@ -864,5 +865,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bin,
                    COUNT(*) AS n
             FROM lineitem GROUP BY bin
+        """,
+        "regional_revenue": """
+            -- TPC-H Q5-style star join: revenue per nation in ASIA
+            SELECT n_name,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                     / 10000.0 AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
     }

@@ -2614,3 +2614,86 @@ def q_histogram_quantity(sf_dir: str):
     ds = scan(sf_dir, "lineitem", columns=["l_quantity"])
     t = histogram(ds, "l_quantity", 0.0, 50.0, 10)
     return t.select(["bin", "n"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style 5-table star join (region -> nation -> customer -> orders
+# -> lineitem): the composition flagship for the relational layer
+# ---------------------------------------------------------------------------
+
+
+def q_regional_revenue(sf_dir: str):
+    """Revenue per nation for one region: both dimension hops (region
+    filter, nation names) ride a BROADCAST dict — only the two fact tables
+    ever shuffle, and the lineitem side is pre-reduced per orderkey inside
+    each batch before its join (the same exact-1e-4-dollars partial as
+    q_order_lineitem_join). One customer⋈orders hash join, one
+    pre-reduced-lineitem⋈result hash join, then a 25-key driver combine."""
+    import pyarrow.parquet as pq
+
+    from pie_ray.util import join_num_partitions, rename_grouped
+
+    region = pq.read_table(table_path(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rkeys = set(
+        region.filter(pc.equal(region.column("r_name"), "ASIA"))
+        .column("r_regionkey")
+        .to_pylist()
+    )
+    nation = pq.read_table(
+        table_path(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey", "n_name"]
+    )
+    nation = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), pa.array(sorted(rkeys)))
+    )
+    name_of = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    keep_nations = pa.array(sorted(name_of), pa.int64())
+
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def in_region(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t.column("c_nationkey"), pa.int64()), keep_nations))
+
+    cust = cust.map_batches(in_region, batch_format="pyarrow")
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    co = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_num_partitions(orders.size_bytes()),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def pre_reduce(t: pa.Table) -> pa.Table:
+        rev4 = pc.multiply(
+            cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), cents(t.column("l_discount"))),
+        )
+        part = pa.table({"l_orderkey": t.column("l_orderkey"), "rev4": rev4})
+        gb = part.group_by(["l_orderkey"]).aggregate([("rev4", "sum")])
+        return rename_grouped(gb, ["l_orderkey"], ["l_orderkey", "rev4"])
+
+    li = li.map_batches(pre_reduce, batch_format="pyarrow")
+    joined = li.join(
+        co,
+        join_type="inner",
+        num_partitions=join_num_partitions(li.size_bytes()),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = lowcard_group_agg(joined, keys=["c_nationkey"], sum_cols=["rev4"])
+    names = pa.array(
+        [name_of[int(k)] for k in agg.column("c_nationkey").to_pylist()], pa.string()
+    )
+    out = pa.table(
+        {
+            "n_name": names,
+            "revenue": pc.divide(
+                pc.cast(agg.column("rev4__sum"), pa.float64()), pa.scalar(10000.0)
+            ),
+        }
+    )
+    return out.sort_by([("n_name", "ascending")])
