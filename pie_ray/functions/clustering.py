@@ -164,3 +164,71 @@ def q_kmeans(sf_dir: str, k: int = 10):
     )
     cents, _ = kmeans_fit(ds, k)
     return kmeans_assign(ds, cents).select_columns(["vec_id", "label", "cluster"])
+
+
+def kmeans_fit_sample(
+    emb_ds,
+    k: int,
+    max_sample: int = 65536,
+    iters: int = 25,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, int]:
+    """The docstring's scale path made concrete: fit on a DETERMINISTIC
+    hash-sampled subset (<= ~max_sample rows pulled once to the driver, a
+    pure function of ids — partition-independent), run Lloyd locally in
+    numpy (no per-iteration Dataset pass), return centroids for a single
+    distributed assign. This is both the 10^12-row recipe AND much faster
+    on small inputs, where 25 streaming passes are pure task overhead.
+    Same update rules as kmeans_fit: ties to the lower cluster id, empty
+    clusters keep their centroid, converge on max shift < tol."""
+    n = emb_ds.count()
+    denom = max(1, n // max_sample)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = hash64_ints(ids, salt=KMEANS_SEED_SALT + 1) % denom == 0
+        t = t.filter(pa.array(keep))
+        h = hash64_ints(
+            t.column(id_col).to_numpy(zero_copy_only=False), salt=KMEANS_SEED_SALT
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "vec": pa.array(
+                    list(list_to_matrix(t.column(vec_col), dtype=np.float64)),
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    hs, vs = [], []
+    for b in (
+        emb_ds.map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        hs.append(b.column("h").to_numpy(zero_copy_only=False))
+        vs.append(list_to_matrix(b.column("vec"), dtype=np.float64))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    if len(h) < k:
+        raise ValueError(f"k={k} exceeds sample size {len(h)}")
+    mat = np.vstack(vs)
+    order = np.argsort(h, kind="stable")
+    cents = mat[order[:k]].copy()
+
+    it = 0
+    for it in range(1, iters + 1):
+        d = -2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        new = cents.copy()
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, mat)
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        shift = np.linalg.norm(new - cents, axis=1).max()
+        cents = new
+        if shift < tol:
+            break
+    return cents, it

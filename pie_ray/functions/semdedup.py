@@ -5,8 +5,9 @@ semantic deduplication" — public recipe; no reference-file citation possible,
 
 Pipeline shape (all stages bounded — nothing materializes the corpus):
 
-1. ``kmeans_fit`` (pie_ray.functions.clustering): broadcast-centroid Lloyd
-   iterations, per-batch k×dim partials, NO shuffle.
+1. ``kmeans_fit_sample`` (pie_ray.functions.clustering): deterministic
+   hash-sampled local fit (the at-scale recipe), distributed assign only —
+   NO shuffle; pass ``centroids`` to use a full-corpus ``kmeans_fit``.
 2. ``kmeans_assign``: stateless task map tagging every row with its cluster.
 3. ONE bounded shuffle on ``cluster`` (k ≤ a few hundred — within the house
    rule that Ray groupby keys stay low-cardinality), then a fully vectorized
@@ -34,7 +35,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pie_ray.functions.clustering import kmeans_assign, kmeans_fit
+from pie_ray.functions.clustering import kmeans_assign, kmeans_fit_sample
 from pie_ray.util import hash64_ints, list_to_matrix
 
 SEM_TAU = 0.95
@@ -91,7 +92,9 @@ def semantic_dedup(
     import ray  # noqa: F401  (Dataset ops below)
 
     if centroids is None:
-        centroids, _ = kmeans_fit(emb_ds, k, vec_col=vec_col, id_col=id_col)
+        # sample-fit + distributed assign (the 100 TB recipe — and on small
+        # inputs it avoids paying 25 streaming passes of task overhead)
+        centroids, _ = kmeans_fit_sample(emb_ds, k, vec_col=vec_col, id_col=id_col)
     cents = np.asarray(centroids, np.float64)
     tagged = kmeans_assign(emb_ds, cents, vec_col=vec_col)
 

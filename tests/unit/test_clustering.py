@@ -77,3 +77,13 @@ def test_assign_deterministic(ray_session):
         .to_numpy()
     )
     assert (a == b).all()
+
+
+def test_kmeans_fit_sample_deterministic_and_sane(ray_session):
+    from pie_ray.functions.clustering import kmeans_assign, kmeans_fit_sample
+
+    c1, _ = kmeans_fit_sample(_emb_ds(), 8)
+    c2, _ = kmeans_fit_sample(_emb_ds(7), 8)
+    assert np.allclose(c1, c2)  # partition-independent sample + local fit
+    tagged = kmeans_assign(_emb_ds(), c1).to_pandas()
+    assert tagged.cluster.nunique() >= 2
