@@ -103,6 +103,18 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(aggregate_edges(_cached_triples(ENTRY_N_PAGES)), iters=8)
 
 
+def _lazy(module: str, attr: str) -> Callable[[str], Any]:
+    """Late-bound query fn (keeps the queries() import block small)."""
+
+    def wrapper(sf_dir: str):
+        import importlib
+
+        return getattr(importlib.import_module(module), attr)(sf_dir)
+
+    wrapper.__name__ = attr
+    return wrapper
+
+
 def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     def wrapper(sf_dir: str):
         from pie_ray.util import tune_data_context
@@ -230,6 +242,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sort": relational.q_global_sort,
         "histogram_quantity": relational.q_histogram_quantity,
         "regional_revenue": relational.q_regional_revenue,
+        # rows-only library surfaces (beyond the ~50-row recording cap;
+        # each is gated by its own pytest parity/accuracy tests)
+        "semdedup": _lazy("pie_ray.functions.semdedup", "q_semdedup"),
+        "kmeans": _lazy("pie_ray.functions.clustering", "q_kmeans"),
+        "bm25_search": _lazy("pie_ray.functions.search", "q_bm25"),
+        "dedup_lines": _lazy("pie_ray.functions.dedup", "q_dedup_lines"),
+        "pii_redact": _lazy("pie_ray.functions.pii", "q_pii_redact"),
+        "pack_sequences": _lazy("pie_ray.functions.packing", "q_pack_sequences"),
+        "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 
 
