@@ -103,6 +103,15 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(aggregate_edges(_cached_triples(ENTRY_N_PAGES)), iters=8)
 
 
+def _mixture_sample(sf_dir: str):
+    """Kept-rows side of packing.q_sample_to_token_budget (the shortfall
+    report is a driver-side Table; the entry surface returns the Dataset)."""
+    from pie_ray.functions.packing import q_sample_to_token_budget
+
+    kept, _report = q_sample_to_token_budget(sf_dir)
+    return kept
+
+
 def _lazy(module: str, attr: str) -> Callable[[str], Any]:
     """Late-bound query fn (keeps the queries() import block small)."""
 
@@ -250,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": _lazy("pie_ray.functions.dedup", "q_dedup_lines"),
         "pii_redact": _lazy("pie_ray.functions.pii", "q_pii_redact"),
         "pack_sequences": _lazy("pie_ray.functions.packing", "q_pack_sequences"),
+        "mixture_sample": _mixture_sample,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 

@@ -207,7 +207,9 @@ def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Datas
     closing-edge hash join on the packed (v, w) key -> bucketed per-node
     count. Each exchange is a bounded Dataset.join / 64-bucket groupby;
     .materialize() barriers keep the two joins out of one streaming plan
-    (CLAUDE.md exchange rule). Degree ranks ride a ray.put broadcast here
+    (the repo-wide one-exchange-per-plan rule — concurrent all-to-alls
+    deadlock-starve each other's aggregator actors on few CPUs; see
+    docs/SCALE.md). Degree ranks ride a ray.put broadcast here
     (node-count bounded); at node counts past broadcast range the rank
     attach becomes two more hash joins — documented, not implemented."""
     import ray
