@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _lazy("pie_ray.functions.pii", "q_pii_redact"),
         "pack_sequences": _lazy("pie_ray.functions.packing", "q_pack_sequences"),
         "mixture_sample": _mixture_sample,
+        "grouped_histogram": relational.q_grouped_histogram,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 
@@ -896,6 +897,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bin,
                    COUNT(*) AS n
             FROM lineitem GROUP BY bin
+        """,
+        "grouped_histogram": """
+            SELECT l_returnflag,
+                   CAST(floor(l_quantity / 5.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, bin
         """,
         "regional_revenue": """
             -- TPC-H Q5-style star join: revenue per nation in ASIA

@@ -232,3 +232,51 @@ def kmeans_fit_sample(
         if shift < tol:
             break
     return cents, it
+
+
+def standardize_embeddings(emb_ds, vec_col: str = "embedding"):
+    """Feature-scale a vector column to zero mean / unit variance per
+    dimension (the standard pre-clustering / pre-ANN normalization): pass 1
+    streams per-batch (count, sum, sumsq) partials — dim-sized, no shuffle —
+    pass 2 rewrites vectors against the broadcast (mean, inv_std) pair.
+    Zero-variance dimensions pass through centered but unscaled (inv_std=1),
+    never a divide-by-zero. Output column replaces ``vec_col`` as
+    list<double>; all other columns ride along unchanged."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = list_to_matrix(t.column(vec_col), dtype=np.float64)
+        return pa.table(
+            {
+                "n": pa.array([mat.shape[0]], pa.int64()),
+                "s": pa.array([mat.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "ss": pa.array(
+                    [(mat * mat).sum(axis=0).tolist()], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    n = 0
+    s = ss = None
+    for row in emb_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n += row["n"]
+        rs = np.asarray(row["s"])
+        rss = np.asarray(row["ss"])
+        s = rs if s is None else s + rs
+        ss = rss if ss is None else ss + rss
+    if n == 0:
+        return emb_ds
+    mean = s / n
+    var = np.maximum(ss / n - mean * mean, 0.0)
+    inv_std = np.where(var > 0, 1.0 / np.sqrt(var), 1.0)
+    mref = ray.put((mean, inv_std))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        mu, inv = ray.get(mref)
+        mat = list_to_matrix(t.column(vec_col), dtype=np.float64)
+        z = (mat - mu) * inv
+        idx = t.schema.get_field_index(vec_col)
+        return t.set_column(
+            idx, vec_col, pa.array(list(z), pa.list_(pa.float64()))
+        )
+
+    return emb_ds.map_batches(rewrite, batch_format="pyarrow")

@@ -2697,3 +2697,43 @@ def q_regional_revenue(sf_dir: str):
         }
     )
     return out.sort_by([("n_name", "ascending")])
+
+
+def grouped_histogram(ds, col: str, keys: list[str], lo: float, hi: float,
+                      nbins: int) -> pa.Table:
+    """Per-group fixed-width histogram: same exact float64 floor rule as
+    ``histogram``, with per-batch (keys, bin) partial counts combined once
+    on the driver (state is O(groups x nbins) — for low-cardinality keys,
+    the lowcard_group_agg shape; a high-cardinality key belongs in a
+    bucketed shuffle instead)."""
+    width = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(col)))  # COUNT(col) semantics
+        v = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor((v - lo) / width), -1, nbins).astype(np.int64)
+        part = pa.table(
+            {
+                **{k: t.column(k) for k in keys},
+                "bin": pa.array(b, pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        gb = part.group_by(keys + ["bin"]).aggregate([("n", "sum")])
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(gb, keys + ["bin"], keys + ["bin", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts)
+    gb = merged.group_by(keys + ["bin"]).aggregate([("n", "sum")])
+    from pie_ray.util import rename_grouped
+
+    out = rename_grouped(gb, keys + ["bin"], keys + ["bin", "n"])
+    return out.sort_by([(k, "ascending") for k in keys] + [("bin", "ascending")])
+
+
+def q_grouped_histogram(sf_dir: str):
+    """Driver entry: per-returnflag 10-bin quantity histogram."""
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return grouped_histogram(ds, "l_quantity", ["l_returnflag"], 0.0, 50.0, 10)

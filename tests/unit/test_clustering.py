@@ -87,3 +87,17 @@ def test_kmeans_fit_sample_deterministic_and_sane(ray_session):
     assert np.allclose(c1, c2)  # partition-independent sample + local fit
     tagged = kmeans_assign(_emb_ds(), c1).to_pandas()
     assert tagged.cluster.nunique() >= 2
+
+
+def test_standardize_embeddings(ray_session):
+    from pie_ray.functions.clustering import standardize_embeddings
+
+    got = standardize_embeddings(_emb_ds(5)).to_pandas().sort_values("vec_id")
+    mat = np.vstack(got.embedding.to_numpy())
+    assert np.abs(mat.mean(axis=0)).max() < 1e-9
+    assert np.abs(mat.std(axis=0) - 1.0).max() < 1e-9
+    # partition independence (bit-exact: float64 sums over same batches may
+    # differ across partitionings, so compare within tolerance)
+    got1 = standardize_embeddings(_emb_ds()).to_pandas().sort_values("vec_id")
+    mat1 = np.vstack(got1.embedding.to_numpy())
+    assert np.abs(mat - mat1).max() < 1e-9
