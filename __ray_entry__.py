@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _lazy("pie_ray.functions.packing", "q_pack_sequences"),
         "mixture_sample": _mixture_sample,
         "grouped_histogram": relational.q_grouped_histogram,
+        "chunk_documents": textops.q_chunk_documents,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 
@@ -891,6 +892,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
             FROM events
+        """,
+        "chunk_documents": """
+            -- overlapping 400-char chunks at stride 300; >= 1 chunk per doc
+            WITH d AS (
+              SELECT doc_id, text, greatest(length(text), 1) AS L FROM documents
+            ), e AS (
+              SELECT doc_id, text,
+                     unnest([x for x in range(0, L, 300)]) AS off
+              FROM d
+            )
+            SELECT doc_id, CAST(off AS BIGINT) AS off,
+                   substr(text, CAST(off AS BIGINT) + 1, 400) AS chunk
+            FROM e
         """,
         "histogram_quantity": """
             -- fixed-width bins: floor((v - 0) / 5.0) over [0, 50)

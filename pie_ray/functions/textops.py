@@ -812,3 +812,50 @@ def _tfidf_rank_bucket(g):
             "rnk": pa.array(rank[keep], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(ds, chunk_chars: int = 400, stride: int = 300,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split each document into overlapping character chunks (start offsets
+    0, stride, 2*stride, ...; chunk length <= chunk_chars; every doc emits
+    at least one chunk, empty text included). Offsets are code-point
+    positions (Python slicing == SQL substr semantics). Stateless map-only
+    explode, fuse-friendly, no shuffle; per-chunk substring extraction is
+    a C-level str slice (the same per-doc Python cost every text op here
+    pays to leave Arrow)."""
+    if stride <= 0 or chunk_chars <= 0:
+        raise ValueError("chunk_chars and stride must be positive")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_ids, out_off, out_chunk = [], [], []
+        for i, txt in zip(ids, texts):
+            txt = txt or ""
+            for off in range(0, max(len(txt), 1), stride):
+                out_ids.append(i)
+                out_off.append(off)
+                out_chunk.append(txt[off : off + chunk_chars])
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, t.column(id_col).type),
+                "off": pa.array(out_off, pa.int64()),
+                "chunk": pa.array(out_chunk, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_chunk_documents(sf_dir: str):
+    """Driver entry: 400-char chunks at stride 300 over the documents
+    table — one row per (doc, offset)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds)

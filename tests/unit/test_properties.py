@@ -73,3 +73,59 @@ def test_tokenizer_offsets_roundtrip(text):
         for tok, b, e in sent:
             assert 0 <= b < e <= len(text)
             assert text[b:e] == tok
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(2, 60),
+    dim=st.integers(2, 6),
+    tau=st.floats(0.5, 0.99),
+    seed=st.integers(0, 10_000),
+)
+def test_semdedup_components_match_networkx(n, dim, tau, seed):
+    import networkx as nx
+    import numpy as np
+
+    from pie_ray.functions.semdedup import _dup_components
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    roots = _dup_components(mat, tau)
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    sims = mat @ mat.T
+    r, c = np.nonzero(np.triu(sims >= tau, 1))
+    g.add_edges_from(zip(r.tolist(), c.tolist()))
+    for comp in nx.connected_components(g):
+        mn = min(comp)
+        for v in comp:
+            assert roots[v] == mn
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    keys=st.lists(st.integers(-50, 50), min_size=1, max_size=200),
+    nb=st.integers(1, 10),
+    seed=st.integers(0, 10_000),
+)
+def test_range_partition_preserves_total_order(keys, nb, seed):
+    """The global_rank / sorted-sink invariant: searchsorted(b, k,
+    side='right') range assignment + per-range sort, concatenated in range
+    order, IS the global sort — for ANY boundary choice (boundaries only
+    balance load)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = np.asarray(keys, np.float64)
+    boundaries = np.unique(rng.choice(k, size=min(nb, len(k)), replace=True))
+    ranges = np.searchsorted(boundaries, k, side="right")
+    tie = np.arange(len(k))  # unique tie-break = row index
+    out = []
+    for r in range(len(boundaries) + 1):
+        sel = np.flatnonzero(ranges == r)
+        order = np.lexsort((tie[sel], k[sel]))
+        out.append(sel[order])
+    got = np.concatenate(out)
+    want = np.lexsort((tie, k))
+    assert got.tolist() == want.tolist()
