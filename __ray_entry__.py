@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _mixture_sample,
         "grouped_histogram": relational.q_grouped_histogram,
         "chunk_documents": textops.q_chunk_documents,
+        "corpus_report": textops.q_corpus_report,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 
@@ -892,6 +893,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
             FROM events
+        """,
+        "corpus_report": r"""
+            -- per-source curation dashboard: docs, exact ws tokens,
+            -- exact distinct texts, duplicate fraction
+            WITH tok AS (
+              SELECT source, md5(coalesce(text, '')) AS h,
+                     CASE WHEN trim(coalesce(text, ''),
+                               ' ' || chr(9) || chr(10) || chr(12) || chr(13)) = ''
+                          THEN 0
+                          ELSE len(string_split_regex(
+                               trim(coalesce(text, ''),
+                                    ' ' || chr(9) || chr(10) || chr(12) || chr(13)),
+                               '[ \t\n\f\r]+'))
+                     END AS n
+              FROM documents
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(n) AS total_tokens,
+                   COUNT(DISTINCT h) AS n_distinct_texts,
+                   (COUNT(*) - COUNT(DISTINCT h)) * 1.0 / COUNT(*) AS dup_frac
+            FROM tok GROUP BY source
         """,
         "chunk_documents": """
             -- overlapping 400-char chunks at stride 300; >= 1 chunk per doc

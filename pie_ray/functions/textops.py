@@ -859,3 +859,91 @@ def q_chunk_documents(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return chunk_documents(ds)
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report (the curation dashboard table)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_report(sf_dir: str):
+    """One row per source: doc count, exact total whitespace tokens, exact
+    distinct-text count and the duplicate fraction — the at-a-glance table
+    a curation run starts from. Composition of existing pieces: map-side
+    lowcard partials for counts/tokens (driver state = sources), ONE
+    md5-bucketed exchange for the exact distinct count (the same two-phase
+    shape as dedup_exact / count_distinct)."""
+    import hashlib
+
+    from pie_ray.util import hash64_array
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tc = token_count_batch(t)
+        part = pa.table(
+            {
+                "source": t.column("source"),
+                "n_tok": tc.column("n_tokens_ws"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        gb = part.group_by(["source"]).aggregate([("n_tok", "sum"), ("one", "sum")])
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(gb, ["source"], ["source", "tokens", "docs"])
+
+    counts: dict[str, list[int]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        c = counts.setdefault(row["source"], [0, 0])
+        c[0] += row["docs"]
+        c[1] += row["tokens"]
+
+    def hashes(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        h = [hashlib.md5((s or "").encode("utf-8", "replace")).hexdigest() for s in texts]
+        b = (hash64_array(h, salt=b"rep") % 64).astype("int32")
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "h": pa.array(h, pa.string()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def distinct_in_bucket(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        d = g.select(["source", "h"]).group_by(["source", "h"]).aggregate([])
+        part = pa.table(
+            {
+                "source": d.column("source"),
+                "one": pa.array(np.ones(d.num_rows, np.int64)),
+            }
+        )
+        gb = part.group_by(["source"]).aggregate([("one", "sum")])
+        return rename_grouped(gb, ["source"], ["source", "n_distinct"])
+
+    distinct: dict[str, int] = {}
+    for row in (
+        ds.map_batches(hashes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pyarrow")
+        .take_all()
+    ):
+        distinct[row["source"]] = distinct.get(row["source"], 0) + row["n_distinct"]
+
+    sources = sorted(counts)
+    n_docs = np.array([counts[s][0] for s in sources], np.int64)
+    n_dist = np.array([distinct.get(s, 0) for s in sources], np.int64)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "total_tokens": pa.array([counts[s][1] for s in sources], pa.int64()),
+            "n_distinct_texts": pa.array(n_dist, pa.int64()),
+            "dup_frac": pa.array((n_docs - n_dist) * 1.0 / n_docs, pa.float64()),
+        }
+    )
