@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_histogram": relational.q_grouped_histogram,
         "chunk_documents": textops.q_chunk_documents,
         "corpus_report": textops.q_corpus_report,
+        "funnel_events": relational.q_funnel_events,
+        "cohort_retention": relational.q_cohort_retention,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 
@@ -893,6 +895,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
             FROM events
+        """,
+        "cohort_retention": """
+            -- cohort = first signup day (epoch days, calendar-free ints);
+            -- a user counts once per (cohort, week offset) active
+            WITH f AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts) // 86400000000) AS cohort_day
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), act AS (
+              SELECT DISTINCT e.user_id, f.cohort_day,
+                     (epoch_us(e.ts) // 86400000000 - f.cohort_day) // 7 AS week_off
+              FROM events e JOIN f USING (user_id)
+              WHERE epoch_us(e.ts) // 86400000000 >= f.cohort_day
+            )
+            SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+                   CAST(week_off AS BIGINT) AS week_off,
+                   COUNT(*) AS n_users
+            FROM act GROUP BY cohort_day, week_off
+        """,
+        "funnel_events": """
+            -- click -> purchase funnel: first click per user, first
+            -- purchase strictly after it (0 sentinel = never converted)
+            WITH a AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS first_a_us
+              FROM events WHERE event_type = 'click' GROUP BY user_id
+            ), b AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_b_after_us
+              FROM events e JOIN a USING (user_id)
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > a.first_a_us
+              GROUP BY e.user_id
+            )
+            SELECT a.user_id, a.first_a_us,
+                   COALESCE(b.first_b_after_us, 0) AS first_b_after_us
+            FROM a LEFT JOIN b USING (user_id)
         """,
         "corpus_report": r"""
             -- per-source curation dashboard: docs, exact ws tokens,

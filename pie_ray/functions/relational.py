@@ -2737,3 +2737,176 @@ def q_grouped_histogram(sf_dir: str):
     """Driver entry: per-returnflag 10-bin quantity histogram."""
     ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
     return grouped_histogram(ds, "l_quantity", ["l_returnflag"], 0.0, 50.0, 10)
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (A-then-B per user over the events stream)
+# ---------------------------------------------------------------------------
+
+
+def funnel(ds, step_a: str, step_b: str, user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type"):
+    """Per-user two-step funnel: the user's FIRST ``step_a`` event, and the
+    first ``step_b`` event strictly after it (epoch-us sentinel 0 when the
+    user never converts). One user-bucketed exchange, vectorized sorted
+    pass per bucket — rows with other event types are dropped map-side
+    before the shuffle, so only funnel-relevant events move."""
+    from pie_ray.util import hash64_ints
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(type_col), pa.array([step_a, step_b]))
+        t = t.filter(mask)
+        b = (
+            hash64_ints(t.column(user_col).to_numpy(zero_copy_only=False), salt=13)
+            % 32
+        ).astype("int32")
+        return pa.table(
+            {
+                "user_id": t.column(user_col),
+                "ts_us": pc.cast(t.column(ts_col), pa.int64()),
+                "is_a": pc.equal(t.column(type_col), step_a),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts_us", "ascending")]
+        )
+        g = g.take(order)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        is_a = g.column("is_a").to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_a_us": pa.array([], pa.int64()),
+                    "first_b_after_us": pa.array([], pa.int64()),
+                }
+            )
+        new = np.zeros(n, bool)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1  # 0..nruns-1, one per user
+        nruns = len(starts)
+        # first A row per user (scatter-min of row positions), then the
+        # first B row strictly after that A — all vectorized
+        first_a = np.full(nruns, n, np.int64)
+        np.minimum.at(first_a, run_id[is_a], np.flatnonzero(is_a))
+        has_a = first_a < n
+        ta = np.where(has_a, ts[np.minimum(first_a, n - 1)], 0)
+        cand = (~is_a) & (ts > ta[run_id]) & has_a[run_id]
+        first_b = np.full(nruns, n, np.int64)
+        np.minimum.at(first_b, run_id[cand], np.flatnonzero(cand))
+        tb = np.where(first_b < n, ts[np.minimum(first_b, n - 1)], 0)
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts][has_a], pa.int64()),
+                "first_a_us": pa.array(ta[has_a], pa.int64()),
+                "first_b_after_us": pa.array(tb[has_a], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def q_funnel_events(sf_dir: str):
+    """Driver entry: click -> purchase funnel over the events table."""
+    ds = scan(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ds, "click", "purchase")
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over events: users cohorted by their first
+    'signup' day (epoch days — deliberately calendar-free integer math so
+    the engine and SQL agree exactly), counted once per (cohort_day,
+    week_offset) they were active in. ONE user-bucketed exchange (a user's
+    rows co-locate, so per-bucket distinct IS global distinct), per-bucket
+    scatter-min + vectorized offsets, driver combine over the tiny
+    (cohorts x offsets) matrix."""
+    from pie_ray.util import hash64_ints, rename_grouped
+
+    DAY_US = 86_400_000_000
+    ds = scan(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=19)
+            % 32
+        ).astype("int32")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(pc.cast(t.column("ts"), pa.int64()), DAY_US),
+                "is_signup": pc.equal(t.column("event_type"), "signup"),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(g, sort_keys=[("user_id", "ascending")])
+        g = g.take(order)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        is_s = g.column("is_signup").to_numpy(zero_copy_only=False)
+        n = len(users)
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.int64()),
+                "week_off": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        new = np.zeros(n, bool)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        run_id = np.cumsum(new) - 1
+        nruns = int(run_id[-1]) + 1
+        BIG = np.iinfo(np.int64).max
+        cohort = np.full(nruns, BIG, np.int64)
+        np.minimum.at(cohort, run_id[is_s], day[is_s])
+        has = cohort[run_id] != BIG
+        sel = has & (day >= cohort[run_id])
+        co = cohort[run_id][sel]
+        off = (day[sel] - co) // 7
+        trip = pa.table(
+            {
+                "cohort_day": pa.array(co, pa.int64()),
+                "week_off": pa.array(off, pa.int64()),
+                "u": pa.array(users[sel], pa.int64()),
+            }
+        )
+        d = trip.group_by(["cohort_day", "week_off", "u"]).aggregate([])
+        d = d.append_column("n", pa.array(np.ones(d.num_rows, np.int64)))
+        gb = d.select(["cohort_day", "week_off", "n"]).group_by(
+            ["cohort_day", "week_off"]
+        ).aggregate([("n", "sum")])
+        return rename_grouped(
+            gb, ["cohort_day", "week_off"], ["cohort_day", "week_off", "n"]
+        )
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    merged = pa.Table.from_pylist(parts)
+    from pie_ray.util import rename_grouped
+
+    gb = merged.group_by(["cohort_day", "week_off"]).aggregate([("n", "sum")])
+    out = rename_grouped(
+        gb, ["cohort_day", "week_off"], ["cohort_day", "week_off", "n_users"]
+    )
+    return out.sort_by([("cohort_day", "ascending"), ("week_off", "ascending")])
