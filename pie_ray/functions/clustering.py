@@ -184,7 +184,7 @@ def kmeans_fit_sample(
     Same update rules as kmeans_fit: ties to the lower cluster id, empty
     clusters keep their centroid, converge on max shift < tol."""
     n = emb_ds.count()
-    denom = max(1, n // max_sample)
+    denom = max(1, -(-n // max_sample))  # ceil: expected sample <= max_sample
 
     def pick(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -208,6 +208,9 @@ def kmeans_fit_sample(
         emb_ds.map_batches(pick, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     ):
+        if b.num_rows == 0:
+            continue  # a fully-filtered block yields a (0, 0) matrix —
+            # vstack with real (m, dim) blocks would raise
         hs.append(b.column("h").to_numpy(zero_copy_only=False))
         vs.append(list_to_matrix(b.column("vec"), dtype=np.float64))
     h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
@@ -243,7 +246,17 @@ def standardize_embeddings(emb_ds, vec_col: str = "embedding"):
     never a divide-by-zero. Output column replaces ``vec_col`` as
     list<double>; all other columns ride along unchanged."""
 
+    empty_partial = pa.table(
+        {
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.list_(pa.float64())),
+            "ss": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_partial  # (0, 0) matrix would emit dim-0 sums
         mat = list_to_matrix(t.column(vec_col), dtype=np.float64)
         return pa.table(
             {

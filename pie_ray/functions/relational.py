@@ -2079,9 +2079,10 @@ def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
     MERGE semantics — updates overwrite, unseen keys insert). ONE bounded
     exchange: rows bucket on hash(key) % 64, each bucket resolves its keys
     with a vectorized sort + first-of-run pass. No per-key groupby, no
-    driver pull — scales to any corpus; version ties are broken
-    deterministically by preferring the LAST-sorted duplicate (callers
-    should keep versions unique per key, as real CDC streams do)."""
+    driver pull — scales to any corpus. Version ties (e.g. a replayed
+    delta) are broken deterministically by sorting the REMAINING columns
+    ascending and keeping the first — output is a pure function of the
+    row multiset, independent of partitioning (house invariant)."""
     from pie_ray.util import hash64_array, hash64_ints
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -2099,10 +2100,14 @@ def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"])
+        rest = [
+            c for c in g.column_names if c not in key_cols and c != version_col
+        ]
         order = pc.sort_indices(
             g,
             sort_keys=[(k, "ascending") for k in key_cols]
-            + [(version_col, "descending")],
+            + [(version_col, "descending")]
+            + [(c, "ascending") for c in rest],
         )
         g = g.take(order)
         n = g.num_rows
@@ -2386,8 +2391,13 @@ def explode_list(ds, id_cols: list[str], list_col: str,
         )
         values = pc.list_flatten(col)
         idx = np.repeat(np.arange(t.num_rows), lens)
-        # position within each list: global arange minus each row's start
-        starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        # position within each list: global arange minus each row's start;
+        # the [:1] slice (not [0]) keeps the seed empty for a 0-row batch,
+        # where cumsum(lens)[:-1] has length 0 but ([0], ...) would not
+        starts = np.repeat(
+            np.concatenate((np.zeros(min(len(lens), 1), np.int64), np.cumsum(lens)[:-1])),
+            lens,
+        )
         pos = np.arange(int(lens.sum())) - starts
         cols = {c: t.column(c).take(pa.array(idx)) for c in id_cols}
         cols[pos_name] = pa.array(pos, pa.int64())
@@ -2573,13 +2583,15 @@ def histogram(ds, col: str, lo: float, hi: float, nbins: int) -> pa.Table:
     overflow bin nbins included) merged by addition on the driver. ONE
     map pass, no shuffle; driver state is O(nbins). Bin rule is
     floor((v-lo)/width) in float64 — the same double math the SQL oracle
-    computes, so edge values bin identically."""
+    computes, so edge values bin identically. Nulls AND NaNs are skipped
+    (NaN would otherwise floor to NaN and poison the int cast)."""
     width = (hi - lo) / nbins
 
     def partial(t: pa.Table) -> pa.Table:
         v = pc.cast(t.column(col), pa.float64()).drop_null().to_numpy(
             zero_copy_only=False
         )
+        v = v[~np.isnan(v)]
         b = np.floor((v - lo) / width)
         b = np.clip(b, -1, nbins).astype(np.int64) + 1  # -1..nbins -> 0..nbins+1
         cnt = np.bincount(b, minlength=nbins + 2)
@@ -2663,9 +2675,14 @@ def q_regional_revenue(sf_dir: str):
         num_partitions=join_num_partitions(orders.size_bytes()),
         on=("o_custkey",),
         right_on=("c_custkey",),
-    )
+    ).materialize()  # SMALL (regional orders) barrier: never let the two
+    # join exchanges share one streaming plan (aggregator-actor starvation
+    # hangs at few CPUs — the repo-wide exchange rule)
 
     li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    # size the join off the RAW scan (metadata) — size_bytes() on the
+    # mapped plan would execute the whole pre-reduce an extra time
+    li_parts = join_num_partitions(li.size_bytes())
 
     def pre_reduce(t: pa.Table) -> pa.Table:
         rev4 = pc.multiply(
@@ -2680,7 +2697,7 @@ def q_regional_revenue(sf_dir: str):
     joined = li.join(
         co,
         join_type="inner",
-        num_partitions=join_num_partitions(li.size_bytes()),
+        num_partitions=li_parts,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -2711,6 +2728,8 @@ def grouped_histogram(ds, col: str, keys: list[str], lo: float, hi: float,
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(col)))  # COUNT(col) semantics
         v = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(~np.isnan(v)))  # NaN skipped like null
+        v = v[~np.isnan(v)]
         b = np.clip(np.floor((v - lo) / width), -1, nbins).astype(np.int64)
         part = pa.table(
             {

@@ -38,13 +38,14 @@ def write_sorted_parquet(ds, path: str, key_col: str, tie_col: str,
     )
 
     key_type = ds.schema().types[ds.schema().names.index(key_col)]
-    if not (pa.types.is_integer(key_type) or pa.types.is_floating(key_type)):
-        # the sidecar stores boundaries as JSON floats; a string key would
-        # round-trip wrong and silently mis-prune reads
+    is_int = pa.types.is_integer(key_type)
+    if not (is_int or pa.types.is_floating(key_type)):
+        # a non-numeric key would not JSON-round-trip in the sidecar and
+        # could silently mis-prune reads
         raise TypeError(f"sorted layout requires a numeric key, got {key_type}")
     boundaries = sample_range_boundaries(ds, key_col, num_ranges)
     if boundaries is None:
-        boundaries = np.empty(0, np.float64)
+        boundaries = np.empty(0, np.int64 if is_int else np.float64)
 
     def sort_range(g: pa.Table) -> pa.Table:
         rng = g.column("__range")  # constant within the group (groupby key)
@@ -63,7 +64,10 @@ def write_sorted_parquet(ds, path: str, key_col: str, tie_col: str,
     meta = {
         "key_col": key_col,
         "tie_col": tie_col,
-        "boundaries": [float(b) for b in boundaries],
+        # ints stay ints (JSON ints are exact at any magnitude — a float
+        # round-trip would corrupt int64 boundaries past 2^53 and silently
+        # mis-prune reads)
+        "boundaries": [int(b) if is_int else float(b) for b in boundaries],
     }
     with open(os.path.join(path, SORTED_META), "w") as f:
         json.dump(meta, f)
@@ -86,14 +90,18 @@ def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
         )
     with open(meta_path) as f:
         meta = json.load(f)
-    b = np.asarray(meta["boundaries"], np.float64)
+    b = np.asarray(meta["boundaries"])  # int64 or float64 as written
     key = meta["key_col"]
     n_ranges = len(b) + 1
+    import glob as _glob
+
+    all_files = sorted(_glob.glob(os.path.join(path, "range=*", "*.parquet")))
+    if not all_files:
+        raise FileNotFoundError(f"no range=*/ parquet files under {path}")
     # range r holds keys in [b[r-1], b[r]) (searchsorted side='right':
     # a key equal to boundary j lands in range j+1)
     first = 0 if lo is None else int(np.searchsorted(b, lo, side="right"))
     last = n_ranges - 1 if hi is None else int(np.searchsorted(b, hi, side="right"))
-    import glob as _glob
 
     # a LIST of paths to read_parquet must be files, not directories
     files = [
@@ -103,9 +111,22 @@ def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
             _glob.glob(os.path.join(path, f"range={r}", "*.parquet"))
         )
     ]
+    # always project explicitly: Ray's hive inference would otherwise
+    # append a surprise 'range' column from the directory names. The
+    # residual filter needs the key even when the caller's projection
+    # drops it; strip it back off after filtering.
+    import pyarrow.parquet as pq
+
+    eff_cols = list(columns) if columns else pq.read_schema(all_files[0]).names
+    need_filter = lo is not None or hi is not None
+    drop_key = key not in eff_cols and need_filter
+    read_cols = eff_cols + [key] if drop_key else eff_cols
     if not files:
-        return ray.data.from_arrow(pa.table({key: pa.array([], pa.float64())}))
-    ds = ray.data.read_parquet(files, columns=columns)
+        # fully pruned: read ONE file and let the residual filter drop its
+        # rows — an empty from_arrow Dataset loses its schema in to_pandas
+        # (the documented trap), while real batches carry it through
+        files = [all_files[0]]
+    ds = ray.data.read_parquet(files, columns=read_cols)
 
     def residual(t: pa.Table) -> pa.Table:
         v = t.column(key)
@@ -114,8 +135,9 @@ def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
             mask = pc.and_(mask, pc.greater_equal(v, lo))
         if hi is not None:
             mask = pc.and_(mask, pc.less_equal(v, hi))
-        return t.filter(mask)
+        t = t.filter(mask)
+        return t.drop_columns([key]) if drop_key else t
 
-    if lo is None and hi is None:
+    if not need_filter:
         return ds
     return ds.map_batches(residual, batch_format="pyarrow")

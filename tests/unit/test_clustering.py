@@ -101,3 +101,23 @@ def test_standardize_embeddings(ray_session):
     got1 = standardize_embeddings(_emb_ds()).to_pandas().sort_values("vec_id")
     mat1 = np.vstack(got1.embedding.to_numpy())
     assert np.abs(mat - mat1).max() < 1e-9
+
+
+def test_fit_sample_and_standardize_survive_empty_blocks(ray_session):
+    import ray.data as rd
+
+    from pie_ray.functions.clustering import kmeans_fit_sample, standardize_embeddings
+
+    # a filter that empties some blocks entirely
+    ds = _emb_ds(9).filter(expr="vec_id < 50")
+    c, _ = kmeans_fit_sample(ds, 4)
+    assert c.shape[0] == 4
+    got = standardize_embeddings(ds).to_pandas()
+    assert len(got) == 50
+
+
+def test_fit_sample_denominator_bounds_pull():
+    # ceil division keeps the expected sample <= max_sample
+    for n in (131_071, 131_073, 65_536, 65_537, 100):
+        denom = max(1, -(-n // 65_536))
+        assert n / denom <= 65_536

@@ -29,3 +29,18 @@ def test_histogram_edges_nulls_partitions(ray_session):
         assert lo[-1] == -np.inf and hi[2] == np.inf
         assert lo[0] == 0.0 and hi[0] == 5.0 and lo[1] == 5.0 and hi[1] == 10.0
         assert got.n.sum() == 8
+
+
+def test_histogram_nan_skipped(ray_session):
+    from pie_ray.functions.relational import grouped_histogram
+
+    t = pa.table(
+        {
+            "g": pa.array(["x", "x", "y"]),
+            "v": pa.array([float("nan"), 1.0, 11.0], pa.float64()),
+        }
+    )
+    got = histogram(ray.data.from_arrow(t), "v", 0.0, 10.0, 2).to_pandas()
+    assert got.n.sum() == 2  # NaN dropped like null
+    gh = grouped_histogram(ray.data.from_arrow(t), "v", ["g"], 0.0, 10.0, 2).to_pandas()
+    assert gh.n.sum() == 2 and (gh.bin >= -1).all()

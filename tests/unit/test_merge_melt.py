@@ -105,3 +105,34 @@ def test_ntile_small_partition_edge(ray_session):
     # global sanity: every tile number within 1..4 and rank <= dense-rank gap
     assert got.nt.between(1, 4).all()
     assert (got.drnk <= got.rnk).all()
+
+
+def test_merge_upsert_version_tie_partition_independent(ray_session):
+    # replayed delta: identical (key, version) rows with different payloads
+    # must yield the same survivor under any partitioning
+    base = pa.table(
+        {
+            "k1": pa.array(["a", "a", "b"]),
+            "k2": pa.array([1, 1, 2], pa.int64()),
+            "val": pa.array([30, 10, 5], pa.int64()),
+            "version": pa.array([1, 1, 0], pa.int64()),
+        }
+    )
+    upd = base.slice(0, 0)
+    a = _merged(base, upd, ["k1", "k2"], blocks=1)
+    b = _merged(base, upd, ["k1", "k2"], blocks=6)
+    pd.testing.assert_frame_equal(a, b)
+    assert a[(a.k1 == "a")].val.item() == 10  # smallest payload wins ties
+
+
+def test_explode_list_empty_batch(ray_session):
+    from pie_ray.functions.relational import explode_list
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "xs": pa.array([[7], [8]], pa.list_(pa.int64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).filter(expr="id > 99")  # all blocks empty
+    assert explode_list(ds, ["id"], "xs").count() == 0
