@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": textops.q_corpus_report,
         "funnel_events": relational.q_funnel_events,
         "cohort_retention": relational.q_cohort_retention,
+        "curate_corpus_v3": _lazy("pie_ray.pipelines.curation", "q_curate_corpus_v3"),
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 

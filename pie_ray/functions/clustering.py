@@ -214,8 +214,11 @@ def kmeans_fit_sample(
         hs.append(b.column("h").to_numpy(zero_copy_only=False))
         vs.append(list_to_matrix(b.column("vec"), dtype=np.float64))
     h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
-    if len(h) < k:
-        raise ValueError(f"k={k} exceeds sample size {len(h)}")
+    if len(h) == 0:
+        raise ValueError("cannot fit k-means on an empty dataset")
+    # k > n is degenerate (every point its own centroid) — clamp rather
+    # than raise so pipeline callers survive small filtered inputs
+    k = min(k, len(h))
     mat = np.vstack(vs)
     order = np.argsort(h, kind="stable")
     cents = mat[order[:k]].copy()

@@ -118,3 +118,116 @@ def q_curate_corpus(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     curated, _report = curate_corpus(ds)
     return curated
+
+
+def curate_corpus_v3(
+    docs_ds,
+    emb_ds,
+    tau: float = 0.92,
+    k_clusters: int = 16,
+    chunk_chars: int = 400,
+    chunk_stride: int = 300,
+    **v2_kwargs,
+):
+    """v2 + the semantic layer + chunking — the full LLM-data recipe:
+
+        1-5. curate_corpus (validate → LM band → line dedup → span dedup
+             → length floor)
+        6.   SemDeDup: embeddings joined on doc id (docs WITHOUT an
+             embedding pass through — absence of a vector is not evidence
+             of duplication), keep only each duplicate component's
+             representative
+        7.   chunk_documents: overlapping char chunks, training-ready
+
+    Returns (chunks_ds with (doc_id, off, chunk), report). Same accounting
+    contract as v2: every removal counted, nothing silent.
+
+    Scale: adds ONE bounded cluster exchange (semdedup) and a broadcast
+    keep-set — the kept/dropped verdict table is doc-count-sized ids, not
+    text; the embeddings join ships ids+vectors only for docs that
+    SURVIVED steps 1-5 (semi-join pushdown by broadcast id set would be
+    the next refinement at 10^12 rows; at that scale prefer running
+    semdedup FIRST on the full embedding store, where it is one exchange
+    regardless)."""
+    import numpy as np
+    import ray
+
+    from pie_ray.functions.semdedup import semantic_dedup
+    from pie_ray.functions.textops import chunk_documents
+    from pie_ray.util import join_num_partitions
+
+    curated, report = curate_corpus(docs_ds, **v2_kwargs)
+
+    # semi-join by broadcast sorted id array (Ray's hash join cannot carry
+    # list<float> payloads, and the survivor id set is ids-only — bounded)
+    kept_ids = np.sort(
+        np.asarray(
+            [r["doc_id"] for r in curated.select_columns(["doc_id"]).take_all()],
+            np.int64,
+        )
+    )
+    ids_ref = ray.put(kept_ids)
+
+    def emb_of_survivors(t: pa.Table) -> pa.Table:
+        ks = ray.get(ids_ref)
+        if t.num_rows == 0 or len(ks) == 0:
+            return t.slice(0, 0)
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, v)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == v)
+        return t.filter(pa.array(hit))
+
+    emb = emb_ds.map_batches(emb_of_survivors, batch_format="pyarrow").materialize()
+    n_emb = emb.count()
+    report["rows_with_embedding"] = n_emb
+    if n_emb == 0:
+        report["rows_semdedup_dropped"] = 0
+        report["rows_after_semdedup"] = report["rows_out"]
+        chunks = chunk_documents(
+            curated, chunk_chars=chunk_chars, stride=chunk_stride
+        ).materialize()
+        report["chunks_out"] = chunks.count()
+        return chunks, report
+
+    # k must stay well under n or every point seeds its own cluster and
+    # nothing ever shares one (mean cluster size >= 4 here)
+    k_eff = max(1, min(k_clusters, n_emb // 4))
+    verdict = semantic_dedup(emb, k=k_eff, tau=tau)
+    dropped = verdict.map_batches(
+        lambda t: t.filter(pc.invert(t.column("keep"))).select(["vec_id"]),
+        batch_format="pyarrow",
+    ).take_all()
+    drop_ids = np.sort(np.asarray([r["vec_id"] for r in dropped], np.int64))
+    report["rows_semdedup_dropped"] = len(drop_ids)
+    drop_ref = ray.put(drop_ids)
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0 or t.num_rows == 0:
+            return t
+        ids_np = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d, ids_np)
+        is_drop = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids_np)
+        return t.filter(pa.array(~is_drop))
+
+    kept = curated.map_batches(keep_rows, batch_format="pyarrow")
+    chunks = chunk_documents(kept, chunk_chars=chunk_chars, stride=chunk_stride)
+    report["rows_after_semdedup"] = report["rows_out"] - len(drop_ids)
+    chunks = chunks.materialize()
+    report["chunks_out"] = chunks.count()
+    return chunks, report
+
+
+def q_curate_corpus_v3(sf_dir: str):
+    """Driver surface: curated + semantically deduped + chunked corpus
+    (embeddings attached by id from the embeddings table)."""
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    chunks, _report = curate_corpus_v3(docs, emb)
+    return chunks

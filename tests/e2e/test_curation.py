@@ -95,3 +95,71 @@ def test_driver_table_run(ray_session):
     assert 0 < len(df) <= 500
     assert set(df.columns) == {"doc_id", "text", "n_tokens"}
     assert (df["n_tokens"] >= 10).all()
+
+
+def _emb_table(doc_ids, dup_groups):
+    """Deterministic embeddings: each doc gets a distinct axis vector;
+    docs listed together in a dup_group share a near-identical vector."""
+    import numpy as np
+
+    dim = 24
+    vecs = {}
+    for j, i in enumerate(doc_ids):
+        v = np.zeros(dim)
+        v[j % (dim - 1)] = 1.0
+        vecs[i] = v
+    for group in dup_groups:
+        base = np.zeros(dim)
+        base[dim - 1] = 1.0
+        for off, i in enumerate(group):
+            v = base.copy()
+            v[0] = 0.02 * off  # tiny angle: cosine >> 0.92
+            vecs[i] = v / np.linalg.norm(v)
+    return pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array(
+                [vecs[i].astype("float32").tolist() for i in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def test_v3_semdedup_and_chunking(ray_session, tmp_path):
+    from pie_ray.pipelines.curation import curate_corpus_v3
+
+    path = _write(tmp_path, PLANTED)
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    # docs 0..7 survive v2; plant 2,5 as semantic near-dups of each other
+    emb = ray.data.from_arrow(_emb_table(range(8), [[2, 5]]))
+    chunks, report = curate_corpus_v3(
+        docs, emb, chunk_chars=60, chunk_stride=50,
+        bits_lo_q=0.02, bits_hi_q=0.85, min_tokens=5, lm_min_count=2,
+    )
+    got = chunks.to_pandas()
+    surviving = set(got.doc_id)
+    # exactly one of {2, 5} survives the semantic layer
+    assert len({2, 5} & surviving) == 1
+    assert report["rows_semdedup_dropped"] == 1
+    assert report["rows_after_semdedup"] == report["rows_out"] - 1
+    assert report["chunks_out"] == len(got)
+    # chunk offsets tile each doc at the stride
+    for _, grp in got.groupby("doc_id"):
+        offs = sorted(grp.off)
+        assert offs[0] == 0
+        assert all(b - a == 50 for a, b in zip(offs, offs[1:]))
+
+
+def test_v3_docs_without_embeddings_pass_through(ray_session, tmp_path):
+    from pie_ray.pipelines.curation import curate_corpus_v3
+
+    path = _write(tmp_path, PLANTED)
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    emb = ray.data.from_arrow(_emb_table([0, 1], []))  # only two docs covered
+    chunks, report = curate_corpus_v3(
+        docs, emb, bits_lo_q=0.02, bits_hi_q=0.85, min_tokens=5, lm_min_count=2
+    )
+    assert report["rows_semdedup_dropped"] == 0
+    # every v2 survivor chunks through, embedded or not
+    assert set(chunks.to_pandas().doc_id) == set(range(8))
