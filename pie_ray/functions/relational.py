@@ -2100,8 +2100,15 @@ def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"])
+        # tie-break on the SORTABLE payload columns only — nested types
+        # (list/struct) crash Arrow sorting; ties that differ only in a
+        # nested payload keep the block-order winner (documented limit)
         rest = [
-            c for c in g.column_names if c not in key_cols and c != version_col
+            c
+            for c in g.column_names
+            if c not in key_cols
+            and c != version_col
+            and not pa.types.is_nested(g.schema.field(c).type)
         ]
         order = pc.sort_indices(
             g,

@@ -154,18 +154,21 @@ def curate_corpus_v3(
 
     from pie_ray.functions.semdedup import semantic_dedup
     from pie_ray.functions.textops import chunk_documents
-    from pie_ray.util import join_num_partitions
 
     curated, report = curate_corpus(docs_ds, **v2_kwargs)
 
     # semi-join by broadcast sorted id array (Ray's hash join cannot carry
-    # list<float> payloads, and the survivor id set is ids-only — bounded)
-    kept_ids = np.sort(
-        np.asarray(
-            [r["doc_id"] for r in curated.select_columns(["doc_id"]).take_all()],
-            np.int64,
-        )
-    )
+    # list<float> payloads, and the survivor id set is ids-only — bounded);
+    # streamed as Arrow batches, never per-row Python dicts
+    def _ids_array(ds_ids, col):
+        parts = [
+            b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in ds_ids.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+    kept_ids = _ids_array(curated.select_columns(["doc_id"]), "doc_id")
     ids_ref = ray.put(kept_ids)
 
     def emb_of_survivors(t: pa.Table) -> pa.Table:
@@ -192,12 +195,25 @@ def curate_corpus_v3(
     # k must stay well under n or every point seeds its own cluster and
     # nothing ever shares one (mean cluster size >= 4 here)
     k_eff = max(1, min(k_clusters, n_emb // 4))
-    verdict = semantic_dedup(emb, k=k_eff, tau=tau)
-    dropped = verdict.map_batches(
-        lambda t: t.filter(pc.invert(t.column("keep"))).select(["vec_id"]),
-        batch_format="pyarrow",
-    ).take_all()
-    drop_ids = np.sort(np.asarray([r["vec_id"] for r in dropped], np.int64))
+    verdict = semantic_dedup(emb, k=k_eff, tau=tau).materialize()
+    # a doc is dropped only when NO row of its id was kept — an id with
+    # duplicate embedding rows (append-only re-ingest) has one kept copy
+    # and must survive
+    drop_rows = _ids_array(
+        verdict.map_batches(
+            lambda t: t.filter(pc.invert(t.column("keep"))).select(["vec_id"]),
+            batch_format="pyarrow",
+        ),
+        "vec_id",
+    )
+    keep_rows_ids = _ids_array(
+        verdict.map_batches(
+            lambda t: t.filter(t.column("keep")).select(["vec_id"]),
+            batch_format="pyarrow",
+        ),
+        "vec_id",
+    )
+    drop_ids = np.setdiff1d(drop_rows, keep_rows_ids)
     report["rows_semdedup_dropped"] = len(drop_ids)
     drop_ref = ray.put(drop_ids)
 

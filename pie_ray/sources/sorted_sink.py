@@ -61,6 +61,18 @@ def write_sorted_parquet(ds, path: str, key_col: str, tie_col: str,
     tagged.groupby("__range").map_groups(
         sort_range, batch_format="pyarrow"
     ).write_parquet(path, partition_cols=["range"])
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    if not _glob.glob(os.path.join(path, "range=*", "*.parquet")):
+        # an empty dataset writes no data files; persist one empty file so
+        # read_sorted still finds the layout's schema
+        sch = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
+        os.makedirs(os.path.join(path, "range=0"), exist_ok=True)
+        _pq.write_table(
+            sch.empty_table(), os.path.join(path, "range=0", "empty.parquet")
+        )
     meta = {
         "key_col": key_col,
         "tie_col": tie_col,
@@ -122,10 +134,13 @@ def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
     drop_key = key not in eff_cols and need_filter
     read_cols = eff_cols + [key] if drop_key else eff_cols
     if not files:
-        # fully pruned: read ONE file and let the residual filter drop its
-        # rows — an empty from_arrow Dataset loses its schema in to_pandas
-        # (the documented trap), while real batches carry it through
-        files = [all_files[0]]
+        # fully pruned: an empty table WITH the projected schema — zero
+        # I/O beyond the footer (Dataset.schema() is preserved; to_pandas
+        # on any 0-row Dataset loses columns either way — Ray limitation)
+        sch = pq.read_schema(all_files[0])
+        return ray.data.from_arrow(
+            pa.schema([sch.field(n) for n in eff_cols]).empty_table()
+        )
     ds = ray.data.read_parquet(files, columns=read_cols)
 
     def residual(t: pa.Table) -> pa.Table:

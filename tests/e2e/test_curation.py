@@ -163,3 +163,20 @@ def test_v3_docs_without_embeddings_pass_through(ray_session, tmp_path):
     assert report["rows_semdedup_dropped"] == 0
     # every v2 survivor chunks through, embedded or not
     assert set(chunks.to_pandas().doc_id) == set(range(8))
+
+
+def test_v3_duplicate_embedding_rows_keep_doc(ray_session, tmp_path):
+    from pie_ray.pipelines.curation import curate_corpus_v3
+
+    path = _write(tmp_path, PLANTED)
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    base = _emb_table(range(8), [])
+    dup = base.take(pa.array([3]))  # a second identical row for one vec_id
+    emb = ray.data.from_arrow(pa.concat_tables([base, dup]))
+    dup_id = int(dup.column("vec_id")[0].as_py())
+    chunks, report = curate_corpus_v3(
+        docs, emb, bits_lo_q=0.02, bits_hi_q=0.85, min_tokens=5, lm_min_count=2
+    )
+    # the duplicated-embedding doc keeps its kept copy and must survive
+    assert dup_id in set(chunks.to_pandas().doc_id)
+    assert report["rows_semdedup_dropped"] == 0

@@ -136,3 +136,26 @@ def test_explode_list_empty_batch(ray_session):
     )
     ds = ray.data.from_arrow(t).filter(expr="id > 99")  # all blocks empty
     assert explode_list(ds, ["id"], "xs").count() == 0
+
+
+def test_merge_upsert_nested_payload_column(ray_session):
+    # nested payloads must not break the sort (tie-break skips them)
+    base = pa.table(
+        {
+            "k1": pa.array(["a", "b"]),
+            "k2": pa.array([1, 2], pa.int64()),
+            "emb": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64())),
+            "version": pa.array([0, 0], pa.int64()),
+        }
+    )
+    upd = pa.table(
+        {
+            "k1": pa.array(["a"]),
+            "k2": pa.array([1], pa.int64()),
+            "emb": pa.array([[9.0, 9.0]], pa.list_(pa.float64())),
+            "version": pa.array([1], pa.int64()),
+        }
+    )
+    got = _merged(base, upd, ["k1", "k2"])
+    assert len(got) == 2
+    assert got[got.k1 == "a"].version.item() == 1

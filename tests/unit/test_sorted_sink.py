@@ -135,3 +135,17 @@ def test_sorted_layout_int64_keys_exact(ray_session):
         assert sorted(got.id.tolist()) == list(range(500, 701))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sorted_layout_empty_dataset_roundtrip(ray_session):
+    t = _make(10).slice(0, 0)
+    out = tempfile.mkdtemp(prefix="sortedempty_")
+    try:
+        write_sorted_parquet(ray.data.from_arrow(t), out, "k", "id")
+        e = read_sorted(out)
+        assert e.count() == 0
+        assert set(e.schema().names) == {"id", "k", "payload"}
+        e2 = read_sorted(out, lo=0.0, hi=1.0)
+        assert e2.count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
