@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": relational.q_funnel_events,
         "cohort_retention": relational.q_cohort_retention,
         "curate_corpus_v3": _lazy("pie_ray.pipelines.curation", "q_curate_corpus_v3"),
+        "right_outer_join": relational.q_right_outer_join,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 
@@ -896,6 +897,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
             FROM events
+        """,
+        "right_outer_join": """
+            SELECT o_orderkey, o_totalprice,
+                   COALESCE(c_acctbal, -1.0) AS c_acctbal
+            FROM (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+            RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+              ON c.c_custkey = o.o_custkey
         """,
         "cohort_retention": """
             -- cohort = first signup day (epoch days, calendar-free ints);

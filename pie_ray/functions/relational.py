@@ -2936,3 +2936,36 @@ def q_cohort_retention(sf_dir: str):
         gb, ["cohort_day", "week_off"], ["cohort_day", "week_off", "n_users"]
     )
     return out.sort_by([("cohort_day", "ascending"), ("week_off", "ascending")])
+
+
+def q_right_outer_join(sf_dir: str):
+    """B5 completeness — RIGHT OUTER at row grain: every big order keeps
+    its row even when its customer fails the balance filter (the mirrored
+    shape of q_outer_join; Ray's native ``right_outer`` hash join). Same
+    sentinel-coalesce guard so the driver hash never compares nulls."""
+    from pie_ray.util import join_num_partitions
+
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 5000.0"
+    )
+    orders = scan(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 250000.0")
+    joined = cust.join(
+        orders,
+        join_type="right_outer",
+        num_partitions=join_num_partitions(orders.size_bytes()),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_totalprice": t.column("o_totalprice"),
+                "c_acctbal": pc.fill_null(t.column("c_acctbal"), pa.scalar(-1.0)),
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
