@@ -156,3 +156,96 @@ def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
     if not need_filter:
         return ds
     return ds.map_batches(residual, batch_format="pyarrow")
+
+
+def insert_sorted(path: str, delta_ds) -> dict:
+    """Merge new rows into an existing sorted layout while preserving the
+    clustering contract: delta rows are tagged with the layout's RECORDED
+    boundaries, and ONLY the range directories that actually receive rows
+    are rewritten (old rows + delta re-sorted, one Ray task per affected
+    range — worker memory bounds a range exactly as the original write's
+    map_groups did); untouched directories are never read. Driver traffic
+    is DELTA-bounded (the delta splits to per-range Arrow tables on the
+    driver; the old data never leaves the workers). Multiset append
+    semantics — key-level upserts compose as ``merge_upsert`` BEFORE the
+    insert.
+
+    Returns {"ranges_rewritten": [...], "rows_inserted": n}. Boundaries
+    stay fixed, so a long run of skewed deltas can bloat single ranges —
+    re-cluster with write_sorted_parquet when a directory outgrows its
+    neighbors (the standard LSM-ish guidance). NOT crash-atomic across
+    ranges: a kill mid-swap leaves some ranges new and some old (rows are
+    never lost, but a blind re-run would duplicate the delta) — the
+    journaled pattern in pipelines/incremental.compact_deltas is the
+    crash-safe shape to graft on when that matters."""
+    import glob as _glob
+
+    import ray
+
+    from pie_ray.functions.relational import make_range_tagger
+
+    with open(os.path.join(path, SORTED_META)) as f:
+        meta = json.load(f)
+    b = np.asarray(meta["boundaries"])
+    key_col, tie_col = meta["key_col"], meta["tie_col"]
+
+    tagged = delta_ds.map_batches(
+        make_range_tagger(key_col, b), batch_format="pyarrow"
+    )
+    delta_parts: dict[int, list[pa.Table]] = {}
+    rows_inserted = 0
+    for bt in tagged.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        rows_inserted += bt.num_rows
+        rids = bt.column("__range").to_numpy(zero_copy_only=False)
+        for r in np.unique(rids):
+            delta_parts.setdefault(int(r), []).append(
+                bt.filter(pa.array(rids == r)).drop_columns(["__range"])
+            )
+
+    @ray.remote
+    def _merge_range(old_files, delta_table, key_col, tie_col, tmp_file):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pieces = [pq.read_table(f) for f in old_files]
+        pieces.append(delta_table)
+        t = pa.concat_tables(pieces, promote_options="default")
+        order = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), (tie_col, "ascending")]
+        )
+        pq.write_table(t.take(order), tmp_file)
+        return t.num_rows
+
+    futures = {}
+    for r, tables in sorted(delta_parts.items()):
+        rdir = os.path.join(path, f"range={r}")
+        old_files = sorted(_glob.glob(os.path.join(rdir, "*.parquet")))
+        tmp = rdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        futures[r] = _merge_range.remote(
+            old_files,
+            pa.concat_tables(tables),
+            key_col,
+            tie_col,
+            os.path.join(tmp, "part-0.parquet"),
+        )
+    ray.get(list(futures.values()))
+    import shutil as _shutil
+
+    for r in sorted(delta_parts):
+        rdir = os.path.join(path, f"range={r}")
+        tmp = rdir + ".tmp"
+        if os.path.isdir(rdir):
+            trash = rdir + ".old"
+            os.rename(rdir, trash)
+            os.rename(tmp, rdir)
+            _shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.rename(tmp, rdir)
+    return {
+        "ranges_rewritten": sorted(delta_parts),
+        "rows_inserted": rows_inserted,
+    }

@@ -149,3 +149,53 @@ def test_sorted_layout_empty_dataset_roundtrip(ray_session):
         assert e2.count() == 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_insert_sorted_localized_merge(ray_session):
+    from pie_ray.sources.sorted_sink import insert_sorted
+
+    t = _make(3000)
+    out = tempfile.mkdtemp(prefix="sortedins_")
+    try:
+        write_sorted_parquet(
+            ray.data.from_arrow(t).repartition(4), out, "k", "id", num_ranges=8
+        )
+        mtimes_before = {
+            d: os.path.getmtime(d) for d in glob.glob(os.path.join(out, "range=*"))
+        }
+        # a narrow delta: keys in a small band hit only 1-2 ranges
+        delta = pa.table(
+            {
+                "id": pa.array(np.arange(10_000, 10_050), pa.int64()),
+                "k": pa.array(np.linspace(-0.5, 0.5, 50)),
+                "payload": pa.array([f"d{i}" for i in range(50)]),
+            }
+        )
+        rep = insert_sorted(out, ray.data.from_arrow(delta).repartition(2))
+        assert rep["rows_inserted"] == 50
+        assert 1 <= len(rep["ranges_rewritten"]) < 8  # localized, not global
+        # untouched range dirs were not rewritten
+        untouched = [
+            d
+            for d in mtimes_before
+            if int(d.rsplit("=", 1)[1]) not in rep["ranges_rewritten"]
+        ]
+        assert untouched
+        for d in untouched:
+            assert os.path.getmtime(d) == mtimes_before[d]
+        # merged layout: complete, still range-clustered and sorted
+        got = read_sorted(out).to_pandas()
+        assert len(got) == 3050
+        assert set(delta.column("id").to_pylist()) <= set(got.id)
+        band = read_sorted(out, lo=-0.5, hi=0.5).to_pandas()
+        assert set(np.arange(10_000, 10_050)) <= set(band.id)
+        for d in glob.glob(os.path.join(out, "range=*")):
+            tab = pa.concat_tables(
+                pq.read_table(f)
+                for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+            )
+            keys = tab.column("k").to_numpy()
+            ids = tab.column("id").to_numpy()
+            assert (np.lexsort((ids, keys)) == np.arange(len(keys))).all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
