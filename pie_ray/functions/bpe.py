@@ -203,7 +203,13 @@ def _encode_batch(t: pa.Table, ranks_ref=None, col: str = "text") -> pa.Table:
     from pie_ray.functions.textops import ws_tokens
 
     ranks = ray.get(ranks_ref)
-    cache = _encode_batch.__dict__.setdefault("cache", {})
+    # memo is per MERGE TABLE (keyed by the broadcast ref): Ray reuses
+    # worker processes across datasets, so a word-only cache would serve a
+    # previous tokenizer's encodings to a new one
+    caches = _encode_batch.__dict__.setdefault("caches", {})
+    if len(caches) > 8:
+        caches.clear()
+    cache = caches.setdefault(ranks_ref.hex(), {})
     toks_col, counts = [], []
     for s in pc.fill_null(t.column(col), "").to_pylist():
         toks: list[str] = []

@@ -66,7 +66,10 @@ def q_dedup_exact(sf_dir: str):
             .append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
             .group_by(["text_md5"])
             .aggregate([("doc_id", "min"), ("__one", "sum")])
-        ).rename_columns(["text_md5", "keep_doc_id", "n_copies"])
+        )
+        from pie_ray.util import rename_grouped
+
+        gb = rename_grouped(gb, ["text_md5"], ["text_md5", "keep_doc_id", "n_copies"])
         b = (hash64_array(gb.column("text_md5").to_pylist(), salt=b"dx") % 64).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -76,7 +79,9 @@ def q_dedup_exact(sf_dir: str):
             .group_by(["text_md5"])
             .aggregate([("keep_doc_id", "min"), ("n_copies", "sum")])
         )
-        return gb.rename_columns(["text_md5", "keep_doc_id", "n_copies"])
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(gb, ["text_md5"], ["text_md5", "keep_doc_id", "n_copies"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -451,7 +456,9 @@ def q_corpus_curation(sf_dir: str):
         gb = g.drop_columns(["bucket"]).group_by(["text_md5"]).aggregate(
             [("doc_id", "min"), ("n_tokens_ws", "min")]
         )
-        return gb.rename_columns(["text_md5", "doc_id", "n_tokens_ws"])
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(gb, ["text_md5"], ["text_md5", "doc_id", "n_tokens_ws"])
 
     deduped = (
         curated.map_batches(add_bucket, batch_format="pyarrow")

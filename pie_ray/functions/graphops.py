@@ -243,8 +243,10 @@ def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Datas
         )
 
     def node_combine(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
         gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("deg", "sum")])
-        return gb.rename_columns(["node", "deg"])
+        return rename_grouped(gb, ["node"], ["node", "deg"])
 
     deg_tbl = pa.Table.from_pylist(
         ab.map_batches(node_partial, batch_format="pyarrow")
@@ -348,7 +350,9 @@ def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Datas
             .group_by(["s_suppkey"])
             .aggregate([("n_triangles", "sum")])
         )
-        return gb.rename_columns(["s_suppkey", "n_triangles"])
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(gb, ["s_suppkey"], ["s_suppkey", "n_triangles"])
 
     return (
         tri.map_batches(tri_nodes, batch_format="pyarrow")
@@ -497,7 +501,23 @@ def connected_components(
                 dsu.union(x, y)
         cmap = dsu.canon_map()
         ks = sorted(cmap)
-        ktype = pa.string() if (ks and isinstance(ks[0], str)) else pa.int64()
+        # type comes from the NODE universe's schema, not the (possibly
+        # empty) label map — an all-isolated string-node graph has zero
+        # edges, and an int64 default would crash index_in against the
+        # string node column
+        sch = nodes_ds.schema()
+        ncol = node_col if node_col is not None else "a"
+        ntype = (
+            sch.types[sch.names.index(ncol)]
+            if sch is not None and ncol in sch.names
+            else None
+        )
+        ktype = (
+            pa.string()
+            if (ntype is not None and pa.types.is_string(ntype))
+            or (ks and isinstance(ks[0], str))
+            else pa.int64()
+        )
         cref = ray.put((pa.array(ks, ktype), pa.array([cmap[k] for k in ks], ktype)))
 
         def assign(t: pa.Table, lookup_ref=None) -> pa.Table:
@@ -515,6 +535,9 @@ def connected_components(
         )
 
     labels = cc_distributed(pairs)
+    # barrier: the nodes exchange is node-list-sized (small) — never let
+    # it share a streaming plan with the label join's exchange
+    nodes = nodes.materialize()
     joined = nodes.join(
         labels,
         join_type="left_outer",

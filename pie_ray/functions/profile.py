@@ -69,9 +69,15 @@ def profile_table(ds, columns: list[str] | None = None, p: int = PROFILE_HLL_P) 
             vmin = vmax = vsum = None
             if len(valid):
                 if k in ("int", "float", "temporal"):
-                    num = (
-                        pc.cast(valid, pa.int64()) if k == "temporal" else valid
-                    )
+                    if k == "temporal":
+                        # normalize dates AND timestamps to epoch-us so the
+                        # report's µs rendering is correct for date32/64
+                        # (a raw int64 cast of date32 yields DAYS)
+                        num = pc.cast(
+                            pc.cast(valid, pa.timestamp("us")), pa.int64()
+                        )
+                    else:
+                        num = valid
                     mm = pc.min_max(num)
                     vmin = float(mm["min"].as_py())
                     vmax = float(mm["max"].as_py())

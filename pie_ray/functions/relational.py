@@ -190,6 +190,15 @@ def q_global_agg(sf_dir: str):
     ds = scan(sf_dir, "lineitem", columns=["l_quantity", "l_shipdate", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # years.min() raises on a zero-size array
+            return pa.table({
+                "n": pa.array([], pa.int64()), "s1": pa.array([], pa.int64()),
+                "s2": pa.array([], pa.int64()), "sy": pa.array([], pa.int64()),
+                "sy2": pa.array([], pa.int64()), "sxy": pa.array([], pa.int64()),
+                "distinct": pa.array([], pa.list_(pa.int64())),
+                "min_year": pa.array([], pa.int64()),
+                "max_year": pa.array([], pa.int64()),
+            })
         q = pc.cast(t.column("l_quantity"), pa.int64())
         qn = q.to_numpy(zero_copy_only=False)
         years = pc.cast(pc.year(t.column("l_shipdate")), pa.int64()).to_numpy(
@@ -782,7 +791,9 @@ def q_count_distinct(sf_dir: str):
     def count_bucket(g: pa.Table) -> pa.Table:
         gb = g.drop_columns(["bucket"]).group_by(["o_orderpriority", "o_custkey"]).aggregate([])
         out = gb.group_by(["o_orderpriority"]).aggregate([("o_custkey", "count")])
-        return out.rename_columns(["o_orderpriority", "n_cust"])
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(out, ["o_orderpriority"], ["o_orderpriority", "n_cust"])
 
     partials = (
         ds.map_batches(partial_distinct, batch_format="pyarrow")
@@ -989,14 +1000,11 @@ def _lerp_percentile(values: "np.ndarray", counts: "np.ndarray", q: float) -> fl
     return float(v1 - diff * (1 - g)) if g >= 0.5 else float(v0 + diff * g)
 
 
-def q_grouped_quantiles(sf_dir: str):
-    """B3 depth: exact per-group order statistics (median / p90 per return
-    flag) from a MERGEABLE per-(group, value) count histogram: per-batch
-    Arrow group_by partials, combined once on the driver (bounded by
-    groups x distinct values — l_quantity has 50 — never by row count, so
-    a billion-row group costs the same as a thousand-row one). Columns with
-    unbounded distinct values use grouped_quantile_sketch (accuracy-bounded
-    fixed bins) instead; exact quantiles there require a distributed sort."""
+def _flag_quantity_histogram(sf_dir: str):
+    """Shared mergeable per-(flag, value) count histogram for the exact
+    quantile entries: per-batch Arrow group_by partials, ONE bounded driver
+    combine (groups x distinct values, never rows). Returns (flags list,
+    values np, counts np) sorted by (flag, value)."""
     ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1014,11 +1022,16 @@ def q_grouped_quantiles(sf_dir: str):
         pa.Table.from_pylist(parts)
         .group_by(["l_returnflag", "l_quantity"])
         .aggregate([("cnt", "sum")])
+    ).sort_by([("l_returnflag", "ascending"), ("l_quantity", "ascending")])
+    return (
+        merged.column("l_returnflag").to_pylist(),
+        merged.column("l_quantity").to_numpy(zero_copy_only=False),
+        merged.column("cnt_sum").to_numpy(zero_copy_only=False),
     )
-    merged = merged.sort_by([("l_returnflag", "ascending"), ("l_quantity", "ascending")])
-    flags = merged.column("l_returnflag").to_pylist()
-    vals = merged.column("l_quantity").to_numpy(zero_copy_only=False)
-    cnts = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
+
+
+def _per_flag_percentiles(flags, vals, cnts):
+    """(flags, median, p90) lists from the sorted histogram runs."""
     out_flags, med, p90 = [], [], []
     start = 0
     for i in range(1, len(flags) + 1):
@@ -1027,6 +1040,19 @@ def q_grouped_quantiles(sf_dir: str):
             med.append(_lerp_percentile(vals[start:i], cnts[start:i], 0.5))
             p90.append(_lerp_percentile(vals[start:i], cnts[start:i], 0.9))
             start = i
+    return out_flags, med, p90
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """B3 depth: exact per-group order statistics (median / p90 per return
+    flag) from a MERGEABLE per-(group, value) count histogram: per-batch
+    Arrow group_by partials, combined once on the driver (bounded by
+    groups x distinct values — l_quantity has 50 — never by row count, so
+    a billion-row group costs the same as a thousand-row one). Columns with
+    unbounded distinct values use grouped_quantile_sketch (accuracy-bounded
+    fixed bins) instead; exact quantiles there require a distributed sort."""
+    flags, vals, cnts = _flag_quantity_histogram(sf_dir)
+    out_flags, med, p90 = _per_flag_percentiles(flags, vals, cnts)
     return pa.table(
         {
             "l_returnflag": pa.array(out_flags, pa.string()),
@@ -1290,13 +1316,16 @@ def approx_count_distinct(ds, col: str, p: int = HLL_P) -> float:
     map pass."""
 
     def partial(t: pa.Table) -> pa.Table:
-        idx, rho = _hll_partial(_hash_col(t.column(col)), p)
+        # COUNT(DISTINCT col) excludes NULL — hash only the valid values
+        idx, rho = _hll_partial(_hash_col(t.column(col).drop_null()), p)
         gb = (
             pa.table({"idx": pa.array(idx), "rho": pa.array(rho)})
             .group_by(["idx"])
             .aggregate([("rho", "max")])
         )
-        return gb.rename_columns(["idx", "rho"])
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(gb, ["idx"], ["idx", "rho"])
 
     registers = np.zeros(1 << p, np.int64)
     for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
@@ -1316,12 +1345,16 @@ def grouped_approx_count_distinct(ds, key: str, col: str, p: int = 12):
     from pie_ray.util import hash64_array
 
     def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(col)))  # COUNT(DISTINCT) skips NULL
         idx, rho = _hll_partial(_hash_col(t.column(col)), p)
         gb = (
             pa.table({key: t.column(key), "idx": pa.array(idx), "rho": pa.array(rho)})
             .group_by([key, "idx"])
             .aggregate([("rho", "max")])
-        ).rename_columns([key, "idx", "rho"])
+        )
+        from pie_ray.util import rename_grouped
+
+        gb = rename_grouped(gb, [key, "idx"], [key, "idx", "rho"])
         b = (
             hash64_array([str(k) for k in gb.column(key).to_pylist()], salt=b"ghll")
             % GQS_BUCKETS
@@ -1457,40 +1490,12 @@ def q_grouped_quantile_sketch(sf_dir: str):
 def q_quantiles_rollup(sf_dir: str):
     """B3 order statistics, global + per-group under ONE entry (rollup
     shape: per-return-flag rows plus an 'ALL' row). One pass builds the
-    mergeable per-(flag, value) count histogram (the q_grouped_quantiles
-    partial); the global row reuses the SAME histogram re-merged across
-    flags — the driver combine stays bounded by groups x distinct values,
-    never row count. q_quantiles / q_grouped_quantiles remain the library
-    surface."""
-    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        gb = t.group_by(["l_returnflag", "l_quantity"]).aggregate([([], "count_all")])
-        return pa.table(
-            {
-                "l_returnflag": gb.column("l_returnflag"),
-                "l_quantity": gb.column("l_quantity"),
-                "cnt": pc.cast(gb.column("count_all"), pa.int64()),
-            }
-        )
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged = (
-        pa.Table.from_pylist(parts)
-        .group_by(["l_returnflag", "l_quantity"])
-        .aggregate([("cnt", "sum")])
-    ).sort_by([("l_returnflag", "ascending"), ("l_quantity", "ascending")])
-    flags = merged.column("l_returnflag").to_pylist()
-    vals = merged.column("l_quantity").to_numpy(zero_copy_only=False)
-    cnts = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
-    out_flags, med, p90 = [], [], []
-    start = 0
-    for i in range(1, len(flags) + 1):
-        if i == len(flags) or flags[i] != flags[start]:
-            out_flags.append(flags[start])
-            med.append(_lerp_percentile(vals[start:i], cnts[start:i], 0.5))
-            p90.append(_lerp_percentile(vals[start:i], cnts[start:i], 0.9))
-            start = i
+    shared mergeable histogram (_flag_quantity_histogram); the global row
+    reuses the SAME histogram re-merged across flags — the driver combine
+    stays bounded by groups x distinct values, never row count.
+    q_quantiles / q_grouped_quantiles remain the library surface."""
+    flags, vals, cnts = _flag_quantity_histogram(sf_dir)
+    out_flags, med, p90 = _per_flag_percentiles(flags, vals, cnts)
     # global row from the same histogram, re-merged across flags
     g = (
         pa.table({"v": pa.array(vals), "c": pa.array(cnts)})

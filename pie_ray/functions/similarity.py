@@ -31,6 +31,10 @@ def _topk_score_batch(t: pa.Table, query_ref=None, k: int = 10) -> pa.Table:
     import ray
 
     q = ray.get(query_ref)  # (dim,) float64, already unit-normalized
+    if t.num_rows == 0:  # argpartition(kth=-1) raises on an empty batch
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
     mat = list_to_matrix(t.column("embedding"))
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0

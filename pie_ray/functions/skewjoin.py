@@ -127,11 +127,18 @@ def skew_join(
     def hot_map(t: pa.Table, bref=None) -> pa.Table:
         keys_, starts_, ends_, rt = ray.get(bref)
         t = t.combine_chunks()
-        pos = pc.index_in(t.column(on).combine_chunks(), value_set=keys_).to_numpy(
-            zero_copy_only=False
+        # fill_null BEFORE to_numpy: a null index (unmatched hot key, i.e.
+        # no right rows) would otherwise turn the whole array float64/NaN
+        # and crash integer indexing below
+        pos = (
+            pc.fill_null(
+                pc.index_in(t.column(on).combine_chunks(), value_set=keys_), -1
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
         # every row is a hot key by construction, but an unmatched hot key
-        # (no right rows) must emit nothing -> count 0
+        # must emit nothing -> count 0
         valid = pos >= 0
         cnt = np.zeros(len(pos), np.int64)
         cnt[valid] = ends_[pos[valid]] - starts_[pos[valid]]

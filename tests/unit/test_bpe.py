@@ -117,3 +117,18 @@ def test_encode_roundtrip_and_parity(ray_session, corpus):
         for w in words:
             toks.extend(encode_word(w, ranks))
         assert list(r["bpe_tokens"]) == toks
+
+
+def test_encode_cache_is_per_merge_table(ray_session):
+    # two different tokenizers in one Ray session must not share encodings
+    import pyarrow as pa
+    import ray.data
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["abab"])})
+    )
+    merges = bpe_train(docs, num_merges=4)["merges"]
+    assert merges
+    out1 = bpe_encode(docs, merges).to_pandas().bpe_tokens[0]
+    out0 = bpe_encode(docs, []).to_pandas().bpe_tokens[0]  # NO merges
+    assert len(out0) > len(out1)  # unmerged encoding is strictly longer

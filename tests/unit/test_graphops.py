@@ -213,3 +213,23 @@ def test_connected_components_strings_and_isolated_nodes(ray_session):
         "erin": "dave",
         "zed": "zed",  # isolated node -> singleton component
     }
+
+
+def test_connected_components_string_nodes_no_edges(ray_session):
+    # all-isolated string-node graph: zero edges, node universe supplied
+    import pyarrow as pa
+    import ray.data
+
+    from pie_ray.functions.graphops import connected_components
+
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    nodes = ray.data.from_arrow(pa.table({"id": pa.array(["x", "y", "z"])}))
+    got = (
+        connected_components(edges, src="src", dst="dst", nodes_ds=nodes, node_col="id")
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert got.node.tolist() == ["x", "y", "z"]
+    assert got.component.tolist() == ["x", "y", "z"]

@@ -109,3 +109,36 @@ def test_skew_join_testdata_and_overlap_contract(ray_session):
 
     with pytest.raises(ValueError, match="overlapping"):
         skew_join(orders, orders, on="o_custkey", right_on="o_custkey")
+
+
+def test_hot_key_partially_unmatched(ray_session):
+    # two hot keys, right rows exist for only one of them: the unmatched
+    # hot key must emit nothing (regression: null index_in positions went
+    # float64/NaN and crashed integer indexing)
+    import numpy as np
+
+    left = pa.table(
+        {
+            "k": pa.array(["A"] * 400 + ["B"] * 400 + [f"c{i}" for i in range(40)]),
+            "lv": pa.array(np.arange(840), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["A"] * 3 + [f"c{i}" for i in range(40)]),
+            "rv": pa.array(np.arange(43), pa.int64()),
+        }
+    )
+    got = (
+        skew_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right),
+            on="k",
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert (got[got.k == "A"].shape[0]) == 400 * 3
+    assert "B" not in set(got.k)  # unmatched hot key emits nothing
+    assert got[got.k == "c7"].shape[0] == 1
