@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational.q_cohort_retention,
         "curate_corpus_v3": _lazy("pie_ray.pipelines.curation", "q_curate_corpus_v3"),
         "right_outer_join": relational.q_right_outer_join,
+        "exact_median": relational.q_exact_median,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 
@@ -897,6 +898,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
             FROM events
+        """,
+        "exact_median": """
+            -- exact discrete order statistics on an unbounded-distinct
+            -- column (engine: iterative histogram-refinement selection)
+            SELECT quantile_disc(l_extendedprice, 0.5) AS median_price,
+                   quantile_disc(l_extendedprice, 0.9) AS p90_price
+            FROM lineitem
         """,
         "right_outer_join": """
             SELECT o_orderkey, o_totalprice,

@@ -1,0 +1,41 @@
+"""exact_quantile_disc: brute-force parity under forced multi-round
+refinement, duplicate-heavy distributions, and nulls/NaN exclusion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+import pie_ray.functions.relational as rel
+
+
+def _disc(vals: np.ndarray, q: float) -> float:
+    k = int(np.floor((len(vals) - 1) * q))
+    return float(np.sort(vals)[k])
+
+
+def test_refinement_parity_random(ray_session, monkeypatch):
+    # tiny pull limit forces several narrowing rounds
+    monkeypatch.setattr(rel, "EQ_PULL_LIMIT", 64)
+    rng = np.random.default_rng(12)
+    vals = rng.lognormal(mean=8, sigma=2, size=20_000)
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(vals, pa.float64())})
+    ).repartition(7)
+    for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        got = rel.exact_quantile_disc(ds, "x", q)
+        assert got == _disc(vals, q), q
+
+
+def test_duplicate_heavy_and_nulls(ray_session, monkeypatch):
+    monkeypatch.setattr(rel, "EQ_PULL_LIMIT", 32)
+    # 90% of the mass is one repeated value; nulls and NaN must be excluded
+    vals = np.concatenate([np.full(5000, 42.5), np.linspace(0, 100, 500)])
+    col = pa.array(
+        list(vals) + [None] * 50 + [float("nan")] * 50, pa.float64()
+    )
+    ds = ray.data.from_arrow(pa.table({"x": col})).repartition(5)
+    for q in (0.1, 0.5, 0.95):
+        got = rel.exact_quantile_disc(ds, "x", q)
+        assert got == _disc(vals, q), q
