@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_v3": _lazy("pie_ray.pipelines.curation", "q_curate_corpus_v3"),
         "right_outer_join": relational.q_right_outer_join,
         "exact_median": relational.q_exact_median,
+        "exact_median_grouped": relational.q_exact_median_grouped,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
     }.items()}
 
@@ -905,6 +906,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_disc(l_extendedprice, 0.5) AS median_price,
                    quantile_disc(l_extendedprice, 0.9) AS p90_price
             FROM lineitem
+        """,
+        "exact_median_grouped": """
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.5) AS median_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "right_outer_join": """
             SELECT o_orderkey, o_totalprice,

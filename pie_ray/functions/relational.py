@@ -3126,3 +3126,166 @@ def q_exact_median(sf_dir: str):
             ),
         }
     )
+
+
+def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
+    """Per-group exact_quantile_disc, all groups refined SIMULTANEOUSLY:
+    every round is still one streaming pass — each row bins inside ITS
+    group's current range (broadcast per-group lo/width arrays, index_in on
+    the key), so driver state is O(groups x EQ_BINS) and the pass count
+    stays <= ~5 regardless of group count. Low-cardinality keys only (the
+    state is driver-resident); a high-cardinality key wants the sketch.
+    Returns (key, value) with DuckDB quantile_disc semantics per group."""
+    import ray as _ray
+
+    def minmax_count(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(col)))
+        v = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(~np.isnan(v)))
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                 "lo": pa.array([], pa.float64()), "hi": pa.array([], pa.float64())}
+            )
+        part = pa.table(
+            {
+                key: t.column(key),
+                "v": pc.cast(t.column(col), pa.float64()),
+                "__one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        gb = part.group_by([key]).aggregate(
+            [("__one", "sum"), ("v", "min"), ("v", "max")]
+        )
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(gb, [key], [key, "n", "lo", "hi"])
+
+    state: dict = {}
+    for r in ds.map_batches(minmax_count, batch_format="pyarrow").take_all():
+        st = state.setdefault(r[key], {"n": 0, "lo": np.inf, "hi": -np.inf})
+        st["n"] += r["n"]
+        st["lo"] = min(st["lo"], r["lo"])
+        st["hi"] = max(st["hi"], r["hi"])
+    groups = sorted(state)
+    for g in groups:
+        st = state[g]
+        st["k"] = int(np.floor((st["n"] - 1) * q)) + 1
+        st["done"] = None
+
+    for _ in range(24):
+        live = [g for g in groups if state[g]["done"] is None]
+        # collapse finished/degenerate ranges through the exact terminal
+        for g in list(live):
+            st = state[g]
+            width = (st["hi"] - st["lo"]) / EQ_BINS
+            if not (st["hi"] > st["lo"]) or not (st["lo"] + width > st["lo"]):
+                st["done"] = ("pull", st["lo"], st["hi"])
+                live.remove(g)
+        if not live:
+            break
+        keys_arr = pa.array(live)
+        los = np.array([state[g]["lo"] for g in live])
+        widths = np.array([(state[g]["hi"] - state[g]["lo"]) / EQ_BINS for g in live])
+        his = np.array([state[g]["hi"] for g in live])
+        bref = _ray.put((keys_arr, los, widths, his))
+
+        def bin_counts(t: pa.Table, bref=bref) -> pa.Table:
+            keys_, los_, widths_, his_ = _ray.get(bref)
+            t = t.filter(pc.is_valid(t.column(col)))
+            gi = pc.fill_null(
+                pc.index_in(t.column(key).combine_chunks(), value_set=keys_), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+            ok = (gi >= 0) & ~np.isnan(v)
+            gi, v = gi[ok], v[ok]
+            inr = (v >= los_[gi]) & (v <= his_[gi])
+            gi, v = gi[inr], v[inr]
+            b = np.clip(
+                np.floor((v - los_[gi]) / widths_[gi]), 0, EQ_BINS - 1
+            ).astype(np.int64)
+            cell = gi * EQ_BINS + b
+            cnt = np.bincount(cell, minlength=len(keys_) * EQ_BINS)
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                    "c": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+                }
+            )
+
+        counts = np.zeros(len(live) * EQ_BINS, np.int64)
+        for r in ds.map_batches(bin_counts, batch_format="pyarrow").take_all():
+            counts[r["cell"]] += r["c"]
+        counts = counts.reshape(len(live), EQ_BINS)
+        for i, g in enumerate(live):
+            st = state[g]
+            cum = np.cumsum(counts[i])
+            j = int(np.searchsorted(cum, st["k"]))
+            before = int(cum[j - 1]) if j > 0 else 0
+            width = (st["hi"] - st["lo"]) / EQ_BINS
+            if counts[i][j] <= EQ_PULL_LIMIT:
+                st["done"] = (
+                    "pull",
+                    st["lo"] + j * width,
+                    st["hi"] if j == EQ_BINS - 1 else st["lo"] + (j + 1) * width,
+                )
+                st["k"] -= before
+            else:
+                st["k"] -= before
+                st["lo"], st["hi"] = st["lo"] + j * width, st["lo"] + (j + 1) * width
+
+    # terminal: ONE pass pulls distinct(value)+counts for every group's
+    # final narrow range, then exact selection per group on the driver
+    pend = {g: state[g] for g in groups}
+    rng_keys = pa.array(groups)
+    rlo = np.array([pend[g]["done"][1] if pend[g]["done"] else pend[g]["lo"] for g in groups])
+    rhi = np.array([pend[g]["done"][2] if pend[g]["done"] else pend[g]["hi"] for g in groups])
+    rref = _ray.put((rng_keys, rlo, rhi))
+
+    def dcounts(t: pa.Table, rref=rref) -> pa.Table:
+        keys_, los_, his_ = _ray.get(rref)
+        t = t.filter(pc.is_valid(t.column(col)))
+        gi = pc.fill_null(
+            pc.index_in(t.column(key).combine_chunks(), value_set=keys_), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        ok = (gi >= 0) & ~np.isnan(v)
+        gi, v = gi[ok], v[ok]
+        inr = (v >= los_[gi]) & (v <= his_[gi])
+        gi, v = gi[inr], v[inr]
+        gb = (
+            pa.table(
+                {
+                    "g": pa.array(gi, pa.int64()),
+                    "v": pa.array(v, pa.float64()),
+                    "c": pa.array(np.ones(len(v), np.int64)),
+                }
+            )
+            .group_by(["g", "v"])
+            .aggregate([("c", "sum")])
+        )
+        from pie_ray.util import rename_grouped
+
+        return rename_grouped(gb, ["g", "v"], ["g", "v", "c"])
+
+    acc: dict[tuple[int, float], int] = {}
+    for r in ds.map_batches(dcounts, batch_format="pyarrow").take_all():
+        kk = (r["g"], r["v"])
+        acc[kk] = acc.get(kk, 0) + r["c"]
+    out_vals = []
+    for i, g in enumerate(groups):
+        pairs = sorted((v, c) for (gi, v), c in acc.items() if gi == i)
+        cs = np.cumsum([c for _, c in pairs])
+        out_vals.append(pairs[int(np.searchsorted(cs, state[g]["k"]))][0])
+    return pa.table(
+        {key: pa.array(groups, pa.string()), "value": pa.array(out_vals, pa.float64())}
+    )
+
+
+def q_exact_median_grouped(sf_dir: str):
+    """Driver entry: exact per-returnflag median of l_extendedprice — the
+    grouped refinement (all groups narrowed in the same passes)."""
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    t = exact_quantile_disc_grouped(ds, "l_extendedprice", 0.5, "l_returnflag")
+    return t.rename_columns(["l_returnflag", "median_price"])

@@ -39,3 +39,27 @@ def test_duplicate_heavy_and_nulls(ray_session, monkeypatch):
     for q in (0.1, 0.5, 0.95):
         got = rel.exact_quantile_disc(ds, "x", q)
         assert got == _disc(vals, q), q
+
+
+def test_grouped_refinement_parity(ray_session, monkeypatch):
+    monkeypatch.setattr(rel, "EQ_PULL_LIMIT", 64)
+    rng = np.random.default_rng(5)
+    gs = np.repeat(np.array(["a", "b", "c"]), [7000, 300, 4000])
+    vals = np.concatenate(
+        [
+            rng.lognormal(8, 2, 7000),
+            np.full(300, 13.25),  # duplicate-only group
+            rng.normal(50, 20, 4000),
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(gs), "x": pa.array(vals, pa.float64())})
+    ).repartition(6)
+    got = rel.exact_quantile_disc_grouped(ds, "x", 0.5, "g").to_pandas()
+    want = {
+        "a": _disc(vals[:7000], 0.5),
+        "b": 13.25,
+        "c": _disc(vals[7300:], 0.5),
+    }
+    for _, row in got.iterrows():
+        assert row.value == want[row.g], row.g
