@@ -878,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank() OVER w AS BIGINT) AS rnk,
                    CAST(dense_rank() OVER w AS BIGINT) AS drnk,
                    percent_rank() OVER w AS pct,
+                   cume_dist() OVER w AS cd,
                    CAST(ntile(4) OVER (
                        PARTITION BY user_id ORDER BY value, event_id
                    ) AS BIGINT) AS nt

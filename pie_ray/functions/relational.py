@@ -2269,6 +2269,7 @@ def q_window_ntile_events(sf_dir: str):
             "rnk": pa.array([], pa.int64()),
             "drnk": pa.array([], pa.int64()),
             "pct": pa.array([], pa.float64()),
+            "cd": pa.array([], pa.float64()),
             "nt": pa.array([], pa.int64()),
         }
         if n == 0:
@@ -2301,6 +2302,11 @@ def q_window_ntile_events(sf_dir: str):
         grp_at_start[new_u] = grp[new_u]
         np.maximum.accumulate(grp_at_start, out=grp_at_start)
         drnk = grp - grp_at_start + 1
+        # cume_dist: (rows preceding or peer) / user rows — the peer-group
+        # END index makes the numerator; same int/int double division as SQL
+        tg_starts = np.flatnonzero(new_key)
+        tg_ends = np.append(tg_starts[1:], n)
+        tgid = grp - 1
         # percent_rank: (rank-1)/(user_rows-1), 0.0 for single-row users
         last_u = np.empty(n, bool)
         last_u[:-1] = new_u[1:]
@@ -2309,6 +2315,7 @@ def q_window_ntile_events(sf_dir: str):
         lens = np.diff(np.concatenate(([0], idx_last + 1)))
         run_len = np.repeat(lens, lens)
         pct = np.where(run_len > 1, (rnk - 1) / np.maximum(run_len - 1, 1), 0.0)
+        cd = (tg_ends[tgid] - starts) / run_len
         ids_pass1 = s.column("event_id")
 
         # pass 2: ntile(4) over the unique (value, event_id) order
@@ -2353,6 +2360,7 @@ def q_window_ntile_events(sf_dir: str):
                 "rnk": pa.array(rnk, pa.int64()),
                 "drnk": pa.array(drnk, pa.int64()),
                 "pct": pa.array(pct, pa.float64()),
+                "cd": pa.array(cd, pa.float64()),
             }
         )
         t2 = pa.table(
@@ -2370,6 +2378,7 @@ def q_window_ntile_events(sf_dir: str):
                 "rnk": j.column("rnk"),
                 "drnk": j.column("drnk"),
                 "pct": j.column("pct"),
+                "cd": j.column("cd"),
                 "nt": j.column("nt"),
             }
         )
