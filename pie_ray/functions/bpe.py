@@ -207,9 +207,13 @@ def _encode_batch(t: pa.Table, ranks_ref=None, col: str = "text") -> pa.Table:
     # worker processes across datasets, so a word-only cache would serve a
     # previous tokenizer's encodings to a new one
     caches = _encode_batch.__dict__.setdefault("caches", {})
-    if len(caches) > 8:
-        caches.clear()
-    cache = caches.setdefault(ranks_ref.hex(), {})
+    me = ranks_ref.hex()
+    while len(caches) > 8:
+        # evict an arbitrary OTHER tokenizer's cache — clearing all would
+        # wipe the active warm cache mid-stream
+        victim = next(k for k in caches if k != me)
+        caches.pop(victim)
+    cache = caches.setdefault(me, {})
     toks_col, counts = [], []
     for s in pc.fill_null(t.column(col), "").to_pylist():
         toks: list[str] = []

@@ -1345,6 +1345,7 @@ def grouped_approx_count_distinct(ds, key: str, col: str, p: int = 12):
     from pie_ray.util import hash64_array
 
     def partial(t: pa.Table) -> pa.Table:
+        all_keys = pc.unique(t.column(key).combine_chunks())
         t = t.filter(pc.is_valid(t.column(col)))  # COUNT(DISTINCT) skips NULL
         idx, rho = _hll_partial(_hash_col(t.column(col)), p)
         gb = (
@@ -1355,6 +1356,16 @@ def grouped_approx_count_distinct(ds, key: str, col: str, p: int = 12):
         from pie_ray.util import rename_grouped
 
         gb = rename_grouped(gb, [key, "idx"], [key, "idx", "rho"])
+        # a group whose values are ALL null must still report 0, not
+        # vanish: ship a zero-register row per key (max-merge identity)
+        zeros = pa.table(
+            {
+                key: all_keys,
+                "idx": pa.array(np.zeros(len(all_keys), np.int64)),
+                "rho": pa.array(np.zeros(len(all_keys), np.int64)),
+            }
+        )
+        gb = pa.concat_tables([gb.select([key, "idx", "rho"]), zeros])
         b = (
             hash64_array([str(k) for k in gb.column(key).to_pylist()], salt=b"ghll")
             % GQS_BUCKETS
@@ -1603,13 +1614,15 @@ def q_outer_join(sf_dir: str):
     from pie_ray.util import join_num_partitions
 
     cust = scan(sf_dir, "customer", columns=["c_custkey"])
-    orders = scan(
+    raw_orders = scan(
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
-    ).filter(expr="o_totalprice > 250000.0")
+    )
+    n_parts = join_num_partitions(raw_orders.size_bytes())  # RAW scan
+    orders = raw_orders.filter(expr="o_totalprice > 250000.0")
     joined = cust.join(
         orders,
         join_type="left_outer",
-        num_partitions=join_num_partitions(orders.size_bytes()),
+        num_partitions=n_parts,
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -2086,8 +2099,9 @@ def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
     with a vectorized sort + first-of-run pass. No per-key groupby, no
     driver pull — scales to any corpus. Version ties (e.g. a replayed
     delta) are broken deterministically by sorting the REMAINING columns
-    ascending and keeping the first — output is a pure function of the
-    row multiset, independent of partitioning (house invariant)."""
+    ascending (nested columns sort by a content-hash surrogate) and
+    keeping the first — output is a pure function of the row multiset,
+    independent of partitioning (house invariant)."""
     from pie_ray.util import hash64_array, hash64_ints
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -2104,17 +2118,33 @@ def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
         )
 
     def merge_bucket(g: pa.Table) -> pa.Table:
+        from pie_ray.util import hash64_array
+
         g = g.drop_columns(["__bucket"])
-        # tie-break on the SORTABLE payload columns only — nested types
-        # (list/struct) crash Arrow sorting; ties that differ only in a
-        # nested payload keep the block-order winner (documented limit)
-        rest = [
-            c
-            for c in g.column_names
-            if c not in key_cols
-            and c != version_col
-            and not pa.types.is_nested(g.schema.field(c).type)
-        ]
+        # tie-break on every payload column so the survivor is a pure
+        # function of the row multiset (house determinism invariant);
+        # nested types (list/struct) crash Arrow sorting, so they ride as
+        # a content-hash surrogate column instead
+        rest = []
+        drop_after = []
+        for c in g.column_names:
+            if c in key_cols or c == version_col:
+                continue
+            if pa.types.is_nested(g.schema.field(c).type):
+                hname = f"__h_{c}"
+                g = g.append_column(
+                    hname,
+                    pa.array(
+                        hash64_array(
+                            [str(x) for x in g.column(c).to_pylist()], salt=b"mun"
+                        ).astype("uint64"),
+                        pa.uint64(),
+                    ),
+                )
+                rest.append(hname)
+                drop_after.append(hname)
+            else:
+                rest.append(c)
         order = pc.sort_indices(
             g,
             sort_keys=[(k, "ascending") for k in key_cols]
@@ -2122,6 +2152,8 @@ def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
             + [(c, "ascending") for c in rest],
         )
         g = g.take(order)
+        if drop_after:
+            g = g.drop_columns(drop_after)
         n = g.num_rows
         if n == 0:
             return g
@@ -2962,13 +2994,16 @@ def q_right_outer_join(sf_dir: str):
     cust = scan(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).filter(
         expr="c_acctbal > 5000.0"
     )
-    orders = scan(
+    raw_orders = scan(
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
-    ).filter(expr="o_totalprice > 250000.0")
+    )
+    n_parts = join_num_partitions(raw_orders.size_bytes())  # RAW scan: a
+    # filtered plan's size_bytes would execute the filter an extra time
+    orders = raw_orders.filter(expr="o_totalprice > 250000.0")
     joined = cust.join(
         orders,
         join_type="right_outer",
-        num_partitions=join_num_partitions(orders.size_bytes()),
+        num_partitions=n_parts,
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -2994,22 +3029,94 @@ EQ_BINS = 2048
 EQ_PULL_LIMIT = 262_144
 
 
-def exact_quantile_disc(ds, col: str, q: float) -> float:
-    """The k-th smallest value (k = floor((n-1)*q) + 1 — DuckDB
+def _eq_rank(n: int, q: float) -> int:
+    """DuckDB quantile_disc rank: the max(1, ceil(n*q))-th smallest,
+    computed with the SAME double product DuckDB uses (verified
+    empirically incl. the float edges 7*0.7 and 10*0.9)."""
+    import math
+
+    return max(1, math.ceil(n * q))
+
+
+def _eq_clean(t: pa.Table, col: str) -> np.ndarray:
+    v = pc.cast(t.column(col), pa.float64()).drop_null().to_numpy(
+        zero_copy_only=False
+    )
+    return v[~np.isnan(v)]
+
+
+def _eq_member(v: np.ndarray, sels) -> np.ndarray:
+    """Exact round membership: the CONJUNCTION of every prior round's
+    bin test floor((v-lo)/w)==j. Bin tests with different (lo, w) are not
+    nested under float rounding, so re-applying the whole chain (depth
+    <= ~5) is what keeps each round's population exactly the prior
+    round's selected bin — no boundary row ever drifts in or out."""
+    keep = np.ones(len(v), bool)
+    for lo, w, j in sels:
+        keep &= np.floor((v - lo) / w) == j
+    return v[keep]
+
+
+def exact_quantile_disc(ds, col: str, q: float,
+                        stats: tuple[int, float, float] | None = None) -> float:
+    """The k-th smallest value (k = max(1, ceil(n*q)) — DuckDB
     quantile_disc semantics) of a column with UNBOUNDED distinct values,
     found WITHOUT a distributed sort: each round is one streaming map pass
-    producing a 2048-bin count histogram of the current value range; the
-    bin containing the k-th value narrows the range 2048x. Float64 ranges
-    collapse in <= ~5 rounds; the terminal bin (<= EQ_PULL_LIMIT rows) is
-    pulled once and selected exactly. Driver state is O(bins) per round +
-    one bounded pull — at 10^12 rows this replaces the full sort a naive
-    exact quantile needs. Nulls are excluded (SQL semantics)."""
+    producing a 2048-bin count histogram of the current candidate set; the
+    bin containing the k-th value narrows the candidates 2048x. Float64
+    ranges collapse in <= ~5 rounds; the terminal bin (<= EQ_PULL_LIMIT
+    rows) is pulled once and selected exactly. Driver state is O(bins) per
+    round + one bounded pull — at 10^12 rows this replaces the full sort a
+    naive exact quantile needs. Nulls/NaNs are excluded (SQL semantics).
+    Pass ``stats`` = (n, min, max) to reuse one stats pass across several
+    quantiles of the same column."""
 
+    if stats is None:
+        stats = _eq_stats(ds, col)
+    n, lo, hi = stats
+    k = _eq_rank(n, q)
+    sels: list[tuple[float, float, int]] = []
+
+    for _ in range(24):
+        if not (hi > lo):
+            return _eq_select_terminal(ds, col, sels, lo, hi, k)
+        width = (hi - lo) / EQ_BINS
+        if not (lo + width > lo):  # range at float resolution
+            return _eq_select_terminal(ds, col, sels, lo, hi, k)
+
+        def bin_counts(t: pa.Table, lo=lo, hi=hi, width=width, sels=tuple(sels)) -> pa.Table:
+            v = _eq_member(_eq_clean(t, col), sels)
+            v = v[(v >= lo) & (v <= hi)]
+            b = np.clip(np.floor((v - lo) / width), 0, EQ_BINS - 1).astype(np.int64)
+            cnt = np.bincount(b, minlength=EQ_BINS)
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "b": pa.array(nz.astype(np.int64), pa.int64()),
+                    "c": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+                }
+            )
+
+        counts = np.zeros(EQ_BINS, np.int64)
+        for r in ds.map_batches(bin_counts, batch_format="pyarrow").take_all():
+            counts[r["b"]] += r["c"]
+        cum = np.cumsum(counts)
+        j = int(np.searchsorted(cum, k))
+        before = int(cum[j - 1]) if j > 0 else 0
+        # NOTE: the round's bin test uses the clip+range form above; the
+        # recorded selector must match it exactly for edge bins
+        if counts[j] <= EQ_PULL_LIMIT:
+            sels_final = sels + [(lo, width, j)]
+            return _eq_select_pull(ds, col, sels_final, lo, hi, k - before)
+        k -= before
+        sels = sels + [(lo, width, j)]
+        lo, hi = lo + j * width, lo + (j + 1) * width
+    return _eq_select_terminal(ds, col, sels, lo, hi, k)
+
+
+def _eq_stats(ds, col: str) -> tuple[int, float, float]:
     def minmax_count(t: pa.Table) -> pa.Table:
-        v = pc.cast(t.column(col), pa.float64()).drop_null().to_numpy(
-            zero_copy_only=False
-        )
-        v = v[~np.isnan(v)]
+        v = _eq_clean(t, col)
         if len(v) == 0:
             return pa.table(
                 {"n": pa.array([], pa.int64()), "lo": pa.array([], pa.float64()),
@@ -3026,126 +3133,94 @@ def exact_quantile_disc(ds, col: str, q: float) -> float:
     rows = ds.map_batches(minmax_count, batch_format="pyarrow").take_all()
     if not rows:
         raise ValueError(f"exact_quantile_disc: no non-null values in {col}")
-    n = sum(r["n"] for r in rows)
-    lo = min(r["lo"] for r in rows)
-    hi = max(r["hi"] for r in rows)
-    k = int(np.floor((n - 1) * q)) + 1  # 1-indexed target rank
+    return (
+        sum(r["n"] for r in rows),
+        min(r["lo"] for r in rows),
+        max(r["hi"] for r in rows),
+    )
 
-    def select_in_range(lo, hi, k):
-        """Terminal: exact selection over the collapsed range [lo, hi] via
-        per-batch distinct(value)+counts — a float-resolution interval
-        holds at most ~EQ_BINS representable doubles, so the combine is
-        bounded. Always returns an ACTUAL data value (a narrowed bin edge
-        is generally not one)."""
 
-        def dcounts(t: pa.Table) -> pa.Table:
-            v = pc.cast(t.column(col), pa.float64()).drop_null().to_numpy(
-                zero_copy_only=False
-            )
-            v = v[~np.isnan(v)]
-            v = v[(v >= lo) & (v <= hi)]
-            u, c = np.unique(v, return_counts=True)
-            return pa.table(
-                {"v": pa.array(u, pa.float64()), "c": pa.array(c.astype(np.int64))}
-            )
+def _eq_select_pull(ds, col: str, sels, lo: float, hi: float, k: int) -> float:
+    """Terminal: pull the final bin's members (selector chain makes the
+    set EXACTLY what was counted) and select the k-th smallest."""
 
-        acc: dict[float, int] = {}
-        for r in ds.map_batches(dcounts, batch_format="pyarrow").take_all():
-            acc[r["v"]] = acc.get(r["v"], 0) + r["c"]
-        us = np.array(sorted(acc))
-        cs = np.array([acc[u] for u in us], np.int64)
-        return float(us[int(np.searchsorted(np.cumsum(cs), k))])
+    def pull(t: pa.Table, sels=tuple(sels)) -> pa.Table:
+        v = _eq_member(_eq_clean(t, col), sels[:-1])
+        lo_, w_, j_ = sels[-1]
+        v = v[(v >= lo_) & (v <= hi)]
+        b = np.clip(np.floor((v - lo_) / w_), 0, EQ_BINS - 1).astype(np.int64)
+        return pa.table({"v": pa.array(v[b == j_], pa.float64())})
 
-    for _ in range(24):
-        if not (hi > lo):
-            return select_in_range(lo, hi, k)
-        width = (hi - lo) / EQ_BINS
-        if not (lo + width > lo):  # range at float resolution
-            return select_in_range(lo, hi, k)
+    vals = np.sort(
+        np.concatenate(
+            [
+                bt.column("v").to_numpy(zero_copy_only=False)
+                for bt in ds.map_batches(pull, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+                if bt.num_rows
+            ]
+        )
+    )
+    return float(vals[k - 1])
 
-        def bin_counts(t: pa.Table, lo=lo, hi=hi, width=width) -> pa.Table:
-            v = pc.cast(t.column(col), pa.float64()).drop_null().to_numpy(
-                zero_copy_only=False
-            )
-            v = v[~np.isnan(v)]
-            # explicit hi bound: lo + width*BINS can ROUND BELOW hi and
-            # silently drop the maximum; clip folds v == hi into the last bin
-            v = v[(v >= lo) & (v <= hi)]
-            b = np.clip(
-                np.floor((v - lo) / width), 0, EQ_BINS - 1
-            ).astype(np.int64)
-            cnt = np.bincount(b, minlength=EQ_BINS)
-            nz = np.flatnonzero(cnt)
-            return pa.table(
-                {
-                    "b": pa.array(nz.astype(np.int64), pa.int64()),
-                    "c": pa.array(cnt[nz].astype(np.int64), pa.int64()),
-                }
-            )
 
-        counts = np.zeros(EQ_BINS, np.int64)
-        for r in ds.map_batches(bin_counts, batch_format="pyarrow").take_all():
-            counts[r["b"]] += r["c"]
-        cum = np.cumsum(counts)
-        j = int(np.searchsorted(cum, k))
-        before = int(cum[j - 1]) if j > 0 else 0
-        if counts[j] <= EQ_PULL_LIMIT:
+def _eq_select_terminal(ds, col: str, sels, lo: float, hi: float, k: int) -> float:
+    """Collapsed-range terminal: distinct(value)+counts of the current
+    candidate set (a float-resolution interval holds at most ~EQ_BINS
+    representable doubles), exact selection on the driver. Always returns
+    an ACTUAL data value."""
 
-            def pull(t: pa.Table, lo=lo, hi=hi, width=width, j=j) -> pa.Table:
-                v = pc.cast(t.column(col), pa.float64()).drop_null().to_numpy(
-                    zero_copy_only=False
-                )
-                v = v[~np.isnan(v)]
-                v = v[(v >= lo) & (v <= hi)]
-                b = np.clip(
-                    np.floor((v - lo) / width), 0, EQ_BINS - 1
-                ).astype(np.int64)
-                return pa.table({"v": pa.array(v[b == j], pa.float64())})
+    def dcounts(t: pa.Table, sels=tuple(sels)) -> pa.Table:
+        v = _eq_member(_eq_clean(t, col), sels)
+        v = v[(v >= lo) & (v <= hi)]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u, pa.float64()), "c": pa.array(c.astype(np.int64))}
+        )
 
-            vals = np.sort(
-                np.concatenate(
-                    [
-                        bt.column("v").to_numpy(zero_copy_only=False)
-                        for bt in ds.map_batches(pull, batch_format="pyarrow")
-                        .iter_batches(batch_format="pyarrow")
-                        if bt.num_rows
-                    ]
-                )
-            )
-            return float(vals[k - before - 1])
-        # recurse into bin j with the SAME binning rule the counts used
-        k -= before
-        lo, hi = lo + j * width, lo + (j + 1) * width
-    return select_in_range(lo, hi, k)  # iteration cap (range is ~ulp wide)
+    acc: dict[float, int] = {}
+    for r in ds.map_batches(dcounts, batch_format="pyarrow").take_all():
+        acc[r["v"]] = acc.get(r["v"], 0) + r["c"]
+    us = np.array(sorted(acc))
+    cs = np.array([acc[u] for u in us], np.int64)
+    return float(us[int(np.searchsorted(np.cumsum(cs), k))])
 
 
 def q_exact_median(sf_dir: str):
     """Driver entry: exact discrete median and p90 of l_extendedprice —
     an unbounded-distinct column where the count-histogram quantile
     (q_grouped_quantiles) does not apply; values are actual data points,
-    so the floats match the SQL oracle bit-for-bit."""
+    so the floats match the SQL oracle bit-for-bit. The stats pass is
+    shared across the two quantiles."""
     ds = scan(sf_dir, "lineitem", columns=["l_extendedprice"])
+    stats = _eq_stats(ds, "l_extendedprice")
     return pa.table(
         {
             "median_price": pa.array(
-                [exact_quantile_disc(ds, "l_extendedprice", 0.5)], pa.float64()
+                [exact_quantile_disc(ds, "l_extendedprice", 0.5, stats=stats)],
+                pa.float64(),
             ),
             "p90_price": pa.array(
-                [exact_quantile_disc(ds, "l_extendedprice", 0.9)], pa.float64()
+                [exact_quantile_disc(ds, "l_extendedprice", 0.9, stats=stats)],
+                pa.float64(),
             ),
         }
     )
 
 
 def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
-    """Per-group exact_quantile_disc, all groups refined SIMULTANEOUSLY:
-    every round is still one streaming pass — each row bins inside ITS
-    group's current range (broadcast per-group lo/width arrays, index_in on
-    the key), so driver state is O(groups x EQ_BINS) and the pass count
-    stays <= ~5 regardless of group count. Low-cardinality keys only (the
-    state is driver-resident); a high-cardinality key wants the sketch.
-    Returns (key, value) with DuckDB quantile_disc semantics per group."""
+    """Per-group exact_quantile_disc (k = max(1, ceil(n_g * q)) per group),
+    all groups refined SIMULTANEOUSLY: every round is still one streaming
+    pass — each row bins inside ITS group's candidate set (broadcast
+    per-group selector chains, index_in on the key), so driver state is
+    O(groups x EQ_BINS) and the pass count stays <= ~5 regardless of group
+    count. Low-cardinality keys only (the state is driver-resident); a
+    high-cardinality key wants the sketch. Key dtype (string or int) is
+    preserved. Returns (key, value)."""
     import ray as _ray
+
+    sch = ds.schema()
+    ktype = sch.types[sch.names.index(key)]
 
     def minmax_count(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(col)))
@@ -3153,7 +3228,7 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
         t = t.filter(pa.array(~np.isnan(v)))
         if t.num_rows == 0:
             return pa.table(
-                {key: pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                {key: pa.array([], ktype), "n": pa.array([], pa.int64()),
                  "lo": pa.array([], pa.float64()), "hi": pa.array([], pa.float64())}
             )
         part = pa.table(
@@ -3179,28 +3254,29 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
     groups = sorted(state)
     for g in groups:
         st = state[g]
-        st["k"] = int(np.floor((st["n"] - 1) * q)) + 1
-        st["done"] = None
+        st["k"] = _eq_rank(st["n"], q)
+        st["sels"] = []
+        st["final"] = False  # True once the terminal bin is selected
 
     for _ in range(24):
-        live = [g for g in groups if state[g]["done"] is None]
-        # collapse finished/degenerate ranges through the exact terminal
-        for g in list(live):
-            st = state[g]
-            width = (st["hi"] - st["lo"]) / EQ_BINS
-            if not (st["hi"] > st["lo"]) or not (st["lo"] + width > st["lo"]):
-                st["done"] = ("pull", st["lo"], st["hi"])
-                live.remove(g)
+        live = [
+            g for g in groups
+            if not state[g]["final"]
+            and state[g]["hi"] > state[g]["lo"]
+            and state[g]["lo"] + (state[g]["hi"] - state[g]["lo"]) / EQ_BINS
+            > state[g]["lo"]
+        ]
         if not live:
             break
-        keys_arr = pa.array(live)
+        keys_arr = pa.array(live, ktype)
         los = np.array([state[g]["lo"] for g in live])
         widths = np.array([(state[g]["hi"] - state[g]["lo"]) / EQ_BINS for g in live])
         his = np.array([state[g]["hi"] for g in live])
-        bref = _ray.put((keys_arr, los, widths, his))
+        sels_by_gi = [tuple(state[g]["sels"]) for g in live]
+        bref = _ray.put((keys_arr, los, widths, his, sels_by_gi))
 
         def bin_counts(t: pa.Table, bref=bref) -> pa.Table:
-            keys_, los_, widths_, his_ = _ray.get(bref)
+            keys_, los_, widths_, his_, sels_ = _ray.get(bref)
             t = t.filter(pc.is_valid(t.column(col)))
             gi = pc.fill_null(
                 pc.index_in(t.column(key).combine_chunks(), value_set=keys_), -1
@@ -3208,6 +3284,17 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
             v = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
             ok = (gi >= 0) & ~np.isnan(v)
             gi, v = gi[ok], v[ok]
+            keep = np.ones(len(v), bool)
+            for i in range(len(keys_)):  # selector chains are per group
+                m = gi == i
+                if not m.any() or not sels_[i]:
+                    continue
+                vi = v[m]
+                ki = np.ones(len(vi), bool)
+                for lo_s, w_s, j_s in sels_[i]:
+                    ki &= np.floor((vi - lo_s) / w_s) == j_s
+                keep[np.flatnonzero(m)[~ki]] = False
+            gi, v = gi[keep], v[keep]
             inr = (v >= los_[gi]) & (v <= his_[gi])
             gi, v = gi[inr], v[inr]
             b = np.clip(
@@ -3233,27 +3320,24 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
             j = int(np.searchsorted(cum, st["k"]))
             before = int(cum[j - 1]) if j > 0 else 0
             width = (st["hi"] - st["lo"]) / EQ_BINS
+            st["sels"] = st["sels"] + [(st["lo"], width, j)]
+            st["k"] -= before
             if counts[i][j] <= EQ_PULL_LIMIT:
-                st["done"] = (
-                    "pull",
-                    st["lo"] + j * width,
-                    st["hi"] if j == EQ_BINS - 1 else st["lo"] + (j + 1) * width,
-                )
-                st["k"] -= before
+                st["final"] = True
             else:
-                st["k"] -= before
                 st["lo"], st["hi"] = st["lo"] + j * width, st["lo"] + (j + 1) * width
 
-    # terminal: ONE pass pulls distinct(value)+counts for every group's
-    # final narrow range, then exact selection per group on the driver
-    pend = {g: state[g] for g in groups}
-    rng_keys = pa.array(groups)
-    rlo = np.array([pend[g]["done"][1] if pend[g]["done"] else pend[g]["lo"] for g in groups])
-    rhi = np.array([pend[g]["done"][2] if pend[g]["done"] else pend[g]["hi"] for g in groups])
-    rref = _ray.put((rng_keys, rlo, rhi))
+    # terminal: ONE pass pulls distinct(value)+counts of every group's
+    # final candidate set (each defined EXACTLY by its selector chain,
+    # or by its collapsed [lo, hi] range), exact selection on the driver
+    rng_keys = pa.array(groups, ktype)
+    rlo = np.array([state[g]["lo"] for g in groups])
+    rhi = np.array([state[g]["hi"] for g in groups])
+    sels_all = [tuple(state[g]["sels"]) for g in groups]
+    rref = _ray.put((rng_keys, rlo, rhi, sels_all))
 
     def dcounts(t: pa.Table, rref=rref) -> pa.Table:
-        keys_, los_, his_ = _ray.get(rref)
+        keys_, los_, his_, sels_ = _ray.get(rref)
         t = t.filter(pc.is_valid(t.column(col)))
         gi = pc.fill_null(
             pc.index_in(t.column(key).combine_chunks(), value_set=keys_), -1
@@ -3261,8 +3345,17 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
         v = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
         ok = (gi >= 0) & ~np.isnan(v)
         gi, v = gi[ok], v[ok]
-        inr = (v >= los_[gi]) & (v <= his_[gi])
-        gi, v = gi[inr], v[inr]
+        keep = np.ones(len(v), bool)
+        for i in range(len(keys_)):
+            m = gi == i
+            if not m.any():
+                continue
+            vi = v[m]
+            ki = (vi >= los_[i]) & (vi <= his_[i])
+            for lo_s, w_s, j_s in sels_[i]:
+                ki &= np.floor((vi - lo_s) / w_s) == j_s
+            keep[np.flatnonzero(m)[~ki]] = False
+        gi, v = gi[keep], v[keep]
         gb = (
             pa.table(
                 {
@@ -3288,7 +3381,7 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
         cs = np.cumsum([c for _, c in pairs])
         out_vals.append(pairs[int(np.searchsorted(cs, state[g]["k"]))][0])
     return pa.table(
-        {key: pa.array(groups, pa.string()), "value": pa.array(out_vals, pa.float64())}
+        {key: pa.array(groups, ktype), "value": pa.array(out_vals, pa.float64())}
     )
 
 

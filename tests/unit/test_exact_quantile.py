@@ -11,8 +11,12 @@ import pie_ray.functions.relational as rel
 
 
 def _disc(vals: np.ndarray, q: float) -> float:
-    k = int(np.floor((len(vals) - 1) * q))
-    return float(np.sort(vals)[k])
+    # DuckDB quantile_disc: the max(1, ceil(n*q))-th smallest (verified
+    # empirically against DuckDB 1.0.0 incl. float edges)
+    import math
+
+    k = max(1, math.ceil(len(vals) * q))
+    return float(np.sort(vals)[k - 1])
 
 
 def test_refinement_parity_random(ray_session, monkeypatch):
@@ -63,3 +67,34 @@ def test_grouped_refinement_parity(ray_session, monkeypatch):
     }
     for _, row in got.iterrows():
         assert row.value == want[row.g], row.g
+
+
+def test_duckdb_parity_awkward_sizes(ray_session):
+    # n and q chosen so ceil(n*q) != floor((n-1)*q)+1 — the rank-rule
+    # regression class; compare directly against DuckDB
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    for n, q in [(10, 0.95), (12, 0.9), (7, 0.34), (101, 0.33)]:
+        vals = rng.normal(size=n)
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+        got = rel.exact_quantile_disc(ds, "x", q)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in vals])
+        want = con.execute("SELECT quantile_disc(v, ?) FROM t", [q]).fetchone()[0]
+        assert got == want, (n, q)
+
+
+def test_grouped_int_key(ray_session):
+    # non-string group keys must round-trip (regression: hardcoded string)
+    rng = np.random.default_rng(8)
+    gs = np.repeat(np.array([3, 7], np.int64), [500, 800])
+    vals = np.concatenate([rng.normal(0, 1, 500), rng.normal(10, 2, 800)])
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(gs, pa.int64()), "x": pa.array(vals, pa.float64())})
+    ).repartition(4)
+    got = rel.exact_quantile_disc_grouped(ds, "x", 0.5, "g").to_pandas()
+    assert set(got.g) == {3, 7}
+    assert got[got.g == 3].value.item() == _disc(vals[:500], 0.5)
+    assert got[got.g == 7].value.item() == _disc(vals[500:], 0.5)
