@@ -208,7 +208,7 @@ def _encode_batch(t: pa.Table, ranks_ref=None, col: str = "text") -> pa.Table:
     # previous tokenizer's encodings to a new one
     caches = _encode_batch.__dict__.setdefault("caches", {})
     me = ranks_ref.hex()
-    while len(caches) > 8:
+    while len(caches) >= 8 and me not in caches:  # cap BEFORE inserting
         # evict an arbitrary OTHER tokenizer's cache — clearing all would
         # wipe the active warm cache mid-stream
         victim = next(k for k in caches if k != me)

@@ -2124,13 +2124,31 @@ def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
         # tie-break on every payload column so the survivor is a pure
         # function of the row multiset (house determinism invariant);
         # nested types (list/struct) crash Arrow sorting, so they ride as
-        # a content-hash surrogate column instead
+        # a content-hash surrogate — computed ONLY when the bucket
+        # actually contains a (key, version) duplicate (rare in real CDC;
+        # the per-row stringify+hash is too expensive to pay always)
+        nested = [
+            c
+            for c in g.column_names
+            if c not in key_cols
+            and c != version_col
+            and pa.types.is_nested(g.schema.field(c).type)
+        ]
+        need_hash = False
+        if nested and g.num_rows > 1:
+            kv = g.select(key_cols + [version_col])
+            need_hash = (
+                kv.group_by(key_cols + [version_col]).aggregate([]).num_rows
+                < g.num_rows
+            )
         rest = []
         drop_after = []
         for c in g.column_names:
             if c in key_cols or c == version_col:
                 continue
-            if pa.types.is_nested(g.schema.field(c).type):
+            if c in nested:
+                if not need_hash:
+                    continue  # no ties: nested columns need no tie-break
                 hname = f"__h_{c}"
                 g = g.append_column(
                     hname,
@@ -3046,14 +3064,17 @@ def _eq_clean(t: pa.Table, col: str) -> np.ndarray:
 
 
 def _eq_member(v: np.ndarray, sels) -> np.ndarray:
-    """Exact round membership: the CONJUNCTION of every prior round's
-    bin test floor((v-lo)/w)==j. Bin tests with different (lo, w) are not
-    nested under float rounding, so re-applying the whole chain (depth
-    <= ~5) is what keeps each round's population exactly the prior
-    round's selected bin — no boundary row ever drifts in or out."""
+    """Exact round membership: the CONJUNCTION of every prior round's bin
+    test, applied in the IDENTICAL clip+range form the counting pass used
+    (a plain floor test would disagree at the edge bins — the column max
+    always raw-floors to EQ_BINS and only clip folds it into the last
+    bin). Bin tests with different (lo, w) are not nested under float
+    rounding, so re-applying the whole chain (depth <= ~5) keeps each
+    round's population exactly the prior round's selected bin."""
     keep = np.ones(len(v), bool)
-    for lo, w, j in sels:
-        keep &= np.floor((v - lo) / w) == j
+    for lo, w, j, hi in sels:
+        keep &= (v >= lo) & (v <= hi)
+        keep &= np.clip(np.floor((v - lo) / w), 0, EQ_BINS - 1) == j
     return v[keep]
 
 
@@ -3106,11 +3127,11 @@ def exact_quantile_disc(ds, col: str, q: float,
         # NOTE: the round's bin test uses the clip+range form above; the
         # recorded selector must match it exactly for edge bins
         if counts[j] <= EQ_PULL_LIMIT:
-            sels_final = sels + [(lo, width, j)]
-            return _eq_select_pull(ds, col, sels_final, lo, hi, k - before)
+            sels_final = sels + [(lo, width, j, hi)]
+            return _eq_select_pull(ds, col, sels_final, k - before)
         k -= before
-        sels = sels + [(lo, width, j)]
-        lo, hi = lo + j * width, lo + (j + 1) * width
+        sels = sels + [(lo, width, j, hi)]
+        lo, hi = lo + j * width, min(hi, lo + (j + 1) * width)
     return _eq_select_terminal(ds, col, sels, lo, hi, k)
 
 
@@ -3140,16 +3161,13 @@ def _eq_stats(ds, col: str) -> tuple[int, float, float]:
     )
 
 
-def _eq_select_pull(ds, col: str, sels, lo: float, hi: float, k: int) -> float:
-    """Terminal: pull the final bin's members (selector chain makes the
-    set EXACTLY what was counted) and select the k-th smallest."""
+def _eq_select_pull(ds, col: str, sels, k: int) -> float:
+    """Terminal: pull the final bin's members (the selector chain defines
+    the set EXACTLY as counted) and select the k-th smallest."""
 
     def pull(t: pa.Table, sels=tuple(sels)) -> pa.Table:
-        v = _eq_member(_eq_clean(t, col), sels[:-1])
-        lo_, w_, j_ = sels[-1]
-        v = v[(v >= lo_) & (v <= hi)]
-        b = np.clip(np.floor((v - lo_) / w_), 0, EQ_BINS - 1).astype(np.int64)
-        return pa.table({"v": pa.array(v[b == j_], pa.float64())})
+        v = _eq_member(_eq_clean(t, col), sels)
+        return pa.table({"v": pa.array(v, pa.float64())})
 
     vals = np.sort(
         np.concatenate(
@@ -3291,8 +3309,11 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
                     continue
                 vi = v[m]
                 ki = np.ones(len(vi), bool)
-                for lo_s, w_s, j_s in sels_[i]:
-                    ki &= np.floor((vi - lo_s) / w_s) == j_s
+                for lo_s, w_s, j_s, hi_s in sels_[i]:
+                    ki &= (vi >= lo_s) & (vi <= hi_s)
+                    ki &= np.clip(
+                        np.floor((vi - lo_s) / w_s), 0, EQ_BINS - 1
+                    ) == j_s
                 keep[np.flatnonzero(m)[~ki]] = False
             gi, v = gi[keep], v[keep]
             inr = (v >= los_[gi]) & (v <= his_[gi])
@@ -3320,12 +3341,15 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
             j = int(np.searchsorted(cum, st["k"]))
             before = int(cum[j - 1]) if j > 0 else 0
             width = (st["hi"] - st["lo"]) / EQ_BINS
-            st["sels"] = st["sels"] + [(st["lo"], width, j)]
+            st["sels"] = st["sels"] + [(st["lo"], width, j, st["hi"])]
             st["k"] -= before
             if counts[i][j] <= EQ_PULL_LIMIT:
                 st["final"] = True
             else:
-                st["lo"], st["hi"] = st["lo"] + j * width, st["lo"] + (j + 1) * width
+                st["lo"], st["hi"] = (
+                    st["lo"] + j * width,
+                    min(st["hi"], st["lo"] + (j + 1) * width),
+                )
 
     # terminal: ONE pass pulls distinct(value)+counts of every group's
     # final candidate set (each defined EXACTLY by its selector chain,
@@ -3352,8 +3376,11 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
                 continue
             vi = v[m]
             ki = (vi >= los_[i]) & (vi <= his_[i])
-            for lo_s, w_s, j_s in sels_[i]:
-                ki &= np.floor((vi - lo_s) / w_s) == j_s
+            for lo_s, w_s, j_s, hi_s in sels_[i]:
+                ki &= (vi >= lo_s) & (vi <= hi_s)
+                ki &= np.clip(
+                    np.floor((vi - lo_s) / w_s), 0, EQ_BINS - 1
+                ) == j_s
             keep[np.flatnonzero(m)[~ki]] = False
         gi, v = gi[keep], v[keep]
         gb = (

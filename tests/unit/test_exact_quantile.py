@@ -98,3 +98,27 @@ def test_grouped_int_key(ray_session):
     assert set(got.g) == {3, 7}
     assert got[got.g == 3].value.item() == _disc(vals[:500], 0.5)
     assert got[got.g == 7].value.item() == _disc(vals[500:], 0.5)
+
+
+def test_top_edge_bin_with_duplicate_max(ray_session, monkeypatch):
+    # regression: the column max raw-floors to bin EQ_BINS and only clip
+    # folds it into the last bin — a selector recorded in plain-floor form
+    # dropped those rows in later rounds (IndexError / silently low value)
+    monkeypatch.setattr(rel, "EQ_PULL_LIMIT", 64)
+    vals = np.concatenate([np.linspace(0, 100, 400), np.full(500, 103.7)])
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(vals, pa.float64())})
+    ).repartition(4)
+    for q in (1.0, 0.99, 0.6):
+        assert rel.exact_quantile_disc(ds, "x", q) == _disc(vals, q), q
+    # grouped flavor of the same edge
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * len(vals)),
+            "x": pa.array(vals, pa.float64()),
+        }
+    )
+    got = rel.exact_quantile_disc_grouped(
+        ray.data.from_arrow(t).repartition(3), "x", 1.0, "g"
+    ).to_pandas()
+    assert got.value.item() == 103.7
