@@ -35,12 +35,13 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from pie_ray.util import hash64_ints, join_num_partitions
+from pie_ray.util import gather_table, hash64_ints, join_num_partitions
 
 TRI_QTY_THRESHOLD = 46.0
 N_BUCKETS = 64
 DRIVER_EDGE_LIMIT = 2_000_000
 PACK = np.int64(1) << np.int64(32)
+EDGE_SCHEMA = pa.schema([("e", pa.int64())])
 
 
 def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -364,12 +365,13 @@ def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Datas
 def q_graph_triangles(sf_dir: str):
     """Per-node triangle counts on the co-supplier graph (size-adaptive:
     driver wedge-check under DRIVER_EDGE_LIMIT edges, degree-oriented
-    double hash join above — equivalence-tested)."""
-    import ray
-
+    double hash join above — equivalence-tested). The driver pull goes
+    through ``gather_table`` — Ray emits zero-row empty-schema blocks under
+    some layouts and a bare ``pa.concat_tables`` crashes on the mix (the
+    round-3 driver red row at sf0.01/32 cpus)."""
     edges = cooccurrence_edges(sf_dir).materialize()
     if edges.count() <= DRIVER_EDGE_LIMIT:
-        tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        tbl = gather_table(edges, schema=EDGE_SCHEMA)
         packed = tbl.column("e").to_numpy(zero_copy_only=False)
         return triangles_per_node_driver(packed)
     return triangles_per_node_distributed(edges)
@@ -418,15 +420,146 @@ def core_numbers(edges_packed: np.ndarray) -> pa.Table:
     )
 
 
+def core_numbers_distributed(edges: "ray.data.Dataset", max_rounds: int = 200):
+    """Distributed core numbers via the locality / H-index algorithm
+    (Montresor, De Pellegrini & Miorandi, "Distributed k-Core
+    Decomposition", IEEE TPDS 2013 — public): initialize est(v) = deg(v),
+    then repeat est(v) = min(est(v), H({est(u) : u ∈ N(v)})) where H is the
+    h-index (the largest h with at least h neighbour estimates ≥ h). The
+    sequence is monotone non-increasing and converges exactly to the core
+    numbers. Each round is ONE hash join (attach neighbour estimates to
+    directed edges) + one bounded bucketed groupby (per-node H-index,
+    vectorized: within a (node, est-desc)-sorted bucket the h-index is the
+    per-group count of positions with value ≥ position+1) + one join back
+    onto the estimate table for the min; ``.materialize()`` barriers keep
+    the exchanges out of one streaming plan (repo rule). Returns a Dataset
+    ``(s_suppkey, core)``; equivalence vs the driver peel is pytest-gated."""
+
+    def split_both(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        a = (e // PACK).astype(np.int64)
+        b = (e % PACK).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    directed = edges.map_batches(split_both, batch_format="pyarrow").materialize()
+    n_parts = join_num_partitions(directed.size_bytes())
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids, cnts = np.unique(
+            t.column("src").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        b = (hash64_ints(ids, salt=0xC03E) % N_BUCKETS).astype(np.int32)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "est": pa.array(cnts.astype(np.int64), pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def deg_combine(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("est", "sum")])
+        return rename_grouped(gb, ["node"], ["node", "est"])
+
+    est = (
+        directed.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deg_combine, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def hindex_partial(t: pa.Table) -> pa.Table:
+        # bucket by src so each node's neighbour-estimate multiset co-locates
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        b = (hash64_ints(src, salt=0x4C0) % N_BUCKETS).astype(np.int32)
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "nbr_est": t.column("est"),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def hindex_bucket(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        val = g.column("nbr_est").to_numpy(zero_copy_only=False)
+        # sort by (src asc, est desc); within a group the h-index is the
+        # count of positions i (0-based) with value >= i+1 (prefix property:
+        # values decrease while i+1 increases)
+        order = np.lexsort((-val, src))
+        src, val = src[order], val[order]
+        nodes, starts = np.unique(src, return_index=True)
+        pos = np.arange(len(src)) - np.repeat(starts, np.diff(np.append(starts, len(src))))
+        ok = val >= (pos + 1)
+        grp = np.repeat(np.arange(len(nodes)), np.diff(np.append(starts, len(src))))
+        h = np.bincount(grp[ok], minlength=len(nodes)).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()), "h": pa.array(h, pa.int64())}
+        )
+
+    for _ in range(max_rounds):
+        nbr = directed.join(
+            est,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("dst",),
+            right_on=("node",),
+        ).materialize()
+        h_tbl = (
+            nbr.map_batches(hindex_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(hindex_bucket, batch_format="pyarrow")
+            .materialize()
+        )
+        new_est = (
+            est.join(
+                h_tbl,
+                join_type="inner",  # every node has >=1 neighbour, so H covers all
+                num_partitions=join_num_partitions(est.size_bytes()),
+                on=("node",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "est": pc.min_element_wise(t.column("est"), t.column("h")),
+                        "old_est": t.column("est"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        changed = new_est.filter(expr="est < old_est").count()
+        est = new_est.drop_columns(["old_est"]).materialize()
+        if changed == 0:
+            break
+
+    return est.map_batches(
+        lambda t: pa.table({"s_suppkey": t.column("node"), "core": t.column("est")}),
+        batch_format="pyarrow",
+    )
+
+
 def q_kcore(sf_dir: str):
     """Core numbers over the co-supplier graph (library surface; gated by
     a brute-force-equivalence pytest, not a SQL oracle — peeling is
-    iterative and not SQL-expressible)."""
-    import ray
-
-    edges = cooccurrence_edges(sf_dir)
-    tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
-    return core_numbers(tbl.column("e").to_numpy(zero_copy_only=False))
+    iterative and not SQL-expressible). Size-adaptive like triangles: the
+    exact driver peel under DRIVER_EDGE_LIMIT edges (empty-block-safe
+    gather), the distributed H-index algorithm above it."""
+    edges = cooccurrence_edges(sf_dir).materialize()
+    if edges.count() <= DRIVER_EDGE_LIMIT:
+        tbl = gather_table(edges, schema=EDGE_SCHEMA)
+        return core_numbers(tbl.column("e").to_numpy(zero_copy_only=False))
+    return core_numbers_distributed(edges)
 
 
 # ------------------------------------------------------- connected components

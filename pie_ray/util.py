@@ -132,6 +132,51 @@ def join_num_partitions(est_bytes: int | None = None, target_bytes: int = 64 << 
     return min(max(8, ncpus), 4096)
 
 
+def gather_table(ds, schema=None):
+    """Pull a BOUNDED Dataset to one driver-side pyarrow Table.
+
+    Ray emits zero-row blocks with EMPTY schemas under some block layouts
+    (observed at sf0.01/32 cpus, round-3 driver crash: ``pa.concat_tables``
+    raises ArrowInvalid on the schema mix). Filter those out; when every
+    block is empty, return ``schema.empty_table()`` so callers keep typed
+    columns. Only ever call this on size-gated datasets (the caller owns
+    the gate — e.g. DRIVER_EDGE_LIMIT in functions/graphops.py)."""
+    import pyarrow as pa
+    import ray
+
+    tbls = [
+        t
+        for t in ray.get(ds.to_arrow_refs())
+        if t.num_rows > 0 and t.num_columns > 0
+    ]
+    if not tbls:
+        if schema is None:
+            schema = ds.schema()
+            schema = pa.schema(zip(schema.names, schema.types)) if schema else pa.schema([])
+        return schema.empty_table()
+    return pa.concat_tables(tbls, promote_options="none")
+
+
+def bucket_count(
+    est_bytes: int | None = None, floor: int = 64, target_bytes: int = 128 << 20
+) -> int:
+    """Scale-aware bucket count for the engine's bucketed groupbys (the
+    ``hash(key) % N`` exchanges that replace high-cardinality Ray groupbys).
+
+    One map_groups task must hold ~est_bytes / N in memory, so N must track
+    data size, not stay a constant: ceil(est_bytes / 128 MB), clamped to
+    [floor, 65536] (the SCALE.md rule of thumb: ~65k buckets at 10^12-doc
+    corpora). ``floor`` is each call site's measured-good small-scale
+    constant (32/64/128 today) so sandbox-scale perf is unchanged. Pass
+    ``est_bytes`` only from a metadata-backed source (``size_bytes()`` off
+    ``read_parquet`` or a materialized dataset — O(1); on a mapped plan it
+    would EXECUTE the plan). Results of bucketed operators are invariant to
+    N by contract (partitioning-independence tests); N only sizes tasks."""
+    if not est_bytes:
+        return floor
+    return int(min(max(floor, -(-int(est_bytes) // target_bytes)), 65536))
+
+
 def tune_data_context() -> None:
     """Right-size Ray Data's shuffle knobs to the actual cluster.
 

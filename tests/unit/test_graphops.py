@@ -121,10 +121,10 @@ def test_pairs_by_size_matches_itertools():
 
 
 def test_driver_vs_distributed_equivalence(ray_session):
-    edges = G.cooccurrence_edges(SF).materialize()
-    import ray
+    from pie_ray.util import gather_table
 
-    tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    edges = G.cooccurrence_edges(SF).materialize()
+    tbl = gather_table(edges, schema=G.EDGE_SCHEMA)
     packed = tbl.column("e").to_numpy(zero_copy_only=False)
     drv = table_to_dict(G.triangles_per_node_driver(packed), "s_suppkey", "n_triangles")
     dist_tbl = pa.Table.from_pylist(
@@ -134,17 +134,92 @@ def test_driver_vs_distributed_equivalence(ray_session):
     assert drv == dist and len(drv) > 0
 
 
+def test_kcore_driver_vs_distributed_equivalence(ray_session):
+    from pie_ray.util import gather_table
+
+    edges = G.cooccurrence_edges(SF).materialize()
+    tbl = gather_table(edges, schema=G.EDGE_SCHEMA)
+    drv = table_to_dict(
+        G.core_numbers(tbl.column("e").to_numpy(zero_copy_only=False)),
+        "s_suppkey",
+        "core",
+    )
+    dist_tbl = pa.Table.from_pylist(G.core_numbers_distributed(edges).take_all())
+    dist = table_to_dict(dist_tbl, "s_suppkey", "core")
+    assert drv == dist and len(drv) > 0
+
+
 def test_edges_independent_of_partitioning(ray_session):
     """The edge set is a pure function of the data — identical whatever
     block layout the read produces."""
-    import ray
+    from pie_ray.util import gather_table
 
     def edge_array(nblocks):
         ds = G.cooccurrence_edges(SF, override_num_blocks=nblocks).materialize()
-        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        tbl = gather_table(ds, schema=G.EDGE_SCHEMA)
         return np.sort(tbl.column("e").to_numpy(zero_copy_only=False))
 
     assert np.array_equal(edge_array(1), edge_array(5))
+
+
+@pytest.mark.parametrize("nblocks", [1, 7, 40])
+def test_triangles_block_layout_sweep(ray_session, nblocks):
+    """Round-3 driver regression: with many read blocks (more blocks than
+    matching rows in some), Ray emits zero-row EMPTY-SCHEMA blocks and a
+    bare pa.concat_tables crashes (ArrowInvalid: schema mix) — observed at
+    sf0.01/32 cpus while sf0.001/pytest passed. gather_table must survive
+    every layout and yield identical triangle counts."""
+    from pie_ray.util import gather_table
+
+    edges = G.cooccurrence_edges(SF, override_num_blocks=nblocks).materialize()
+    tbl = gather_table(edges, schema=G.EDGE_SCHEMA)
+    out = table_to_dict(
+        G.triangles_per_node_driver(
+            tbl.column("e").to_numpy(zero_copy_only=False)
+        ),
+        "s_suppkey",
+        "n_triangles",
+    )
+    base = table_to_dict(
+        G.triangles_per_node_driver(
+            gather_table(
+                G.cooccurrence_edges(SF).materialize(), schema=G.EDGE_SCHEMA
+            )
+            .column("e")
+            .to_numpy(zero_copy_only=False)
+        ),
+        "s_suppkey",
+        "n_triangles",
+    )
+    assert out == base
+
+
+def test_gather_table_empty_and_mixed_blocks(ray_session):
+    """gather_table drops zero-row/empty-schema blocks and falls back to
+    the declared schema when everything is empty."""
+    import ray.data
+
+    from pie_ray.util import gather_table
+
+    # all-empty: a filter that matches nothing, split across blocks
+    ds = (
+        ray.data.from_arrow(pa.table({"e": pa.array([1, 2, 3], pa.int64())}))
+        .repartition(3)
+        .filter(expr="e > 100")
+        .materialize()
+    )
+    tbl = gather_table(ds, schema=G.EDGE_SCHEMA)
+    assert tbl.num_rows == 0 and tbl.schema.equals(G.EDGE_SCHEMA)
+
+    # mixed: some empty blocks among real ones
+    ds2 = (
+        ray.data.from_arrow(pa.table({"e": pa.array([1, 2, 300], pa.int64())}))
+        .repartition(3)
+        .filter(expr="e >= 300")
+        .materialize()
+    )
+    tbl2 = gather_table(ds2, schema=G.EDGE_SCHEMA)
+    assert tbl2.column("e").to_pylist() == [300]
 
 
 # ---------------------------------------------------- connected components
