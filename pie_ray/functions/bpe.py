@@ -99,7 +99,11 @@ def bpe_train_from_word_freqs(
 
 
 def corpus_word_freqs(
-    ds, col: str = "text", min_freq: int = 1, max_words: int | None = None
+    ds,
+    col: str = "text",
+    min_freq: int = 1,
+    max_words: int | None = None,
+    num_buckets: int = WORD_BUCKETS,
 ) -> tuple[dict[str, int], dict]:
     """ONE distributed word-count exchange -> driver word-frequency table.
 
@@ -131,7 +135,7 @@ def corpus_word_freqs(
             ["word", "n"],
         )
         buckets = (
-            hash64_array(g.column("word").to_pylist(), salt=b"bpe") % WORD_BUCKETS
+            hash64_array(g.column("word").to_pylist(), salt=b"bpe") % num_buckets
         ).astype("int32")
         return pa.table(
             {

@@ -55,9 +55,10 @@ def q_dedup_exact(sf_dir: str):
     bucketed shuffle on hash(md5) % 64, vectorized Arrow combine per bucket
     — never a Ray groupby keyed on the hash itself (per-group Python
     dispatch at corpus cardinality)."""
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_count, hash64_array
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    nb = bucket_count(ds.size_bytes(), floor=64)
 
     def partial(t: pa.Table) -> pa.Table:
         h = md5_batch(t)
@@ -70,7 +71,7 @@ def q_dedup_exact(sf_dir: str):
         from pie_ray.util import rename_grouped
 
         gb = rename_grouped(gb, ["text_md5"], ["text_md5", "keep_doc_id", "n_copies"])
-        b = (hash64_array(gb.column("text_md5").to_pylist(), salt=b"dx") % 64).astype("int32")
+        b = (hash64_array(gb.column("text_md5").to_pylist(), salt=b"dx") % nb).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 
     def combine(g: pa.Table) -> pa.Table:
@@ -172,7 +173,7 @@ def _band_pairs(group: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
-def _banded_candidates_raw(docs):
+def _banded_candidates_raw(docs, num_buckets: int = DEDUP_LSH_BUCKETS):
     """documents Dataset -> candidate pair Dataset (a, b); pairs proposed by
     several bands may repeat across buckets (callers dedup)."""
 
@@ -184,7 +185,7 @@ def _banded_candidates_raw(docs):
                 dtype=np.uint64,
                 count=banded.num_rows,
             )
-            % DEDUP_LSH_BUCKETS
+            % num_buckets
         ).astype("int32")
         return banded.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -194,13 +195,13 @@ def _banded_candidates_raw(docs):
     )
 
 
-def _distinct_pairs(cand):
+def _distinct_pairs(cand, num_buckets: int = 64):
     """Small bucketed shuffle on hash(a,b) -> globally distinct (a, b)."""
 
     def add_pair_bucket(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
-        h = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)) % 64
+        h = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)) % num_buckets
         return t.append_column("pbucket", pa.array(h.astype(np.int32), pa.int32()))
 
     def uniq_pairs(g: pa.Table) -> pa.Table:
@@ -266,7 +267,12 @@ def _candidate_shingles(docs, cand_ids: np.ndarray):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def _verified_pairs(docs, emit_jaccard: bool = False, force_distributed: bool = False):
+def _verified_pairs(
+    docs,
+    emit_jaccard: bool = False,
+    force_distributed: bool = False,
+    num_buckets: int = DEDUP_LSH_BUCKETS,
+):
     """Size-adaptive verify of LSH candidate pairs by true Jaccard.
 
     Small pair sets (the common case — near-dup candidates are a tiny
@@ -274,7 +280,7 @@ def _verified_pairs(docs, emit_jaccard: bool = False, force_distributed: bool = 
     candidate-filtered shingle scan (both pulls bounded by the candidate
     count, never a full-corpus driver scan). Large pair sets: fully
     distributed via two hash joins against the shingle table."""
-    cand = _banded_candidates_raw(docs).materialize()
+    cand = _banded_candidates_raw(docs, num_buckets=num_buckets).materialize()
     if not force_distributed and cand.count() <= VERIFY_DRIVER_PAIRS:
         pairs = sorted({(r["a"], r["b"]) for r in cand.take_all()})
         if not pairs:
@@ -310,9 +316,11 @@ def _verified_pairs(docs, emit_jaccard: bool = False, force_distributed: bool = 
     # and running groupby + two joins concurrently deadlocks a small CPU
     # budget. The materialized sets are candidate-pair-sized (tiny vs
     # corpus); the big shingle table itself is never materialized.
-    from pie_ray.util import join_num_partitions
+    from pie_ray.util import bucket_count, join_num_partitions
 
-    cand = _distinct_pairs(cand).materialize()
+    cand = _distinct_pairs(
+        cand, num_buckets=bucket_count(cand.size_bytes(), floor=64)
+    ).materialize()
     sh = _shingle_table(docs)
     # cand is materialized -> size_bytes is metadata-cheap; the CPU floor in
     # join_num_partitions covers the (larger per-row) shingle side
@@ -407,8 +415,12 @@ def q_dedup_minhash(sf_dir: str):
     near-dup component (singletons map to themselves). Every stage is
     distributed: banding shuffle -> pair dedup -> shingle joins -> verify ->
     size-adaptive components -> broadcast/join assignment."""
+    from pie_ray.util import bucket_count
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    verified = _verified_pairs(docs)
+    verified = _verified_pairs(
+        docs, num_buckets=bucket_count(docs.size_bytes(), floor=DEDUP_LSH_BUCKETS)
+    )
     return _assign_components(docs.select_columns(["doc_id"]), verified, "doc_id")
 
 
@@ -446,10 +458,12 @@ def q_corpus_curation(sf_dir: str):
 
     curated = docs.map_batches(curate, batch_format="pyarrow")
     # exact dedup: keep the min doc_id per content hash (bucketed shuffle)
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_count, hash64_array
+
+    nb = bucket_count(docs.size_bytes(), floor=64)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = (hash64_array(t.column("text_md5").to_pylist(), salt=b"cur") % 64).astype("int32")
+        b = (hash64_array(t.column("text_md5").to_pylist(), salt=b"cur") % nb).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     def keep_min(g: pa.Table) -> pa.Table:
@@ -498,8 +512,14 @@ def q_ngram_jaccard(sf_dir: str):
     (a, b, jaccard) for every banded candidate pair — the verify channel of
     the MinHash path exposed as its own operator (rows-only oracle).
     Fully distributed (shingle-set joins), same as q_dedup_minhash."""
+    from pie_ray.util import bucket_count
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return _verified_pairs(docs, emit_jaccard=True)
+    return _verified_pairs(
+        docs,
+        emit_jaccard=True,
+        num_buckets=bucket_count(docs.size_bytes(), floor=DEDUP_LSH_BUCKETS),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -605,11 +625,18 @@ def q_dedup_embedding(sf_dir: str):
 
     buckets = ds.map_batches(bucket_batch, batch_format="pyarrow")
 
+    # size-derived shuffle-key count (power of two so the key stays a cheap
+    # bitmask of the LSH signature), floor 256
+    from pie_ray.util import bucket_count
+
+    _nsk = bucket_count(ds.size_bytes(), floor=256)
+    skey_mask = (1 << int(np.ceil(np.log2(_nsk)))) - 1
+
     def add_shuffle_key(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
         return t.append_column(
-            "skey", _pc.cast(_pc.bit_wise_and(t.column("bucket"), 255), pa.int32())
+            "skey", _pc.cast(_pc.bit_wise_and(t.column("bucket"), skey_mask), pa.int32())
         )
 
     keyed = buckets.map_batches(add_shuffle_key, batch_format="pyarrow")
@@ -654,10 +681,12 @@ def _line_hashes(lines) -> np.ndarray:
     return hash64_array(lines.to_pylist(), salt=b"line")
 
 
-def dup_line_hashes(docs_ds, min_count: int = 2) -> np.ndarray:
+def dup_line_hashes(
+    docs_ds, min_count: int = 2, num_buckets: int = LINE_COUNT_BUCKETS
+) -> np.ndarray:
     """Sorted uint64 hashes of every NON-BLANK line occurring >= min_count
     times corpus-wide. Per-batch partial counts -> ONE bucketed exchange on
-    hash(line) % 64 -> vectorized combine -> bounded driver pull."""
+    hash(line) % num_buckets -> vectorized combine -> bounded driver pull."""
 
     def partial(t: pa.Table) -> pa.Table:
         _, lines, _ = _explode_lines(t)
@@ -669,7 +698,7 @@ def dup_line_hashes(docs_ds, min_count: int = 2) -> np.ndarray:
                 "h": pa.array(uniq, pa.uint64()),
                 "c": pa.array(cnt.astype(np.int64), pa.int64()),
                 "bucket": pa.array(
-                    (uniq % LINE_COUNT_BUCKETS).astype(np.int32), pa.int32()
+                    (uniq % num_buckets).astype(np.int32), pa.int32()
                 ),
             }
         )

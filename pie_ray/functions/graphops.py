@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from pie_ray.util import gather_table, hash64_ints, join_num_partitions
+from pie_ray.util import bucket_count, gather_table, hash64_ints, join_num_partitions
 
 TRI_QTY_THRESHOLD = 46.0
 N_BUCKETS = 64
@@ -78,15 +78,20 @@ def cooccurrence_edges(
     ``e`` = a * 2^32 + b) from high-quantity lineitems.
     ``override_num_blocks`` exists for the partitioning-independence test
     only — the result is a pure function of the data."""
-    li = ray.data.read_parquet(
+    raw = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_quantity"],
         override_num_blocks=override_num_blocks,
-    ).filter(expr=f"l_quantity > {TRI_QTY_THRESHOLD}")
+    )
+    # size-derived bucket count (read metadata, O(1) — BEFORE the filter,
+    # whose plan would execute on size_bytes); floor = the measured-good
+    # sandbox constant
+    nb = bucket_count(raw.size_bytes(), floor=N_BUCKETS)
+    li = raw.filter(expr=f"l_quantity > {TRI_QTY_THRESHOLD}")
 
     def order_bucket(t: pa.Table) -> pa.Table:
         ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        b = (hash64_ints(ok, salt=0x7219) % N_BUCKETS).astype(np.int32)
+        b = (hash64_ints(ok, salt=0x7219) % nb).astype(np.int32)
         return pa.table(
             {
                 "l_orderkey": t.column("l_orderkey"),
@@ -113,7 +118,7 @@ def cooccurrence_edges(
 
     def edge_bucket(t: pa.Table) -> pa.Table:
         e = np.unique(t.column("e").to_numpy(zero_copy_only=False))
-        b = (hash64_ints(e, salt=0x51C7) % N_BUCKETS).astype(np.int32)
+        b = (hash64_ints(e, salt=0x51C7) % nb).astype(np.int32)
         return pa.table({"e": pa.array(e, pa.int64()), "bucket": pa.array(b, pa.int32())})
 
     def edge_unique(g: pa.Table) -> pa.Table:
@@ -202,17 +207,31 @@ def _wedge_pairs(u: np.ndarray, v: np.ndarray):
     return np.concatenate(apexes), np.concatenate(firsts), np.concatenate(seconds)
 
 
-def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+# Past this many nodes the (nodes, ranks) ray.put broadcast (~16 B/node)
+# stops being safe; the rank attach switches to two hash joins against the
+# degree Dataset with the enumeration-free order rank = deg * 2^32 + node.
+NODE_BROADCAST_LIMIT = 20_000_000
+
+
+def triangles_per_node_distributed(
+    edges: "ray.data.Dataset", rank_attach: str = "auto"
+) -> "ray.data.Dataset":
     """Distributed per-node triangle counts: degree table (bucketed count)
-    -> broadcast ranks -> oriented edges -> wedge self-join on the apex ->
+    -> rank attach -> oriented edges -> wedge self-join on the apex ->
     closing-edge hash join on the packed (v, w) key -> bucketed per-node
-    count. Each exchange is a bounded Dataset.join / 64-bucket groupby;
+    count. Each exchange is a bounded Dataset.join / bucketed groupby;
     .materialize() barriers keep the two joins out of one streaming plan
     (the repo-wide one-exchange-per-plan rule — concurrent all-to-alls
     deadlock-starve each other's aggregator actors on few CPUs; see
-    docs/SCALE.md). Degree ranks ride a ray.put broadcast here
-    (node-count bounded); at node counts past broadcast range the rank
-    attach becomes two more hash joins — documented, not implemented."""
+    docs/SCALE.md).
+
+    Rank attach is size-adaptive (``rank_attach``: auto | broadcast |
+    join): under NODE_BROADCAST_LIMIT nodes the sorted (nodes, ranks)
+    arrays ride one ray.put; above it the degrees stay a DATASET and each
+    edge picks up (deg_a, deg_b) via two hash joins, orienting by the
+    enumeration-free total order rank = deg * 2^32 + node_id (unique
+    because node ids are; triangle counts are orientation-invariant, so
+    both orders give identical results — equivalence-tested)."""
     import ray
 
     def split(t: pa.Table) -> pa.Table:
@@ -225,6 +244,7 @@ def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Datas
         )
 
     ab = edges.map_batches(split, batch_format="pyarrow").materialize()
+    nb = bucket_count(ab.size_bytes(), floor=N_BUCKETS)
 
     def node_partial(t: pa.Table) -> pa.Table:
         ids = np.concatenate(
@@ -234,7 +254,7 @@ def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Datas
             ]
         )
         ids, cnts = np.unique(ids, return_counts=True)
-        b = (hash64_ints(ids, salt=0x0DE6) % N_BUCKETS).astype(np.int32)
+        b = (hash64_ints(ids, salt=0x0DE6) % nb).astype(np.int32)
         return pa.table(
             {
                 "node": pa.array(ids, pa.int64()),
@@ -249,40 +269,94 @@ def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Datas
         gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("deg", "sum")])
         return rename_grouped(gb, ["node"], ["node", "deg"])
 
-    deg_tbl = pa.Table.from_pylist(
+    deg_ds = (
         ab.map_batches(node_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(node_combine, batch_format="pyarrow")
-        .take_all()
+        .materialize()
     )
-    nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
-    deg = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
-    order = np.argsort(nodes)
-    nodes_sorted = nodes[order]
-    rank = deg[order].astype(np.int64) * np.int64(len(nodes)) + np.arange(len(nodes))
-    rank_ref = ray.put((nodes_sorted, rank))
+    n_nodes = deg_ds.count()
+    use_join = rank_attach == "join" or (
+        rank_attach == "auto" and n_nodes > NODE_BROADCAST_LIMIT
+    )
 
-    def orient(t: pa.Table, ref=rank_ref) -> pa.Table:
-        ns, rk = ray.get(ref)
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        ra = rk[np.searchsorted(ns, a)]
-        rb = rk[np.searchsorted(ns, b)]
-        swap = ra > rb
-        u = np.where(swap, b, a)
-        w = np.where(swap, a, b)
-        ru = np.where(swap, rb, ra)
-        rw = np.where(swap, ra, rb)
-        return pa.table(
-            {
-                "u": pa.array(u, pa.int64()),
-                "v": pa.array(w, pa.int64()),
-                "ru": pa.array(ru, pa.int64()),
-                "rv": pa.array(rw, pa.int64()),
-            }
+    if not use_join:
+        deg_tbl = gather_table(
+            deg_ds, schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+        )
+        nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
+        deg = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes)
+        nodes_sorted = nodes[order]
+        rank = deg[order].astype(np.int64) * np.int64(len(nodes)) + np.arange(len(nodes))
+        rank_ref = ray.put((nodes_sorted, rank))
+
+        def orient(t: pa.Table, ref=rank_ref) -> pa.Table:
+            ns, rk = ray.get(ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ra = rk[np.searchsorted(ns, a)]
+            rb = rk[np.searchsorted(ns, b)]
+            swap = ra > rb
+            u = np.where(swap, b, a)
+            w = np.where(swap, a, b)
+            ru = np.where(swap, rb, ra)
+            rw = np.where(swap, ra, rb)
+            return pa.table(
+                {
+                    "u": pa.array(u, pa.int64()),
+                    "v": pa.array(w, pa.int64()),
+                    "ru": pa.array(ru, pa.int64()),
+                    "rv": pa.array(rw, pa.int64()),
+                }
+            )
+
+        oriented = ab.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        # join path: edges pick up both endpoint degrees via two hash
+        # joins (barriered), then orient by rank = deg * 2^32 + node
+        jp = join_num_partitions(ab.size_bytes())
+        j1 = ab.join(
+            deg_ds,
+            join_type="inner",
+            num_partitions=jp,
+            on=("a",),
+            right_on=("node",),
+        )
+        j1 = j1.map_batches(
+            lambda t: pa.table(
+                {"a": t.column("a"), "b": t.column("b"), "deg_a": t.column("deg")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        j2 = j1.join(
+            deg_ds,
+            join_type="inner",
+            num_partitions=jp,
+            on=("b",),
+            right_on=("node",),
         )
 
-    oriented = ab.map_batches(orient, batch_format="pyarrow").materialize()
+        def orient_join(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ra = t.column("deg_a").to_numpy(zero_copy_only=False) * PACK + a
+            rb = t.column("deg").to_numpy(zero_copy_only=False) * PACK + b
+            swap = ra > rb
+            u = np.where(swap, b, a)
+            w = np.where(swap, a, b)
+            ru = np.where(swap, rb, ra)
+            rw = np.where(swap, ra, rb)
+            return pa.table(
+                {
+                    "u": pa.array(u, pa.int64()),
+                    "v": pa.array(w, pa.int64()),
+                    "ru": pa.array(ru, pa.int64()),
+                    "rv": pa.array(rw, pa.int64()),
+                }
+            )
+
+        oriented = j2.map_batches(orient_join, batch_format="pyarrow").materialize()
     n_parts = join_num_partitions(oriented.size_bytes())
     # wedge join: out-edges paired on the shared apex
     wedges = oriented.join(
@@ -336,7 +410,7 @@ def triangles_per_node_distributed(edges: "ray.data.Dataset") -> "ray.data.Datas
             ]
         )
         ids, cnts = np.unique(ids, return_counts=True)
-        b = (hash64_ints(ids, salt=0x791) % N_BUCKETS).astype(np.int32)
+        b = (hash64_ints(ids, salt=0x791) % nb).astype(np.int32)
         return pa.table(
             {
                 "s_suppkey": pa.array(ids, pa.int64()),
@@ -448,12 +522,13 @@ def core_numbers_distributed(edges: "ray.data.Dataset", max_rounds: int = 200):
 
     directed = edges.map_batches(split_both, batch_format="pyarrow").materialize()
     n_parts = join_num_partitions(directed.size_bytes())
+    nb = bucket_count(directed.size_bytes(), floor=N_BUCKETS)
 
     def deg_partial(t: pa.Table) -> pa.Table:
         ids, cnts = np.unique(
             t.column("src").to_numpy(zero_copy_only=False), return_counts=True
         )
-        b = (hash64_ints(ids, salt=0xC03E) % N_BUCKETS).astype(np.int32)
+        b = (hash64_ints(ids, salt=0xC03E) % nb).astype(np.int32)
         return pa.table(
             {
                 "node": pa.array(ids, pa.int64()),
@@ -478,7 +553,7 @@ def core_numbers_distributed(edges: "ray.data.Dataset", max_rounds: int = 200):
     def hindex_partial(t: pa.Table) -> pa.Table:
         # bucket by src so each node's neighbour-estimate multiset co-locates
         src = t.column("src").to_numpy(zero_copy_only=False)
-        b = (hash64_ints(src, salt=0x4C0) % N_BUCKETS).astype(np.int32)
+        b = (hash64_ints(src, salt=0x4C0) % nb).astype(np.int32)
         return pa.table(
             {
                 "src": t.column("src"),
@@ -599,6 +674,7 @@ def connected_components(
         lambda t: pa.table({"a": t.column(src), "b": t.column(dst)}),
         batch_format="pyarrow",
     ).materialize()
+    nb = bucket_count(pairs.size_bytes(), floor=N_BUCKETS)
 
     if nodes_ds is None:
         nodes_ds, node_col = pairs, None
@@ -614,7 +690,7 @@ def connected_components(
             )
         h = hash64_array([str(v) for v in arr.to_pylist()], salt=b"ccn")
         return pa.table(
-            {"node": arr, "bucket": pa.array((h % N_BUCKETS).astype("int32"), pa.int32())}
+            {"node": arr, "bucket": pa.array((h % nb).astype("int32"), pa.int32())}
         )
 
     nodes = (
@@ -694,7 +770,7 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
-def triples_diff(old_ds, new_ds):
+def triples_diff(old_ds, new_ds, num_buckets: int = 64):
     """Set difference of two (subj, pred, obj) triple tables in BOTH
     directions: rows tagged change='added' exist only in ``new_ds``,
     'removed' only in ``old_ds``. The ops tool for incremental builds —
@@ -718,7 +794,7 @@ def triples_diff(old_ds, new_ds):
             h = hash64_array(keys.to_pylist(), salt=b"tdiff")
             out = t.select(COLS)
             out = out.append_column(
-                "bucket", pa.array((h % 64).astype(np.int32), pa.int32())
+                "bucket", pa.array((h % num_buckets).astype(np.int32), pa.int32())
             )
             return out.append_column(
                 "side", pa.array([side] * t.num_rows, pa.string())

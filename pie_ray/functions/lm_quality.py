@@ -28,7 +28,7 @@ LM_COUNT_BUCKETS = 64
 OOV_ALPHA = 0.5
 
 
-def unigram_model(docs_ds, min_count: int = 5):
+def unigram_model(docs_ds, min_count: int = 5, num_buckets: int = LM_COUNT_BUCKETS):
     """(sorted word-hashes, aligned ln-probs, total_tokens, oov_logp) from
     one bucketed count exchange. Words under min_count fold into the OOV
     mass (their counts still feed total_tokens)."""
@@ -45,7 +45,7 @@ def unigram_model(docs_ds, min_count: int = 5):
                 "h": pa.array(uniq, pa.uint64()),
                 "c": pa.array(cnt.astype(np.int64), pa.int64()),
                 "bucket": pa.array(
-                    (uniq % LM_COUNT_BUCKETS).astype(np.int32), pa.int32()
+                    (uniq % num_buckets).astype(np.int32), pa.int32()
                 ),
             }
         )

@@ -705,14 +705,15 @@ def q_sessionize(sf_dir: str):
     — no per-user Python dispatch, no window shuffle per user."""
     import numpy as np
 
-    from pie_ray.util import hash64_ints
+    from pie_ray.util import bucket_count, hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    nb = bucket_count(ds.size_bytes(), floor=32)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=1) % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=1) % nb
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -777,14 +778,15 @@ def q_count_distinct(sf_dir: str):
     """B4 depth: COUNT(DISTINCT customer) per order priority — exact
     two-phase distinct: per-batch distinct pairs, bucketed shuffle on
     hash(custkey) dedups globally, tiny per-priority count partials."""
-    from pie_ray.util import hash64_ints
+    from pie_ray.util import bucket_count, hash64_ints
 
     ds = scan(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    nb = bucket_count(ds.size_bytes(), floor=64)
 
     def partial_distinct(t: pa.Table) -> pa.Table:
         gb = t.group_by(["o_orderpriority", "o_custkey"]).aggregate([])
         b = (
-            hash64_ints(gb.column("o_custkey").to_numpy(zero_copy_only=False), salt=5) % 64
+            hash64_ints(gb.column("o_custkey").to_numpy(zero_copy_only=False), salt=5) % nb
         ).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -857,14 +859,15 @@ def q_moving_avg(sf_dir: str):
     exact cents."""
     import numpy as np
 
-    from pie_ray.util import hash64_ints
+    from pie_ray.util import bucket_count, hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    nb = bucket_count(ds.size_bytes(), floor=32)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=2) % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=2) % nb
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -1069,14 +1072,15 @@ def q_cumsum_user_value(sf_dir: str):
     int64 cents so the doubles match the SQL window oracle bit-for-bit."""
     import numpy as np
 
-    from pie_ray.util import hash64_ints
+    from pie_ray.util import bucket_count, hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    nb = bucket_count(ds.size_bytes(), floor=32)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=3) % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=3) % nb
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -1130,14 +1134,15 @@ def q_window_funcs_events(sf_dir: str):
     pass (q_moving_avg / q_cumsum_user_value remain the library surface;
     this merged form is the driver entry and shares their exact-cents
     contract, so the doubles match the SQL window oracle bit-for-bit)."""
-    from pie_ray.util import hash64_ints
+    from pie_ray.util import bucket_count, hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    nb = bucket_count(ds.size_bytes(), floor=32)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
-            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=4) % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=4) % nb
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -1337,12 +1342,16 @@ def approx_count_distinct(ds, col: str, p: int = HLL_P) -> float:
     return _hll_estimate(registers)
 
 
-def grouped_approx_count_distinct(ds, key: str, col: str, p: int = 12):
+def grouped_approx_count_distinct(
+    ds, key: str, col: str, p: int = 12, num_buckets: int | None = None
+):
     """PER-GROUP HLL distinct counts behind ONE bucketed shuffle on
     hash(key): per-batch (key, idx, rho-max) partials (bounded by
     groups x 2^p per batch), per-bucket elementwise-max merge + estimate.
     Returns a Dataset (key, n_distinct_approx)."""
     from pie_ray.util import hash64_array
+
+    nbk = num_buckets or GQS_BUCKETS
 
     def partial(t: pa.Table) -> pa.Table:
         all_keys = pc.unique(t.column(key).combine_chunks())
@@ -1368,7 +1377,7 @@ def grouped_approx_count_distinct(ds, key: str, col: str, p: int = 12):
         gb = pa.concat_tables([gb.select([key, "idx", "rho"]), zeros])
         b = (
             hash64_array([str(k) for k in gb.column(key).to_pylist()], salt=b"ghll")
-            % GQS_BUCKETS
+            % nbk
         ).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -1405,7 +1414,14 @@ def grouped_approx_count_distinct(ds, key: str, col: str, p: int = 12):
 GQS_BUCKETS = 64
 
 
-def grouped_quantile_sketch(ds, key: str, col: str, qs: list[float], n_bins: int = 2048):
+def grouped_quantile_sketch(
+    ds,
+    key: str,
+    col: str,
+    qs: list[float],
+    n_bins: int = 2048,
+    num_buckets: int | None = None,
+):
     """PER-GROUP mergeable histogram quantiles — the bounded-memory scale
     path for grouped order statistics (the exact per-(group,value) histogram
     needs a bounded value domain; this holds ``n_bins`` counters per group
@@ -1421,6 +1437,7 @@ def grouped_quantile_sketch(ds, key: str, col: str, qs: list[float], n_bins: int
 
     from pie_ray.util import hash64_array
 
+    nbk = num_buckets or GQS_BUCKETS
     mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
     lo, hi = float(mm["lo"]), float(mm["hi"])
     span = hi - lo
@@ -1438,7 +1455,7 @@ def grouped_quantile_sketch(ds, key: str, col: str, qs: list[float], n_bins: int
             .group_by([key, "bin"])
             .aggregate([([], "count_all")])
         )
-        b = (hash64_array([str(k) for k in gb.column(key).to_pylist()], salt=b"gqs") % GQS_BUCKETS).astype("int32")
+        b = (hash64_array([str(k) for k in gb.column(key).to_pylist()], salt=b"gqs") % nbk).astype("int32")
         return pa.table(
             {
                 key: gb.column(key),
@@ -1495,7 +1512,15 @@ def q_grouped_quantile_sketch(sf_dir: str):
     grouped mergeable histogram sketch (rows-only oracle; accuracy vs exact
     per-group quantiles gated in tests/unit/test_functions.py)."""
     ds = scan(sf_dir, "events", columns=["event_type", "value"])
-    return grouped_quantile_sketch(ds, "event_type", "value", [0.5, 0.9])
+    from pie_ray.util import bucket_count
+
+    return grouped_quantile_sketch(
+        ds,
+        "event_type",
+        "value",
+        [0.5, 0.9],
+        num_buckets=bucket_count(ds.size_bytes(), floor=GQS_BUCKETS),
+    )
 
 
 def q_quantiles_rollup(sf_dir: str):
@@ -2024,13 +2049,14 @@ def q_window_rank_events(sf_dir: str):
     lead are pure value COPIES (no arithmetic), so floats match the SQL
     oracle bit-for-bit; window edges use a -1.0 sentinel (COALESCE'd the
     same way in the oracle — the driver hash never compares nulls)."""
-    from pie_ray.util import hash64_ints
+    from pie_ray.util import bucket_count, hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    nb = bucket_count(ds.size_bytes(), floor=32)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = (
-            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=7) % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=7) % nb
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -2091,7 +2117,9 @@ def q_window_rank_events(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
+def merge_upsert(
+    base_ds, updates_ds, key_cols: list[str], version_col: str, num_buckets: int = 64
+):
     """Latest-version-per-key merge of two same-schema datasets: the row
     with the highest ``version_col`` per ``key_cols`` survives (SCD-1 /
     MERGE semantics — updates overwrite, unseen keys insert). ONE bounded
@@ -2114,7 +2142,7 @@ def merge_upsert(base_ds, updates_ds, key_cols: list[str], version_col: str):
                 h = hash64_array(col.to_pylist(), salt=b"mu")
             acc ^= h.astype(np.uint64)
         return t.append_column(
-            "__bucket", pa.array((acc % 64).astype(np.int32), pa.int32())
+            "__bucket", pa.array((acc % num_buckets).astype(np.int32), pa.int32())
         )
 
     def merge_bucket(g: pa.Table) -> pa.Table:
@@ -2212,9 +2240,11 @@ def q_merge_upsert(sf_dir: str):
 
         return fn
 
-    base = scan(sf_dir, "orders", columns=cols).map_batches(
-        shape(0, 0), batch_format="pyarrow"
-    )
+    from pie_ray.util import bucket_count
+
+    raw = scan(sf_dir, "orders", columns=cols)
+    nb = bucket_count(raw.size_bytes(), floor=64)
+    base = raw.map_batches(shape(0, 0), batch_format="pyarrow")
     def pick_delta(t: pa.Table) -> pa.Table:
         keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
         return t.filter(pa.array(keys % 7 == 0))
@@ -2224,7 +2254,7 @@ def q_merge_upsert(sf_dir: str):
         .map_batches(pick_delta, batch_format="pyarrow")
         .map_batches(shape(1, 500), batch_format="pyarrow")
     )
-    return merge_upsert(base, upd, ["o_orderkey"], "version")
+    return merge_upsert(base, upd, ["o_orderkey"], "version", num_buckets=nb)
 
 
 # ---------------------------------------------------------------------------
@@ -2300,13 +2330,14 @@ def q_window_ntile_events(sf_dir: str):
     one-bucket-shuffle + vectorized sorted pass as q_window_rank_events;
     percent_rank is the same (rank-1)/(n-1) double division DuckDB does,
     so floats match bit-for-bit."""
-    from pie_ray.util import hash64_ints
+    from pie_ray.util import bucket_count, hash64_ints
 
     ds = scan(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    nb = bucket_count(ds.size_bytes(), floor=32)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = (
-            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=7) % 32
+            hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=7) % nb
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -2835,7 +2866,8 @@ def q_grouped_histogram(sf_dir: str):
 
 
 def funnel(ds, step_a: str, step_b: str, user_col: str = "user_id",
-           ts_col: str = "ts", type_col: str = "event_type"):
+           ts_col: str = "ts", type_col: str = "event_type",
+           num_buckets: int = 32):
     """Per-user two-step funnel: the user's FIRST ``step_a`` event, and the
     first ``step_b`` event strictly after it (epoch-us sentinel 0 when the
     user never converts). One user-bucketed exchange, vectorized sorted
@@ -2848,7 +2880,7 @@ def funnel(ds, step_a: str, step_b: str, user_col: str = "user_id",
         t = t.filter(mask)
         b = (
             hash64_ints(t.column(user_col).to_numpy(zero_copy_only=False), salt=13)
-            % 32
+            % num_buckets
         ).astype("int32")
         return pa.table(
             {
@@ -2910,8 +2942,12 @@ def funnel(ds, step_a: str, step_b: str, user_col: str = "user_id",
 
 def q_funnel_events(sf_dir: str):
     """Driver entry: click -> purchase funnel over the events table."""
+    from pie_ray.util import bucket_count
+
     ds = scan(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-    return funnel(ds, "click", "purchase")
+    return funnel(
+        ds, "click", "purchase", num_buckets=bucket_count(ds.size_bytes(), floor=32)
+    )
 
 
 def q_cohort_retention(sf_dir: str):
@@ -2922,15 +2958,16 @@ def q_cohort_retention(sf_dir: str):
     rows co-locate, so per-bucket distinct IS global distinct), per-bucket
     scatter-min + vectorized offsets, driver combine over the tiny
     (cohorts x offsets) matrix."""
-    from pie_ray.util import hash64_ints, rename_grouped
+    from pie_ray.util import bucket_count, hash64_ints, rename_grouped
 
     DAY_US = 86_400_000_000
     ds = scan(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    nb = bucket_count(ds.size_bytes(), floor=32)
 
     def prep(t: pa.Table) -> pa.Table:
         b = (
             hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=19)
-            % 32
+            % nb
         ).astype("int32")
         return pa.table(
             {

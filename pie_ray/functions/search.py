@@ -81,6 +81,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    num_buckets: int = SEARCH_BUCKETS,
 ):
     """Top-k (doc_id, score) for a free-text query, BM25 with the
     Robertson-Sparck-Jones idf ``ln(1 + (N - df + 0.5) / (df + 0.5))``
@@ -153,7 +154,7 @@ def bm25_topk(
         )
         return out.append_column(
             "bucket",
-            pa.array((ids % SEARCH_BUCKETS).astype(np.int32), pa.int32()),
+            pa.array((ids % num_buckets).astype(np.int32), pa.int32()),
         )
 
     def bucket_topk(g: pa.Table) -> pa.Table:

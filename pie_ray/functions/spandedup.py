@@ -49,7 +49,12 @@ def _doc_grams(text: str, n: int):
     return hash64_array(grams, salt=b"span"), spans
 
 
-def dup_span_hashes(docs_ds, n: int = SPAN_NGRAM, min_count: int = 2) -> np.ndarray:
+def dup_span_hashes(
+    docs_ds,
+    n: int = SPAN_NGRAM,
+    min_count: int = 2,
+    num_buckets: int = SPAN_COUNT_BUCKETS,
+) -> np.ndarray:
     """Sorted uint64 hashes of every word-n-gram with corpus-wide occurrence
     count >= min_count (occurrences, not distinct docs)."""
 
@@ -67,7 +72,7 @@ def dup_span_hashes(docs_ds, n: int = SPAN_NGRAM, min_count: int = 2) -> np.ndar
                 "h": pa.array(uniq, pa.uint64()),
                 "c": pa.array(cnt.astype(np.int64), pa.int64()),
                 "bucket": pa.array(
-                    (uniq % SPAN_COUNT_BUCKETS).astype(np.int32), pa.int32()
+                    (uniq % num_buckets).astype(np.int32), pa.int32()
                 ),
             }
         )

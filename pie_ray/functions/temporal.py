@@ -19,13 +19,16 @@ N_BUCKETS = 32
 
 
 def _bucketed_events(sf_dir: str, columns: list[str]):
+    from pie_ray.util import bucket_count
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    nb = bucket_count(ds.size_bytes(), floor=N_BUCKETS)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # vectorized int-key bucket hash (splitmix64) — no per-row Python
         b = (
             hash64_ints(t.column("user_id").to_numpy(zero_copy_only=False), salt=6)
-            % N_BUCKETS
+            % nb
         ).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 

@@ -318,9 +318,10 @@ def q_word_counts(sf_dir: str):
     """(word, n) for every whitespace-token word appearing >= WORD_COUNT_MIN
     times corpus-wide. Vocabulary is high-cardinality: counts combine
     per-batch first, shuffle on hash(word) % 64 buckets."""
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_count, hash64_array
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    nb = bucket_count(ds.size_bytes(), floor=WC_BUCKETS)
 
     def explode_partial(t: pa.Table) -> pa.Table:
         words, _ = explode_ws_lower(t)
@@ -331,7 +332,7 @@ def q_word_counts(sf_dir: str):
                 "n": pc.cast(gb.column("count_all"), pa.int64()),
             }
         )
-        b = (hash64_array(tb.column("word").to_pylist(), salt=b"wc") % WC_BUCKETS).astype(
+        b = (hash64_array(tb.column("word").to_pylist(), salt=b"wc") % nb).astype(
             "int32"
         )
         return tb.append_column("bucket", pa.array(b, pa.int32()))
@@ -493,6 +494,9 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
     from pie_ray.util import hash64_array
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from pie_ray.util import bucket_count
+
+    nb = bucket_count(docs.size_bytes(), floor=WC_BUCKETS)
     n_docs = docs.count()
     # tokenize ONCE: both the df pass and the scoring pass consume this
     # materialized terms table (re-deriving it would re-run the most
@@ -501,7 +505,7 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
 
     # pass 1: document frequencies (df = #docs containing word)
     def add_word_bucket(t: pa.Table) -> pa.Table:
-        b = (hash64_array(t.column("word").to_pylist(), salt=b"df") % WC_BUCKETS).astype(
+        b = (hash64_array(t.column("word").to_pylist(), salt=b"df") % nb).astype(
             "int32"
         )
         return t.append_column("bucket", pa.array(b, pa.int32()))
@@ -519,7 +523,7 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
     )
     def add_doc_bucket(out: pa.Table) -> pa.Table:
         b = (
-            np.asarray(out.column("doc_id").to_pylist(), dtype=np.uint64) % WC_BUCKETS
+            np.asarray(out.column("doc_id").to_pylist(), dtype=np.uint64) % nb
         ).astype("int32")
         return out.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -875,11 +879,12 @@ def q_corpus_report(sf_dir: str):
     shape as dedup_exact / count_distinct)."""
     import hashlib
 
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_count, hash64_array
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
+    nb = bucket_count(ds.size_bytes(), floor=64)
 
     def partial(t: pa.Table) -> pa.Table:
         tc = token_count_batch(t)
@@ -904,7 +909,7 @@ def q_corpus_report(sf_dir: str):
     def hashes(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
         h = [hashlib.md5((s or "").encode("utf-8", "replace")).hexdigest() for s in texts]
-        b = (hash64_array(h, salt=b"rep") % 64).astype("int32")
+        b = (hash64_array(h, salt=b"rep") % nb).astype("int32")
         return pa.table(
             {
                 "source": t.column("source"),

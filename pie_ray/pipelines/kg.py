@@ -38,6 +38,10 @@ class KgConfig:
     tau: float = 0.35
     num_graph_parts: int = 64
     force_distributed_cc: bool = False
+    # force A13's JOIN path (labels stay a Dataset; subj/obj rewritten via
+    # two hash joins). Auto-engages past linking.CANON_BROADCAST_LIMIT
+    # linked keys; the flag exists so tests can drive the path at any size.
+    force_canon_join: bool = False
     # >0 on GPU clusters: each NER actor reserves this many GPUs and the
     # decode batches run on the accelerator (the numpy scorer is the CPU
     # fallback; the stage shape — actor pool, batched decode — is identical)
@@ -81,47 +85,84 @@ def raw_triples_stage(extracted_ds, cfg: KgConfig):
     )
 
 
-def link_stage(raw_triples_ds, cfg: KgConfig) -> dict[str, str]:
-    """S4: canon map from distinct person keys."""
-    from pie_ray.stages.linking import build_canon_map, distinct_person_keys
+def link_stage(raw_triples_ds, cfg: KgConfig):
+    """S4: canon labels from distinct person keys — ``("map", dict)`` in
+    broadcast range, ``("ds", labels)`` past CANON_BROADCAST_LIMIT (or when
+    cfg.force_canon_join drives the join path for tests)."""
+    from pie_ray.stages.linking import build_canon_labels, distinct_person_keys
 
     keys = distinct_person_keys(raw_triples_ds)
-    return build_canon_map(
+    return build_canon_labels(
         keys,
         bands=cfg.bands,
         rows=cfg.band_rows,
         tau=cfg.tau,
         force_distributed=cfg.force_distributed_cc,
+        force_join_path=cfg.force_canon_join,
     )
 
 
-def canonicalize_stage(raw_triples_ds, canon_map: dict[str, str], cfg: KgConfig):
+def canonicalize_stage(
+    raw_triples_ds,
+    canon_map: dict[str, str],
+    cfg: KgConfig,
+    num_buckets: int | None = None,
+):
     """S5: rewrite through canon map (broadcast), re-dedup -> final T3.
 
     A plain-function task map (no actor pool): the vectorized rewrite has no
     per-actor state worth a pool, tasks reuse warm Ray workers (no spin-up
-    serial cost), and nothing here can starve the dedup shuffle."""
+    serial cost), and nothing here can starve the dedup shuffle.
+    ``num_buckets`` sizes the dedup exchange — build_triples derives it from
+    the materialized raw-triple bytes (floor = the sandbox constant)."""
     import ray
 
-    from pie_ray.stages.linking import canonicalize_batch
+    from pie_ray.stages.linking import canonicalize_batch, canonicalize_join
     from pie_ray.stages.triples import dedup_triples
 
-    canon_ref = ray.put(canon_map)
-    mapped = raw_triples_ds.map_batches(
-        canonicalize_batch,
-        fn_kwargs={"canon_ref": canon_ref},
-        batch_format="pyarrow",
-    )
-    return dedup_triples(mapped)
+    if isinstance(canon_map, tuple):
+        kind, payload = canon_map
+    else:  # plain dict — the original (and resume/incremental) call shape
+        kind, payload = "map", canon_map
+    if kind == "ds":
+        # A13 join path: labels past broadcast range stay a Dataset;
+        # barrier before the dedup exchange (two joins already ran)
+        mapped = canonicalize_join(raw_triples_ds, payload).materialize()
+    else:
+        canon_ref = ray.put(payload)
+        mapped = raw_triples_ds.map_batches(
+            canonicalize_batch,
+            fn_kwargs={"canon_ref": canon_ref},
+            batch_format="pyarrow",
+        )
+    if num_buckets is None:
+        return dedup_triples(mapped)
+    return dedup_triples(mapped, num_buckets=num_buckets)
 
 
 def graph_stage(triples_ds, cfg: KgConfig):
     """S6: T3 -> adjacency dataset (caller writes or consumes). Edge
     aggregation and adjacency build are fused into one src-bucketed
-    exchange (src-completeness is structural, not a block-size bet)."""
-    from pie_ray.stages.graph import aggregate_edges_to_adjacency
+    exchange (src-completeness is structural, not a block-size bet). When
+    the caller hands a MATERIALIZED triple set (run_pipeline does), the
+    exchange's bucket count derives from its size."""
+    from ray.data.dataset import MaterializedDataset
 
-    return aggregate_edges_to_adjacency(triples_ds, cfg.num_graph_parts)
+    from pie_ray.stages.graph import EDGE_BUCKETS, aggregate_edges_to_adjacency
+    from pie_ray.util import bucket_count
+
+    # size_bytes() would EXECUTE an unmaterialized plan — only consult it on
+    # a MaterializedDataset (metadata, O(1)); otherwise keep the floor
+    est = (
+        triples_ds.size_bytes()
+        if isinstance(triples_ds, MaterializedDataset)
+        else None
+    )
+    return aggregate_edges_to_adjacency(
+        triples_ds,
+        cfg.num_graph_parts,
+        num_buckets=bucket_count(est, floor=EDGE_BUCKETS),
+    )
 
 
 def build_triples(pages_ds, cfg: KgConfig | None = None):
@@ -130,7 +171,11 @@ def build_triples(pages_ds, cfg: KgConfig | None = None):
     extracted = extract_stage(pages_ds, cfg)
     raw = raw_triples_stage(extracted, cfg).materialize()
     canon = link_stage(raw, cfg)
-    return canonicalize_stage(raw, canon, cfg)
+    from pie_ray.stages.triples import DEDUP_BUCKETS
+    from pie_ray.util import bucket_count
+
+    nb = bucket_count(raw.size_bytes(), floor=DEDUP_BUCKETS)
+    return canonicalize_stage(raw, canon, cfg, num_buckets=nb)
 
 
 def run_pipeline(pages_ds, out_dir: str, cfg: KgConfig | None = None) -> dict:

@@ -124,17 +124,24 @@ def band_bucket_pairs(group: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string())})
 
 
-def candidate_pairs(keys_ds, bands: int = BANDS, rows: int = ROWS, tau: float = TAU):
+def candidate_pairs(
+    keys_ds,
+    bands: int = BANDS,
+    rows: int = ROWS,
+    tau: float = TAU,
+    num_buckets: int = LINK_BUCKETS,
+):
     """Entity_key Dataset (need not be distinct) -> verified similar pair
-    Dataset (a, b). Shuffle key = hash(band_key) % LINK_BUCKETS (low
-    cardinality; bands of one key spread across buckets uniformly)."""
+    Dataset (a, b). Shuffle key = hash(band_key) % num_buckets (low
+    cardinality; bands of one key spread across buckets uniformly; callers
+    with a metadata-sized input derive num_buckets via util.bucket_count)."""
     from pie_ray.util import hash64_array
 
     def explode_and_bucket(t: pa.Table) -> pa.Table:
         banded = band_rows_batch(t, bands, rows)
         b = (
             hash64_array(banded.column("band_key").to_pylist(), salt=b"lsh")
-            % LINK_BUCKETS
+            % num_buckets
         ).astype("int32")
         return banded.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -162,9 +169,9 @@ def cc_driver(pairs_rows: list[tuple[str, str]]) -> dict[str, str]:
 CC_BUCKETS = 64
 
 
-def _min_label_by_node(ds, src_col: str, lab_col: str):
+def _min_label_by_node(ds, src_col: str, lab_col: str, num_buckets: int = CC_BUCKETS):
     """(src_col, lab_col) rows -> (node, label=min) via the bucketed-shuffle
-    pattern: hash(node) % CC_BUCKETS shuffle, vectorized Arrow group_by min
+    pattern: hash(node) % num_buckets shuffle, vectorized Arrow group_by min
     inside each bucket (node cardinality is the graph's node count — Ray's
     per-group Python dispatch is avoided)."""
     from pie_ray.util import hash64_array, hash64_ints
@@ -181,7 +188,7 @@ def _min_label_by_node(ds, src_col: str, lab_col: str):
             h = hash64_ints(col.to_numpy(zero_copy_only=False).astype("int64"), salt=0xCC)
         else:
             h = hash64_array(col.to_pylist(), salt=b"cc")
-        b = (h % CC_BUCKETS).astype("int32")
+        b = (h % num_buckets).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 
     def min_bucket(g: pa.Table) -> pa.Table:
@@ -213,6 +220,11 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
         ),
         batch_format="pyarrow",
     ).materialize()
+    from pie_ray.util import bucket_count, join_num_partitions
+
+    # edges is materialized above -> size_bytes is metadata-cheap
+    n_parts = join_num_partitions(edges.size_bytes())
+    nb = bucket_count(edges.size_bytes(), floor=CC_BUCKETS)
 
     labels = _min_label_by_node(
         edges.map_batches(
@@ -230,16 +242,13 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
         ),
         "src",
         "lab",
+        num_buckets=nb,
     ).materialize()
 
     # carry the previous round's fingerprint instead of recomputing it —
     # each _labels_fingerprint is a full label-table pass, so fingerprinting
     # old AND new every round doubled the convergence-check cost
     old_fp = _labels_fingerprint(labels)
-    from pie_ray.util import join_num_partitions
-
-    # edges is materialized above -> size_bytes is metadata-cheap
-    n_parts = join_num_partitions(edges.size_bytes())
     for _ in range(max_rounds):
         # propagate: each edge ships src's current label to dst
         lab_edges = edges.join(
@@ -251,7 +260,7 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
             batch_format="pyarrow",
         )
         new_labels = _min_label_by_node(
-            msgs.union(labels), "node", "label"
+            msgs.union(labels), "node", "label", num_buckets=nb
         ).materialize()
         # convergence check: fingerprint of (node, label) assignments
         new_fp = _labels_fingerprint(new_labels)
@@ -354,6 +363,136 @@ def build_canon_map(
         return cc_driver([(r["a"], r["b"]) for r in rows_])
     labels = cc_distributed(pairs)
     return {r["node"]: r["label"] for r in labels.take_all()}
+
+
+# Past this many linked keys a driver dict + ray.put broadcast stops being
+# safe (~100 B/key -> 2 GB at the limit); canonicalization then switches to
+# the JOIN path (SURVEY §2 A13's else-branch): labels stay a Dataset and
+# subj/obj are rewritten via two hash joins. The limit is generous because
+# LABELS cover only keys in some component — orders of magnitude fewer than
+# corpus rows (docs/SCALE.md).
+CANON_BROADCAST_LIMIT = 20_000_000
+
+
+def build_canon_labels(
+    keys_ds,
+    bands: int = BANDS,
+    rows: int = ROWS,
+    tau: float = TAU,
+    force_distributed: bool = False,
+    force_join_path: bool = False,
+):
+    """Size-adaptive canon labels: ``("map", dict)`` under
+    CANON_BROADCAST_LIMIT linked keys (broadcastable — the common case),
+    ``("ds", labels_dataset)`` above it (or when forced, for tests). The
+    Dataset form has columns (node, label) and is already materialized."""
+    if not force_join_path:
+        canon = build_canon_map(keys_ds, bands, rows, tau, force_distributed)
+        if len(canon) <= CANON_BROADCAST_LIMIT:
+            return ("map", canon)
+        import ray.data
+
+        keys_sorted = sorted(canon)
+        return (
+            "ds",
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(keys_sorted, pa.string()),
+                        "label": pa.array([canon[k] for k in keys_sorted], pa.string()),
+                    }
+                )
+            ).materialize(),
+        )
+    pairs = candidate_pairs(keys_ds, bands, rows, tau).materialize()
+    if pairs.count() == 0:
+        import ray.data
+
+        return (
+            "ds",
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.string()),
+                        "label": pa.array([], pa.string()),
+                    }
+                )
+            ).materialize(),
+        )
+    return ("ds", cc_distributed(pairs))
+
+
+def canonicalize_join(triples_ds, labels_ds):
+    """A13 join path: rewrite subj (and co-mention obj) through a LABELS
+    DATASET via two left-outer hash joins — the escape hatch when the canon
+    map exceeds CANON_BROADCAST_LIMIT and a ray.put broadcast would not fit.
+    Produces the identical triple set as the broadcast rewrite
+    (equivalence-tested); ``.materialize()`` barriers keep the two join
+    exchanges out of one streaming plan (repo rule)."""
+    import pyarrow.compute as pc
+
+    from pie_ray.util import join_num_partitions
+
+    n_parts = join_num_partitions(labels_ds.size_bytes())
+
+    j1 = triples_ds.join(
+        labels_ds,
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("subj",),
+        right_on=("node",),
+    )
+
+    def apply_subj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pc.coalesce(
+                    t.column("label").combine_chunks(),
+                    t.column("subj").combine_chunks(),
+                ),
+                "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "score": t.column("score"),
+            }
+        )
+
+    half = j1.map_batches(apply_subj, batch_format="pyarrow").materialize()
+
+    j2 = half.join(
+        labels_ds,
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("obj",),
+        right_on=("node",),
+    )
+
+    def apply_obj(t: pa.Table) -> pa.Table:
+        subj = t.column("subj").combine_chunks()
+        obj_raw = t.column("obj").combine_chunks()
+        is_co = pc.equal(t.column("pred"), pa.scalar("co_mentioned_with"))
+        mapped = pc.coalesce(t.column("label").combine_chunks(), obj_raw)
+        # only co-mention objects are entity keys — other predicates keep
+        # their object verbatim even if it happens to collide with a key
+        obj = pc.if_else(is_co, mapped, obj_raw)
+        lt = pc.less(subj, obj)
+        new_subj = pc.if_else(pc.and_(is_co, pc.invert(lt)), obj, subj)
+        new_obj = pc.if_else(pc.and_(is_co, pc.invert(lt)), subj, obj)
+        keep = pc.or_(pc.invert(is_co), pc.not_equal(subj, obj))
+        out = pa.table(
+            {
+                "subj": new_subj,
+                "pred": t.column("pred"),
+                "obj": new_obj,
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "score": t.column("score"),
+            }
+        )
+        return out.filter(keep)
+
+    return j2.map_batches(apply_obj, batch_format="pyarrow")
 
 
 # ---- A13: canonicalize --------------------------------------------------

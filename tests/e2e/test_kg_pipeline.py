@@ -40,6 +40,15 @@ def test_distributed_cc_equivalent(ray_session, produced):
     assert _triple_set(df) == produced
 
 
+def test_canon_join_path_equivalent(ray_session, produced):
+    """A13's else-branch: labels kept as a Dataset and subj/obj rewritten
+    via two hash joins (the past-broadcast-range path) must produce the
+    IDENTICAL triple set as the ray.put broadcast rewrite."""
+    cfg = KgConfig(force_canon_join=True)
+    df = build_triples(synth_pages(N, override_num_blocks=8), cfg).to_pandas()
+    assert _triple_set(df) == produced
+
+
 def test_graph_sink(ray_session, tmp_path):
     import ray.data
 

@@ -134,6 +134,32 @@ def test_driver_vs_distributed_equivalence(ray_session):
     assert drv == dist and len(drv) > 0
 
 
+def test_triangles_rank_join_path_equivalence(ray_session):
+    """The past-broadcast-range rank attach (degree Dataset + two hash
+    joins, enumeration-free rank = deg * 2^32 + node) must count the same
+    triangles as the broadcast orientation."""
+    from pie_ray.util import gather_table
+
+    edges = G.cooccurrence_edges(SF).materialize()
+    drv = table_to_dict(
+        G.triangles_per_node_driver(
+            gather_table(edges, schema=G.EDGE_SCHEMA)
+            .column("e")
+            .to_numpy(zero_copy_only=False)
+        ),
+        "s_suppkey",
+        "n_triangles",
+    )
+    joined = table_to_dict(
+        pa.Table.from_pylist(
+            G.triangles_per_node_distributed(edges, rank_attach="join").take_all()
+        ),
+        "s_suppkey",
+        "n_triangles",
+    )
+    assert joined == drv and len(drv) > 0
+
+
 def test_kcore_driver_vs_distributed_equivalence(ray_session):
     from pie_ray.util import gather_table
 
