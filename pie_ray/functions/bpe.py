@@ -113,7 +113,7 @@ def corpus_word_freqs(
     ``max_words`` keeps the top-N by (count desc, word asc). Returns the
     table plus a report of what the bounds dropped."""
     from pie_ray.functions.textops import explode_ws_lower
-    from pie_ray.util import hash64_array, rename_grouped
+    from pie_ray.util import bucket_hash_strings, rename_grouped
 
     def partial(t: pa.Table) -> pa.Table:
         if col != "text":
@@ -135,7 +135,7 @@ def corpus_word_freqs(
             ["word", "n"],
         )
         buckets = (
-            hash64_array(g.column("word").to_pylist(), salt=b"bpe") % num_buckets
+            bucket_hash_strings(g.column("word"), salt=0xB9E) % num_buckets
         ).astype("int32")
         return pa.table(
             {

@@ -55,7 +55,7 @@ def q_dedup_exact(sf_dir: str):
     bucketed shuffle on hash(md5) % 64, vectorized Arrow combine per bucket
     — never a Ray groupby keyed on the hash itself (per-group Python
     dispatch at corpus cardinality)."""
-    from pie_ray.util import bucket_count, hash64_array
+    from pie_ray.util import bucket_count, bucket_hash_strings
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     nb = bucket_count(ds.size_bytes(), floor=64)
@@ -71,7 +71,7 @@ def q_dedup_exact(sf_dir: str):
         from pie_ray.util import rename_grouped
 
         gb = rename_grouped(gb, ["text_md5"], ["text_md5", "keep_doc_id", "n_copies"])
-        b = (hash64_array(gb.column("text_md5").to_pylist(), salt=b"dx") % nb).astype("int32")
+        b = (bucket_hash_strings(gb.column("text_md5"), salt=0xD0) % nb).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 
     def combine(g: pa.Table) -> pa.Table:
@@ -178,14 +178,11 @@ def _banded_candidates_raw(docs, num_buckets: int = DEDUP_LSH_BUCKETS):
     several bands may repeat across buckets (callers dedup)."""
 
     def band_and_bucket(t: pa.Table) -> pa.Table:
+        from pie_ray.util import bucket_hash_strings
+
         banded = doc_band_batch(t)
         b = (
-            np.fromiter(
-                (stable_hash64(k) for k in banded.column("band_key").to_pylist()),
-                dtype=np.uint64,
-                count=banded.num_rows,
-            )
-            % num_buckets
+            bucket_hash_strings(banded.column("band_key"), salt=0xBAD) % num_buckets
         ).astype("int32")
         return banded.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -458,12 +455,12 @@ def q_corpus_curation(sf_dir: str):
 
     curated = docs.map_batches(curate, batch_format="pyarrow")
     # exact dedup: keep the min doc_id per content hash (bucketed shuffle)
-    from pie_ray.util import bucket_count, hash64_array
+    from pie_ray.util import bucket_count, bucket_hash_strings
 
     nb = bucket_count(docs.size_bytes(), floor=64)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = (hash64_array(t.column("text_md5").to_pylist(), salt=b"cur") % nb).astype("int32")
+        b = (bucket_hash_strings(t.column("text_md5"), salt=0xC1) % nb).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     def keep_min(g: pa.Table) -> pa.Table:

@@ -668,7 +668,7 @@ def connected_components(
 
     from pie_ray.stages.linking import CC_DRIVER_THRESHOLD, cc_distributed
     from pie_ray.state.dsu import DSU
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_hash_strings
 
     pairs = edges_ds.map_batches(
         lambda t: pa.table({"a": t.column(src), "b": t.column(dst)}),
@@ -688,7 +688,12 @@ def connected_components(
                     [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
                 )
             )
-        h = hash64_array([str(v) for v in arr.to_pylist()], salt=b"ccn")
+        # vectorized bucket hash: ints via splitmix64, strings via the
+        # batched FNV (no per-element Python loop in either branch)
+        if pa.types.is_integer(arr.type):
+            h = hash64_ints(arr.to_numpy(zero_copy_only=False).astype("int64"), salt=0xCC7)
+        else:
+            h = bucket_hash_strings(arr, salt=0xCC7)
         return pa.table(
             {"node": arr, "bucket": pa.array((h % nb).astype("int32"), pa.int32())}
         )
@@ -782,7 +787,7 @@ def triples_diff(old_ds, new_ds, num_buckets: int = 64):
     are not diffs (triple tables are canonically deduped anyway)."""
     import ray
 
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_hash_strings
 
     COLS = ["subj", "pred", "obj"]
 
@@ -791,7 +796,7 @@ def triples_diff(old_ds, new_ds, num_buckets: int = 64):
             keys = pc.binary_join_element_wise(
                 *[t.column(c) for c in COLS], "\x1f"
             )
-            h = hash64_array(keys.to_pylist(), salt=b"tdiff")
+            h = bucket_hash_strings(keys, salt=0x7D1F)
             out = t.select(COLS)
             out = out.append_column(
                 "bucket", pa.array((h % num_buckets).astype(np.int32), pa.int32())

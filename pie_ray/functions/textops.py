@@ -318,7 +318,7 @@ def q_word_counts(sf_dir: str):
     """(word, n) for every whitespace-token word appearing >= WORD_COUNT_MIN
     times corpus-wide. Vocabulary is high-cardinality: counts combine
     per-batch first, shuffle on hash(word) % 64 buckets."""
-    from pie_ray.util import bucket_count, hash64_array
+    from pie_ray.util import bucket_count, bucket_hash_strings, hash64_array
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     nb = bucket_count(ds.size_bytes(), floor=WC_BUCKETS)
@@ -332,9 +332,7 @@ def q_word_counts(sf_dir: str):
                 "n": pc.cast(gb.column("count_all"), pa.int64()),
             }
         )
-        b = (hash64_array(tb.column("word").to_pylist(), salt=b"wc") % nb).astype(
-            "int32"
-        )
+        b = (bucket_hash_strings(tb.column("word"), salt=0x77C) % nb).astype("int32")
         return tb.append_column("bucket", pa.array(b, pa.int32()))
 
     def sum_bucket(g: pa.Table) -> pa.Table:
@@ -491,7 +489,7 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
 
     import ray as _ray
 
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_hash_strings, hash64_array
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from pie_ray.util import bucket_count
@@ -505,9 +503,7 @@ def q_tfidf_top_terms(sf_dir: str, force_join: bool = False):
 
     # pass 1: document frequencies (df = #docs containing word)
     def add_word_bucket(t: pa.Table) -> pa.Table:
-        b = (hash64_array(t.column("word").to_pylist(), salt=b"df") % nb).astype(
-            "int32"
-        )
+        b = (bucket_hash_strings(t.column("word"), salt=0xD5) % nb).astype("int32")
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     def df_bucket(g: pa.Table) -> pa.Table:
@@ -879,7 +875,7 @@ def q_corpus_report(sf_dir: str):
     shape as dedup_exact / count_distinct)."""
     import hashlib
 
-    from pie_ray.util import bucket_count, hash64_array
+    from pie_ray.util import bucket_count, bucket_hash_strings, hash64_array
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
@@ -909,7 +905,7 @@ def q_corpus_report(sf_dir: str):
     def hashes(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
         h = [hashlib.md5((s or "").encode("utf-8", "replace")).hexdigest() for s in texts]
-        b = (hash64_array(h, salt=b"rep") % nb).astype("int32")
+        b = (bucket_hash_strings(h, salt=0x4E9) % nb).astype("int32")
         return pa.table(
             {
                 "source": t.column("source"),

@@ -135,13 +135,12 @@ def candidate_pairs(
     Dataset (a, b). Shuffle key = hash(band_key) % num_buckets (low
     cardinality; bands of one key spread across buckets uniformly; callers
     with a metadata-sized input derive num_buckets via util.bucket_count)."""
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_hash_strings
 
     def explode_and_bucket(t: pa.Table) -> pa.Table:
         banded = band_rows_batch(t, bands, rows)
         b = (
-            hash64_array(banded.column("band_key").to_pylist(), salt=b"lsh")
-            % num_buckets
+            bucket_hash_strings(banded.column("band_key"), salt=0x15B) % num_buckets
         ).astype("int32")
         return banded.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -174,7 +173,7 @@ def _min_label_by_node(ds, src_col: str, lab_col: str, num_buckets: int = CC_BUC
     pattern: hash(node) % num_buckets shuffle, vectorized Arrow group_by min
     inside each bucket (node cardinality is the graph's node count — Ray's
     per-group Python dispatch is avoided)."""
-    from pie_ray.util import hash64_array, hash64_ints
+    from pie_ray.util import bucket_hash_strings, hash64_ints
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # per-batch combine first: shrink shuffle rows to distinct nodes/batch
@@ -187,7 +186,7 @@ def _min_label_by_node(ds, src_col: str, lab_col: str, num_buckets: int = CC_BUC
         if pa.types.is_integer(col.type):
             h = hash64_ints(col.to_numpy(zero_copy_only=False).astype("int64"), salt=0xCC)
         else:
-            h = hash64_array(col.to_pylist(), salt=b"cc")
+            h = bucket_hash_strings(col, salt=0xCC)
         b = (h % num_buckets).astype("int32")
         return gb.append_column("bucket", pa.array(b, pa.int32()))
 

@@ -52,6 +52,63 @@ def hash64_array(strs, salt: bytes = b"") -> np.ndarray:
     return out
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+# bucket hashing folds at most this many leading bytes per string (plus the
+# length) — longer strings share a bucket with their 48-byte-prefix+length
+# twins, which only co-locates a few extra rows, never changes results
+BUCKET_HASH_PREFIX = 48
+
+
+def bucket_hash_strings(col, salt: int = 0) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a of an Arrow string/binary array (or a list
+    of Python strings) -> uint64, for BUCKET ASSIGNMENT ONLY.
+
+    ``hash64_array`` (blake2b) is a per-element Python loop — fine where
+    hash values feed results, dominant cost where they only spread a
+    shuffle. This walks the raw offsets/data buffers with a byte-POSITION
+    loop (iterations = min(max length, BUCKET_HASH_PREFIX), each a numpy op
+    over all rows), folds the true length, and finishes with a splitmix
+    avalanche. Deterministic across processes/partitioning (pure function
+    of bytes+salt); nulls hash to 0 like hash64_array."""
+    import pyarrow as pa
+
+    if isinstance(col, (list, tuple)):
+        col = pa.array(col, pa.string())
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    # slice-safe buffer views: honor arr.offset
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+
+    h = np.full(n, _FNV_OFFSET ^ np.uint64((0x9E3779B97F4A7C15 * (salt + 1)) & 0xFFFFFFFFFFFFFFFF))
+    maxlen = int(lengths.max()) if n else 0
+    for j in range(min(maxlen, BUCKET_HASH_PREFIX)):
+        mask = lengths > j
+        hj = h[mask]
+        hj = (hj ^ data[starts[mask] + j].astype(_U64)) * _FNV_PRIME
+        h[mask] = hj
+    h = (h ^ lengths.astype(_U64)) * _FNV_PRIME
+    # splitmix finish so low bits are well-mixed for % num_buckets
+    h = h ^ (h >> np.uint64(30))
+    h = h * np.uint64(0xBF58476D1CE4E5B9)
+    h = h ^ (h >> np.uint64(27))
+    h = h * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    if arr.null_count:
+        h[~arr.is_valid().to_numpy(zero_copy_only=False)] = 0
+    return h
+
+
 def hash64_ints(arr: np.ndarray, salt: int = 0) -> np.ndarray:
     """Vectorized splitmix64 of an integer array -> uint64 (C-speed bucket
     assignment for integer keys; the string paths keep blake2b). Purely a

@@ -1,0 +1,70 @@
+"""util.bucket_hash_strings — the vectorized FNV-1a bucket-assignment hash
+(round 4): determinism, slice/chunk safety, null handling, spread, and the
+no-per-element-Python contract's correctness side (bucket choice must never
+change operator results — covered by the partitioning-independence tests;
+here we pin the hash function itself)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pie_ray.util import bucket_hash_strings
+
+
+WORDS = ["the", "quick", "brown", "fox", "", "a", "the", "Ünïcödé-ish", "x" * 200]
+
+
+def test_deterministic_and_salted():
+    a1 = bucket_hash_strings(pa.array(WORDS), salt=1)
+    a2 = bucket_hash_strings(pa.array(WORDS), salt=1)
+    b = bucket_hash_strings(pa.array(WORDS), salt=2)
+    assert np.array_equal(a1, a2)
+    assert not np.array_equal(a1, b)
+    # equal strings hash equal, regardless of position
+    assert a1[0] == a1[6]
+
+
+def test_accepts_python_list_and_chunked():
+    base = bucket_hash_strings(pa.array(WORDS))
+    as_list = bucket_hash_strings(list(WORDS))
+    chunked = bucket_hash_strings(
+        pa.chunked_array([pa.array(WORDS[:4]), pa.array(WORDS[4:])])
+    )
+    assert np.array_equal(base, as_list)
+    assert np.array_equal(base, chunked)
+
+
+def test_sliced_array_matches_full():
+    arr = pa.array(WORDS)
+    full = bucket_hash_strings(arr)
+    sl = bucket_hash_strings(arr.slice(3, 4))
+    assert np.array_equal(full[3:7], sl)
+
+
+def test_nulls_hash_to_zero_like_hash64_array():
+    arr = pa.array(["a", None, "b"])
+    h = bucket_hash_strings(arr)
+    assert h[1] == 0 and h[0] != 0 and h[2] != 0
+
+
+def test_prefix_cap_still_distinguishes_lengths():
+    # strings sharing a 48-byte prefix but different lengths must differ
+    # (the length is folded in after the prefix loop)
+    a = "p" * 100
+    b = "p" * 101
+    h = bucket_hash_strings(pa.array([a, b]))
+    assert h[0] != h[1]
+
+
+def test_bucket_spread_is_reasonable():
+    rng = np.random.default_rng(3)
+    strs = [f"word_{i}_{rng.integers(0, 10**9)}" for i in range(20_000)]
+    h = bucket_hash_strings(pa.array(strs), salt=7)
+    counts = np.bincount((h % 64).astype(np.int64), minlength=64)
+    # uniform would be 312.5/bucket; require no bucket 2x over / under
+    assert counts.max() < 625 and counts.min() > 156
+
+
+def test_empty_array():
+    assert len(bucket_hash_strings(pa.array([], pa.string()))) == 0
