@@ -210,21 +210,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_agg": relational.q_global_agg,
         "pricing_summary": relational.q_pricing_summary,
         "join_customer_orders": relational.q_join_customer_orders,
-        "broadcast_join_nation_region": relational.q_broadcast_join_nation_region,
         "semi_anti_join": relational.q_semi_anti_join,
         "order_lineitem_join": relational.q_order_lineitem_join,
-        "outer_join": relational.q_outer_join,
+        "full_outer_join": relational.q_full_outer_join,
+        "regional_revenue": relational.q_regional_revenue,
         "topk_orders": relational.q_topk_orders,
         "topk_per_group": relational.q_topk_per_group,
         "distinct_flags": relational.q_distinct,
         "setops_nations": relational.q_setops_nations,
         "window_events": relational.q_window_events,
-        "window_tumbling": relational.q_window_tumbling,
         "sessionize_events": relational.q_sessionize,
         "string_agg_nations": relational.q_string_agg,
         "pivot_revenue": relational.q_pivot_revenue,
         "count_distinct_cust": relational.q_count_distinct,
-        "rollup_revenue": relational.q_rollup_revenue,
+        "cube_revenue": relational.q_cube_revenue,
+        "global_sort": relational.q_global_sort,
         "window_funcs_events": relational.q_window_funcs_events,
         "temporal_join_events": temporal.q_temporal_join_events,
         "above_avg_balance": relational.q_above_avg_balance,
@@ -234,13 +234,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted": relational.q_sample_weighted,
         # --- entries 51+ sit BEYOND the ~50-row driver recording cap ---
         # (kept last on purpose: unrecorded today, verified for free if
-        # the cap lifts; both are pytest-gated either way)
+        # the cap lifts; all are conformance-/pytest-gated either way.
+        # Round 4 rotated full_outer_join/regional_revenue/cube_revenue/
+        # global_sort INTO the recorded 50, displacing their strictly-
+        # less-general twins to here: outer_join ⊂ full_outer_join,
+        # rollup ⊂ cube, broadcast nation⋈region ⊂ regional_revenue's
+        # join chain, tumbling windows stay covered by window_events +
+        # conformance.)
+        "outer_join": relational.q_outer_join,
+        "broadcast_join_nation_region": relational.q_broadcast_join_nation_region,
+        "rollup_revenue": relational.q_rollup_revenue,
+        "window_tumbling": relational.q_window_tumbling,
         "validate_rows": q_validate,
         "dedup_spans": q_dedup_spans,
-        "full_outer_join": relational.q_full_outer_join,
         "stratified_sample": relational.q_stratified_sample,
         "lm_perplexity": q_lm_perplexity,
-        "cube_revenue": relational.q_cube_revenue,
         "window_rank_events": relational.q_window_rank_events,
         "curate_corpus_v2": q_curate_corpus,
         "merge_upsert": relational.q_merge_upsert,
@@ -248,9 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ntile_events": relational.q_window_ntile_events,
         "explode_embedding": relational.q_explode_embedding,
         "cross_join": relational.q_cross_join,
-        "global_sort": relational.q_global_sort,
         "histogram_quantity": relational.q_histogram_quantity,
-        "regional_revenue": relational.q_regional_revenue,
         # rows-only library surfaces (beyond the ~50-row recording cap;
         # each is gated by its own pytest parity/accuracy tests)
         "semdedup": _lazy("pie_ray.functions.semdedup", "q_semdedup"),

@@ -313,10 +313,13 @@ def _verified_pairs(
     # and running groupby + two joins concurrently deadlocks a small CPU
     # budget. The materialized sets are candidate-pair-sized (tiny vs
     # corpus); the big shingle table itself is never materialized.
-    from pie_ray.util import bucket_count, join_num_partitions
+    from pie_ray.util import bucket_count, drop_empty_blocks, join_num_partitions
 
-    cand = _distinct_pairs(
-        cand, num_buckets=bucket_count(cand.size_bytes(), floor=64)
+    cand = drop_empty_blocks(
+        _distinct_pairs(
+            cand, num_buckets=bucket_count(cand.size_bytes(), floor=64)
+        ).materialize(),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
     ).materialize()
     sh = _shingle_table(docs)
     # cand is materialized -> size_bytes is metadata-cheap; the CPU floor in

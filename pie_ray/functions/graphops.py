@@ -125,11 +125,17 @@ def cooccurrence_edges(
         e = np.unique(g.column("e").to_numpy(zero_copy_only=False))
         return pa.table({"e": pa.array(e, pa.int64())})
 
-    return (
+    out = (
         pairs.map_batches(edge_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(edge_unique, batch_format="pyarrow")
     )
+    # normalize at the SOURCE: the groupby emits zero-row empty-schema
+    # blocks under some layouts; every consumer (driver gather, joins in
+    # the distributed triangle/k-core paths) must never see them
+    from pie_ray.util import drop_empty_blocks
+
+    return drop_empty_blocks(out.materialize(), schema=EDGE_SCHEMA)
 
 
 def _oriented_csr(edges_packed: np.ndarray):
@@ -269,12 +275,15 @@ def triangles_per_node_distributed(
         gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("deg", "sum")])
         return rename_grouped(gb, ["node"], ["node", "deg"])
 
-    deg_ds = (
+    from pie_ray.util import drop_empty_blocks
+
+    deg_ds = drop_empty_blocks(
         ab.map_batches(node_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(node_combine, batch_format="pyarrow")
-        .materialize()
-    )
+        .materialize(),
+        schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    ).materialize()
     n_nodes = deg_ds.count()
     use_join = rank_attach == "join" or (
         rank_attach == "auto" and n_nodes > NODE_BROADCAST_LIMIT
@@ -543,12 +552,16 @@ def core_numbers_distributed(edges: "ray.data.Dataset", max_rounds: int = 200):
         gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("est", "sum")])
         return rename_grouped(gb, ["node"], ["node", "est"])
 
-    est = (
+    from pie_ray.util import drop_empty_blocks
+
+    _EST_SCHEMA = pa.schema([("node", pa.int64()), ("est", pa.int64())])
+    est = drop_empty_blocks(
         directed.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(deg_combine, batch_format="pyarrow")
-        .materialize()
-    )
+        .materialize(),
+        schema=_EST_SCHEMA,
+    ).materialize()
 
     def hindex_partial(t: pa.Table) -> pa.Table:
         # bucket by src so each node's neighbour-estimate multiset co-locates
@@ -587,12 +600,13 @@ def core_numbers_distributed(edges: "ray.data.Dataset", max_rounds: int = 200):
             on=("dst",),
             right_on=("node",),
         ).materialize()
-        h_tbl = (
+        h_tbl = drop_empty_blocks(
             nbr.map_batches(hindex_partial, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(hindex_bucket, batch_format="pyarrow")
-            .materialize()
-        )
+            .materialize(),
+            schema=pa.schema([("node", pa.int64()), ("h", pa.int64())]),
+        ).materialize()
         new_est = (
             est.join(
                 h_tbl,
@@ -614,7 +628,9 @@ def core_numbers_distributed(edges: "ray.data.Dataset", max_rounds: int = 200):
             .materialize()
         )
         changed = new_est.filter(expr="est < old_est").count()
-        est = new_est.drop_columns(["old_est"]).materialize()
+        est = drop_empty_blocks(
+            new_est.drop_columns(["old_est"]).materialize(), schema=_EST_SCHEMA
+        ).materialize()
         if changed == 0:
             break
 
@@ -750,8 +766,11 @@ def connected_components(
 
     labels = cc_distributed(pairs)
     # barrier: the nodes exchange is node-list-sized (small) — never let
-    # it share a streaming plan with the label join's exchange
-    nodes = nodes.materialize()
+    # it share a streaming plan with the label join's exchange; strip the
+    # groupby's empty-schema blocks before the join (join crashes on them)
+    from pie_ray.util import drop_empty_blocks
+
+    nodes = drop_empty_blocks(nodes.materialize()).materialize()
     joined = nodes.join(
         labels,
         join_type="left_outer",

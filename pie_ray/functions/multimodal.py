@@ -37,16 +37,52 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 64
 
 
+def _probe_pil():
+    """Optional-dependency probe, once per process: the PIL image module
+    when importable, else None. The sandbox image has no codec libraries,
+    so this returns None here — on a provisioned cluster image the real
+    branch self-activates with no code change."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
+def _probe_soundfile():
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except Exception:
+        return None
+
+
 class DecodeBackend:
-    """Pluggable decode seam. 'fake' = deterministic pseudo-decode keyed on
-    payload bytes; 'real' = wire in an actual codec library here."""
+    """Pluggable decode seam, probed ONCE at init (actor ``__init__`` —
+    never per batch):
+
+    - 'fake' (default): deterministic pseudo-decode keyed on payload bytes
+      — keeps tests/benches reproducible even where codecs exist.
+    - 'real': decode with PIL / soundfile when importable; raises
+      NotImplementedError otherwise (this sandbox has neither).
+    - 'auto': 'real' per modality when its library is present, else 'fake'
+      — the self-upgrading mode for cluster images."""
 
     def __init__(self, mode: str = "fake"):
-        if mode not in ("fake", "real"):
+        if mode not in ("fake", "real", "auto"):
             raise ValueError(mode)
         self.mode = mode
+        self._pil = _probe_pil() if mode in ("real", "auto") else None
+        self._sf = _probe_soundfile() if mode in ("real", "auto") else None
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self._pil is not None:
+            import io
+
+            with self._pil.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
         if self.mode == "real":
             raise NotImplementedError(
                 "real image decode requires PIL/opencv on the cluster image"
@@ -58,6 +94,11 @@ class DecodeBackend:
         return rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
 
     def decode_audio(self, payload: bytes, duration_ms: int) -> np.ndarray:
+        if self._sf is not None:
+            import io
+
+            data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+            return data if data.ndim == 1 else data.mean(axis=1).astype(np.float32)
         if self.mode == "real":
             raise NotImplementedError("real audio decode requires soundfile/pyav")
         h = stable_hash64(payload or b"\x00")

@@ -3102,15 +3102,18 @@ def _eq_clean(t: pa.Table, col: str) -> np.ndarray:
 
 def _eq_member(v: np.ndarray, sels) -> np.ndarray:
     """Exact round membership: the CONJUNCTION of every prior round's bin
-    test, applied in the IDENTICAL clip+range form the counting pass used
-    (a plain floor test would disagree at the edge bins — the column max
+    test, applied in the IDENTICAL clip form the counting pass used (a
+    plain floor test would disagree at the edge bins — the column max
     always raw-floors to EQ_BINS and only clip folds it into the last
-    bin). Bin tests with different (lo, w) are not nested under float
-    rounding, so re-applying the whole chain (depth <= ~5) keeps each
-    round's population exactly the prior round's selected bin."""
+    bin). The chain is PURE clip tests: no derived-range (v >= lo)&(v <= hi)
+    refinement anywhere, because the derived child bounds lo + j*w are not
+    exactly nested in the parent bin under float rounding — a value within
+    ~1 ulp of a bin boundary could be counted in bin j yet dropped by the
+    range test next round, shifting the selected rank (ADVICE r3). With
+    clip-only tests the round population is exactly the set the previous
+    round counted."""
     keep = np.ones(len(v), bool)
-    for lo, w, j, hi in sels:
-        keep &= (v >= lo) & (v <= hi)
+    for lo, w, j, _hi in sels:
         keep &= np.clip(np.floor((v - lo) / w), 0, EQ_BINS - 1) == j
     return v[keep]
 
@@ -3142,9 +3145,11 @@ def exact_quantile_disc(ds, col: str, q: float,
         if not (lo + width > lo):  # range at float resolution
             return _eq_select_terminal(ds, col, sels, lo, hi, k)
 
-        def bin_counts(t: pa.Table, lo=lo, hi=hi, width=width, sels=tuple(sels)) -> pa.Table:
+        def bin_counts(t: pa.Table, lo=lo, width=width, sels=tuple(sels)) -> pa.Table:
+            # population = the selector chain ALONE (clip handles binning;
+            # a derived-range refilter here would disagree with the chain
+            # at bin-boundary ulps — see _eq_member)
             v = _eq_member(_eq_clean(t, col), sels)
-            v = v[(v >= lo) & (v <= hi)]
             b = np.clip(np.floor((v - lo) / width), 0, EQ_BINS - 1).astype(np.int64)
             cnt = np.bincount(b, minlength=EQ_BINS)
             nz = np.flatnonzero(cnt)
@@ -3159,10 +3164,12 @@ def exact_quantile_disc(ds, col: str, q: float,
         for r in ds.map_batches(bin_counts, batch_format="pyarrow").take_all():
             counts[r["b"]] += r["c"]
         cum = np.cumsum(counts)
-        j = int(np.searchsorted(cum, k))
+        # clamp: k <= cum[-1] holds by construction (population == counted
+        # set), the min() is a guard against ever indexing counts[EQ_BINS]
+        j = min(int(np.searchsorted(cum, k)), EQ_BINS - 1)
         before = int(cum[j - 1]) if j > 0 else 0
-        # NOTE: the round's bin test uses the clip+range form above; the
-        # recorded selector must match it exactly for edge bins
+        # NOTE: the round's bin test is the clip form above; the recorded
+        # selector must match it exactly for edge bins
         if counts[j] <= EQ_PULL_LIMIT:
             sels_final = sels + [(lo, width, j, hi)]
             return _eq_select_pull(ds, col, sels_final, k - before)
@@ -3226,8 +3233,11 @@ def _eq_select_terminal(ds, col: str, sels, lo: float, hi: float, k: int) -> flo
     an ACTUAL data value."""
 
     def dcounts(t: pa.Table, sels=tuple(sels)) -> pa.Table:
+        # chain-only population (the interval bound holds structurally:
+        # with an empty chain lo/hi are the GLOBAL min/max of a
+        # sub-resolution range, with a chain the members sit in the last
+        # selected bin — either way distinct values stay ~EQ_BINS-bounded)
         v = _eq_member(_eq_clean(t, col), sels)
-        v = v[(v >= lo) & (v <= hi)]
         u, c = np.unique(v, return_counts=True)
         return pa.table(
             {"v": pa.array(u, pa.float64()), "c": pa.array(c.astype(np.int64))}
@@ -3238,7 +3248,7 @@ def _eq_select_terminal(ds, col: str, sels, lo: float, hi: float, k: int) -> flo
         acc[r["v"]] = acc.get(r["v"], 0) + r["c"]
     us = np.array(sorted(acc))
     cs = np.array([acc[u] for u in us], np.int64)
-    return float(us[int(np.searchsorted(np.cumsum(cs), k))])
+    return float(us[min(int(np.searchsorted(np.cumsum(cs), k)), len(us) - 1)])
 
 
 def q_exact_median(sf_dir: str):
@@ -3346,15 +3356,14 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
                     continue
                 vi = v[m]
                 ki = np.ones(len(vi), bool)
-                for lo_s, w_s, j_s, hi_s in sels_[i]:
-                    ki &= (vi >= lo_s) & (vi <= hi_s)
+                # pure clip chain — see _eq_member (the derived-range test
+                # is not ulp-nested in the parent bin)
+                for lo_s, w_s, j_s, _hi_s in sels_[i]:
                     ki &= np.clip(
                         np.floor((vi - lo_s) / w_s), 0, EQ_BINS - 1
                     ) == j_s
                 keep[np.flatnonzero(m)[~ki]] = False
             gi, v = gi[keep], v[keep]
-            inr = (v >= los_[gi]) & (v <= his_[gi])
-            gi, v = gi[inr], v[inr]
             b = np.clip(
                 np.floor((v - los_[gi]) / widths_[gi]), 0, EQ_BINS - 1
             ).astype(np.int64)
@@ -3375,7 +3384,7 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
         for i, g in enumerate(live):
             st = state[g]
             cum = np.cumsum(counts[i])
-            j = int(np.searchsorted(cum, st["k"]))
+            j = min(int(np.searchsorted(cum, st["k"])), EQ_BINS - 1)
             before = int(cum[j - 1]) if j > 0 else 0
             width = (st["hi"] - st["lo"]) / EQ_BINS
             st["sels"] = st["sels"] + [(st["lo"], width, j, st["hi"])]
@@ -3412,9 +3421,10 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
             if not m.any():
                 continue
             vi = v[m]
-            ki = (vi >= los_[i]) & (vi <= his_[i])
-            for lo_s, w_s, j_s, hi_s in sels_[i]:
-                ki &= (vi >= lo_s) & (vi <= hi_s)
+            # chain-only population (see _eq_select_terminal: the distinct
+            # set stays bounded structurally without a range refilter)
+            ki = np.ones(len(vi), bool)
+            for lo_s, w_s, j_s, _hi_s in sels_[i]:
                 ki &= np.clip(
                     np.floor((vi - lo_s) / w_s), 0, EQ_BINS - 1
                 ) == j_s
@@ -3443,7 +3453,9 @@ def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:
     for i, g in enumerate(groups):
         pairs = sorted((v, c) for (gi, v), c in acc.items() if gi == i)
         cs = np.cumsum([c for _, c in pairs])
-        out_vals.append(pairs[int(np.searchsorted(cs, state[g]["k"]))][0])
+        out_vals.append(
+            pairs[min(int(np.searchsorted(cs, state[g]["k"])), len(pairs) - 1)][0]
+        )
     return pa.table(
         {key: pa.array(groups, ktype), "value": pa.array(out_vals, pa.float64())}
     )

@@ -189,6 +189,31 @@ def insert_sorted(path: str, delta_ds) -> dict:
     b = np.asarray(meta["boundaries"])
     key_col, tie_col = meta["key_col"], meta["tie_col"]
 
+    # validate the delta against the STORED layout up front: a delta with
+    # missing or extra columns would otherwise be silently null-filled /
+    # schema-widened by the merge concat (ADVICE r3) — corrupting the
+    # layout instead of erroring. The first parquet footer is the layout's
+    # schema of record (all ranges share it by construction).
+    import pyarrow.parquet as _pq
+
+    layout_files = sorted(_glob.glob(os.path.join(path, "range=*", "*.parquet")))
+    if layout_files:
+        layout_schema = _pq.read_schema(layout_files[0])
+        dsch = delta_ds.schema()
+        delta_names = list(dsch.names)
+        if sorted(delta_names) != sorted(layout_schema.names):
+            raise ValueError(
+                f"insert_sorted: delta schema {sorted(delta_names)} does not "
+                f"match the stored layout {sorted(layout_schema.names)}"
+            )
+        for name, typ in zip(dsch.names, dsch.types):
+            stored = layout_schema.field(name).type
+            if typ != stored:
+                raise ValueError(
+                    f"insert_sorted: delta column {name!r} has type {typ}, "
+                    f"stored layout has {stored}"
+                )
+
     tagged = delta_ds.map_batches(
         make_range_tagger(key_col, b), batch_format="pyarrow"
     )

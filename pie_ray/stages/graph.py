@@ -236,6 +236,12 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
     n_edges = edges_ds.count()
     if n_edges <= PAGERANK_DRIVER_EDGES:
         return _pagerank_local(edges_ds, damping, iters)
+    if n_edges > PAGERANK_MAX_NODES:
+        # nodes <= 2*edges, so past this edge count the (node, rank)
+        # broadcast arrays can no longer ride ray.put — ranks stay a
+        # DATASET and each round is joins (returns a Dataset, the only
+        # driver-safe shape at that scale)
+        return _pagerank_join(edges_ds, damping, iters)
 
     # node set + out-weight per src: ONE distributed pass of per-batch
     # partials, node-bounded driver combine (no exchange)
@@ -260,8 +266,6 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
     n = len(nodes)
     if n == 0:
         return pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
-    if n > PAGERANK_MAX_NODES:  # pragma: no cover - scale guard
-        raise NotImplementedError("node count exceeds broadcast budget")
     keys_arr = pa.array(nodes, pa.string())
     outw_arr = np.array([max(out_w[v], 0) for v in nodes], dtype=np.float64)
     ranks = np.full(n, 1.0 / n)
@@ -299,6 +303,149 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 8):
             "node": keys_arr,
             "rank": pa.array(np.round(ranks, 10)),
         }
+    )
+
+
+def _pagerank_join(edges_ds, damping: float, iters: int):
+    """PageRank past broadcast range: the rank vector never visits the
+    driver or a ray.put — it is a Dataset (node, out_w, rank) and every
+    iteration is (1) edges ⋈ ranks on src -> per-dst contribution partials
+    summed in ONE bucketed exchange, (2) a small dangling-mass aggregate,
+    (3) ranks ⋈ contributions (left outer) -> new ranks. Materialize
+    barriers keep the exchanges sequential (repo rule). Returns a DATASET
+    (node, rank) — a driver Table is exactly what this path exists to
+    avoid. Float summation order varies in the last ulps with batching
+    (same documented trade-off as the broadcast-rank path; ranks round to
+    10dp). Equivalence vs the local path is pytest-gated at small n."""
+    import ray.data as _rd
+
+    from pie_ray.util import bucket_count, bucket_hash_strings, join_num_partitions
+
+    nb = bucket_count(edges_ds.size_bytes(), floor=64)
+    n_parts = join_num_partitions(edges_ds.size_bytes())
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = t.group_by(["src"]).aggregate([("weight", "sum")])
+        gb = rename_grouped(gb, ["src"], ["node", "out_w"])
+        dst = pa.table({"node": pc.unique(t.column("dst"))})
+        dst = dst.append_column("out_w", pa.array([0] * dst.num_rows, pa.int64()))
+        out = pa.concat_tables([gb.cast(dst.schema), dst])
+        b = (bucket_hash_strings(out.column("node"), salt=0x9A6E) % nb).astype("int32")
+        return out.append_column("bucket", pa.array(b, pa.int32()))
+
+    def node_combine(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("out_w", "sum")])
+        return rename_grouped(gb, ["node"], ["node", "out_w"])
+
+    from pie_ray.util import drop_empty_blocks
+
+    state = drop_empty_blocks(
+        edges_ds.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(node_combine, batch_format="pyarrow")
+        .materialize(),
+        schema=pa.schema([("node", pa.string()), ("out_w", pa.int64())]),
+    ).materialize()
+    n = state.count()
+    if n == 0:
+        return _rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+        )
+
+    state = state.map_batches(
+        lambda t, n=n: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib_partial(t: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        ow = t.column("out_w").to_numpy(zero_copy_only=False).astype(np.float64)
+        part = pa.table({"dst": t.column("dst"), "c": pa.array(r * w / ow)})
+        gb = rename_grouped(
+            part.group_by(["dst"]).aggregate([("c", "sum")]), ["dst"], ["node", "s"]
+        )
+        b = (bucket_hash_strings(gb.column("node"), salt=0x9A6F) % nb).astype("int32")
+        return gb.append_column("bucket", pa.array(b, pa.int32()))
+
+    def contrib_combine(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("s", "sum")])
+        return rename_grouped(gb, ["node"], ["node", "s"])
+
+    for _ in range(iters):
+        joined = edges_ds.join(
+            state,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("src",),
+            right_on=("node",),
+        ).materialize()
+        contrib = drop_empty_blocks(
+            joined.map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(contrib_combine, batch_format="pyarrow")
+            .materialize(),
+            schema=pa.schema([("node", pa.string()), ("s", pa.float64())]),
+        ).materialize()
+        dangling = (
+            state.filter(expr="out_w == 0").sum("rank") or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        state = (
+            state.join(
+                contrib,
+                join_type="left_outer",
+                num_partitions=n_parts,
+                on=("node",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda t, base=base: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "out_w": t.column("out_w"),
+                        "rank": pc.add(
+                            pa.scalar(base),
+                            pc.multiply(
+                                pa.scalar(damping),
+                                pc.coalesce(t.column("s"), pa.scalar(0.0)),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # the JOIN operator also emits zero-row empty-schema blocks for
+        # empty hash partitions — strip them or the next round's join dies
+        state = drop_empty_blocks(
+            state,
+            schema=pa.schema(
+                [("node", pa.string()), ("out_w", pa.int64()), ("rank", pa.float64())]
+            ),
+        ).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "rank": pa.array(
+                    np.round(t.column("rank").to_numpy(zero_copy_only=False), 10)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 

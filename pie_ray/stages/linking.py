@@ -219,7 +219,7 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
         ),
         batch_format="pyarrow",
     ).materialize()
-    from pie_ray.util import bucket_count, join_num_partitions
+    from pie_ray.util import bucket_count, drop_empty_blocks, join_num_partitions
 
     # edges is materialized above -> size_bytes is metadata-cheap
     n_parts = join_num_partitions(edges.size_bytes())
@@ -243,6 +243,10 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
         "lab",
         num_buckets=nb,
     ).materialize()
+    # the bucketed groupby emits zero-row empty-schema blocks under some
+    # layouts and the per-round label JOIN crashes on them — strip by
+    # metadata (zero-copy) each time a labels table is (re)built
+    labels = drop_empty_blocks(labels).materialize()
 
     # carry the previous round's fingerprint instead of recomputing it —
     # each _labels_fingerprint is a full label-table pass, so fingerprinting
@@ -258,8 +262,10 @@ def cc_distributed(pairs_ds, max_rounds: int = 20):
             lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
             batch_format="pyarrow",
         )
-        new_labels = _min_label_by_node(
-            msgs.union(labels), "node", "label", num_buckets=nb
+        new_labels = drop_empty_blocks(
+            _min_label_by_node(
+                msgs.union(labels), "node", "label", num_buckets=nb
+            ).materialize()
         ).materialize()
         # convergence check: fingerprint of (node, label) assignments
         new_fp = _labels_fingerprint(new_labels)
@@ -457,7 +463,13 @@ def canonicalize_join(triples_ds, labels_ds):
             }
         )
 
-    half = j1.map_batches(apply_subj, batch_format="pyarrow").materialize()
+    from pie_ray.util import drop_empty_blocks
+
+    # join outputs carry zero-row empty-schema blocks for empty hash
+    # partitions; strip before the second join
+    half = drop_empty_blocks(
+        j1.map_batches(apply_subj, batch_format="pyarrow").materialize()
+    ).materialize()
 
     j2 = half.join(
         labels_ds,

@@ -214,6 +214,30 @@ def gather_table(ds, schema=None):
     return pa.concat_tables(tbls, promote_options="none")
 
 
+def drop_empty_blocks(ds, schema=None):
+    """Strip Ray's zero-row EMPTY-SCHEMA blocks from a MATERIALIZED Dataset
+    — ``groupby().map_groups()`` emits one per input block that received no
+    groups, and a downstream ``Dataset.join`` crashes on them (ArrowInvalid:
+    "No match ... for key field reference ... on right side"; reproduced
+    round 4 — the same block family behind the round-3 concat crash).
+    ``map_batches`` can NOT fix them (empty blocks bypass map functions),
+    so filter by block METADATA only: zero data moves, refs are reused.
+    When every block is empty, returns an empty Dataset with ``schema`` so
+    callers keep typed columns. Call on the materialized output of any
+    bucketed groupby that feeds a join."""
+    import pyarrow as pa
+    import ray.data
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, md in bundle.blocks:
+            if (md.num_rows or 0) > 0:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow((schema or pa.schema([])).empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
 def bucket_count(
     est_bytes: int | None = None, floor: int = 64, target_bytes: int = 128 << 20
 ) -> int:

@@ -68,3 +68,69 @@ def test_bucket_spread_is_reasonable():
 
 def test_empty_array():
     assert len(bucket_hash_strings(pa.array([], pa.string()))) == 0
+
+
+# ---------------------------------------------------------------------------
+# drop_empty_blocks — the groupby/join empty-schema-block normalizer (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_drop_empty_blocks_groupby_join(ray_session):
+    """Repro of the systemic hazard: groupby().map_groups() emits zero-row
+    EMPTY-SCHEMA blocks (one per input block without groups) and a
+    downstream Dataset.join crashes on them. drop_empty_blocks must strip
+    them by metadata and make the join succeed."""
+    import ray
+    import ray.data
+
+    from pie_ray.util import drop_empty_blocks
+
+    t = pa.table(
+        {
+            "node": pa.array(["a", "b"]),
+            "s": pa.array([1.0, 2.0]),
+            "bucket": pa.array([3, 9], pa.int32()),
+        }
+    )
+    gb = (
+        ray.data.from_arrow(t)
+        .repartition(6)  # more blocks than groups -> empty buckets
+        .groupby("bucket")
+        .map_groups(lambda g: g.drop_columns(["bucket"]), batch_format="pyarrow")
+        .materialize()
+    )
+    blocks = ray.get(gb.to_arrow_refs())
+    assert any(b.num_rows == 0 and b.num_columns == 0 for b in blocks), (
+        "precondition: the repro must actually produce empty-schema blocks"
+    )
+    clean = drop_empty_blocks(gb).materialize()
+    assert all(b.num_rows > 0 for b in ray.get(clean.to_arrow_refs()))
+    state = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(["a", "b"]),
+                "out_w": pa.array([1, 0], pa.int64()),
+            }
+        )
+    ).materialize()
+    j = state.join(
+        clean, join_type="left_outer", num_partitions=8, on=("node",), right_on=("node",)
+    )
+    assert j.count() == 2
+
+
+def test_drop_empty_blocks_all_empty_keeps_schema(ray_session):
+    import ray.data
+
+    from pie_ray.util import drop_empty_blocks
+
+    sch = pa.schema([("x", pa.int64())])
+    ds = (
+        ray.data.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+        .repartition(2)
+        .filter(expr="x > 10")
+        .materialize()
+    )
+    out = drop_empty_blocks(ds, schema=sch)
+    assert out.count() == 0
+    assert out.schema().names == ["x"]

@@ -122,3 +122,48 @@ def test_top_edge_bin_with_duplicate_max(ray_session, monkeypatch):
         ray.data.from_arrow(t).repartition(3), "x", 1.0, "g"
     ).to_pandas()
     assert got.value.item() == 103.7
+
+
+def test_bin_boundary_ulp_values(ray_session, monkeypatch):
+    """ADVICE r3 regression: values within 1 ulp of derived bin boundaries
+    must neither shift the selected rank nor raise (the old code applied a
+    derived-range refilter that was not ulp-nested in the parent bin's clip
+    test). Construct a cloud of values AT and 1-ulp-around the round-1 bin
+    edges, forced through several refinement rounds."""
+    monkeypatch.setattr(rel, "EQ_PULL_LIMIT", 16)
+    lo, hi = 0.1, 7777.7
+    width = (hi - lo) / rel.EQ_BINS
+    edges = lo + np.arange(1, rel.EQ_BINS) * width
+    vals = np.concatenate(
+        [
+            edges,
+            np.nextafter(edges, -np.inf),
+            np.nextafter(edges, np.inf),
+            np.linspace(lo, hi, 3000),
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(vals, pa.float64())})
+    ).repartition(5)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.999):
+        assert rel.exact_quantile_disc(ds, "x", q) == _disc(vals, q), q
+
+
+def test_grouped_bin_boundary_ulp_values(ray_session, monkeypatch):
+    monkeypatch.setattr(rel, "EQ_PULL_LIMIT", 16)
+    lo, hi = -5.0, 5.0
+    width = (hi - lo) / rel.EQ_BINS
+    edges = lo + np.arange(1, rel.EQ_BINS) * width
+    vals = np.concatenate([edges, np.nextafter(edges, np.inf)])
+    keys = np.where(np.arange(len(vals)) % 2 == 0, "a", "b")
+    # pin each group's min/max so lo/hi are the intended boundaries
+    vals = np.concatenate([vals, [lo, hi, lo, hi]])
+    keys = np.concatenate([keys, ["a", "a", "b", "b"]])
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(keys), "x": pa.array(vals, pa.float64())})
+    ).repartition(4)
+    t = rel.exact_quantile_disc_grouped(ds, "x", 0.5, "g")
+    got = dict(zip(t.column("g").to_pylist(), t.column("value").to_pylist()))
+    for g in ("a", "b"):
+        expect = _disc(vals[keys == g], 0.5)
+        assert got[g] == expect, g

@@ -88,10 +88,42 @@ def test_fake_decode_deterministic():
     assert img1.shape == (8, 8, 3)
 
 
-def test_real_decode_raises():
+def test_real_decode_raises_without_codecs():
+    from pie_ray.functions import multimodal as mm
+
     be = DecodeBackend("real")
-    with pytest.raises(NotImplementedError):
-        be.decode_image(b"x", 4, 4)
+    if mm._probe_pil() is None:  # the sandbox case
+        with pytest.raises(NotImplementedError):
+            be.decode_image(b"x", 4, 4)
+    if mm._probe_soundfile() is None:
+        with pytest.raises(NotImplementedError):
+            be.decode_audio(b"x", 100)
+
+
+def test_auto_mode_falls_back_to_fake_in_sandbox():
+    from pie_ray.functions import multimodal as mm
+
+    be = DecodeBackend("auto")
+    if mm._probe_pil() is None:
+        # auto must degrade to the deterministic fake, never raise
+        img = be.decode_image(b"payload", 8, 8)
+        np.testing.assert_array_equal(img, DecodeBackend("fake").decode_image(b"payload", 8, 8))
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="PIL not on this image — the real branch self-activates where it is",
+)
+def test_real_decode_with_pil_roundtrip():
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((4, 6, 3), 200, np.uint8)).save(buf, format="PNG")
+    be = DecodeBackend("real")
+    out = be.decode_image(buf.getvalue(), 6, 4)
+    assert out.shape == (4, 6, 3) and int(out[0, 0, 0]) == 200
 
 
 def test_featurizer_batch_shape():
@@ -538,6 +570,15 @@ def test_pagerank_local_vs_distributed_and_deterministic(ray_session, monkeypatc
     assert set(dist) == set(local_a)
     for k in dist:
         assert abs(dist[k] - local_a[k]) < 1e-9
+
+    # past-broadcast-range JOIN path (rank vector never leaves the object
+    # store): same ranks, returned as a Dataset
+    monkeypatch.setattr(graph_mod, "PAGERANK_MAX_NODES", 0)
+    res = graph_mod.pagerank(ray.data.from_arrow(t).repartition(3), iters=10)
+    joined = {r["node"]: r["rank"] for r in res.take_all()}
+    assert set(joined) == set(local_a)
+    for k in joined:
+        assert abs(joined[k] - local_a[k]) < 1e-9
 
 
 def test_text_ops_oracle_parity_on_non_ascii(ray_session, tmp_path):

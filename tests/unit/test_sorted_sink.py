@@ -8,6 +8,8 @@ import os
 import shutil
 import tempfile
 
+import pytest
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -197,5 +199,50 @@ def test_insert_sorted_localized_merge(ray_session):
             keys = tab.column("k").to_numpy()
             ids = tab.column("id").to_numpy()
             assert (np.lexsort((ids, keys)) == np.arange(len(keys))).all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_insert_sorted_rejects_schema_mismatch(ray_session):
+    """ADVICE r3: a delta missing columns (or with extra / retyped ones)
+    must ERROR up front, never silently null-fill or widen the layout."""
+    from pie_ray.sources.sorted_sink import insert_sorted
+
+    t = _make(500)
+    out = tempfile.mkdtemp(prefix="sortedschm_")
+    try:
+        write_sorted_parquet(
+            ray.data.from_arrow(t).repartition(2), out, "k", "id", num_ranges=4
+        )
+        # missing the payload column
+        missing = pa.table(
+            {
+                "id": pa.array([90_001], pa.int64()),
+                "k": pa.array([0.0]),
+            }
+        )
+        with pytest.raises(ValueError, match="does not match the stored layout"):
+            insert_sorted(out, ray.data.from_arrow(missing))
+        # extra column
+        extra = pa.table(
+            {
+                "id": pa.array([90_002], pa.int64()),
+                "k": pa.array([0.0]),
+                "payload": pa.array(["x"]),
+                "rogue": pa.array([1]),
+            }
+        )
+        with pytest.raises(ValueError, match="does not match the stored layout"):
+            insert_sorted(out, ray.data.from_arrow(extra))
+        # retyped column
+        retyped = pa.table(
+            {
+                "id": pa.array([90_003], pa.int64()),
+                "k": pa.array([0.0]),
+                "payload": pa.array([7], pa.int64()),
+            }
+        )
+        with pytest.raises(ValueError, match="has type"):
+            insert_sorted(out, ray.data.from_arrow(retyped))
     finally:
         shutil.rmtree(out, ignore_errors=True)
