@@ -159,6 +159,7 @@ def run_scaling() -> dict:
     tp8 = results[8]["kg"]["docs_per_s"]
     tp32 = results[32]["kg"]["docs_per_s"]
     eff = (tp32 / tp8) / 4.0
+    hw = _hw_scaling_ceiling()
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -167,8 +168,40 @@ def run_scaling() -> dict:
         "docs_per_s_32cpu": tp32,
         "triples_per_s_8cpu": results[8]["kg"]["triples_per_s"],
         "triples_per_s_32cpu": results[32]["kg"]["triples_per_s"],
+        # the VM's own 8->32-proc pure-CPU scaling at measurement time:
+        # on an oversubscribed hypervisor the machine itself can scale well
+        # below 1.0 (measured 0.77 on 2026-08-18), which CAPS any pipeline's
+        # ratio — report it so eff is interpretable per-run
+        "hw_ceiling": hw,
+        "eff_vs_hw_ceiling": round(eff / hw, 3) if hw else None,
         "sf": _sf_of(SF_DIR),
     }
+
+
+def _hw_scaling_ceiling(seconds: float = 2.0) -> float:
+    """Pure-CPU multiprocessing burn at 8 and 32 workers: aggregate
+    iteration rate ratio / 4 = the HARDWARE's own scaling efficiency at
+    this moment. No Ray involved — this is the ceiling any CPU-bound
+    pipeline can reach on this VM right now."""
+    import multiprocessing as mp
+
+    def agg_rate(n: int) -> float:
+        with mp.Pool(n) as p:
+            return sum(p.map(_burn, [seconds] * n)) / seconds
+
+    r8 = agg_rate(8)
+    r32 = agg_rate(32)
+    return round((r32 / r8) / 4.0, 3) if r8 else 0.0
+
+
+def _burn(seconds: float) -> int:
+    import time as _t
+
+    t0 = _t.perf_counter()
+    x = 0
+    while _t.perf_counter() - t0 < seconds:
+        x += 1
+    return x
 
 
 if __name__ == "__main__":

@@ -58,11 +58,13 @@ def aggregate_edges(triples_ds, num_buckets: int = EDGE_BUCKETS):
     co-locates everything A16 adjacency needs, letting the planner fuse the
     two stages into one exchange), then vectorized Arrow ``group_by`` per
     bucket. High-cardinality Ray groupbys walk groups in Python — avoided."""
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_hash_strings
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = _partial_edge_agg(_edges_from_triples(t))
-        buckets = (hash64_array(t.column("src").to_pylist(), salt=b"gpart") % num_buckets).astype(
+        # vectorized FNV bucket hash (shuffle-spreading only; the RESULT-
+        # visible part assignment below stays blake2b — recorded contract)
+        buckets = (bucket_hash_strings(t.column("src"), salt=0x6BA7) % num_buckets).astype(
             "int32"
         )
         return t.append_column("bucket", pa.array(buckets, pa.int32()))
@@ -104,11 +106,12 @@ def aggregate_edges_to_adjacency(
     of an assumption about Ray's block slicing — a bucket whose aggregated
     edge table exceeds target_max_block_size would otherwise be split
     mid-src downstream and emit duplicate src rows with partial adjacency."""
-    from pie_ray.util import hash64_array as _h
+    from pie_ray.util import bucket_hash_strings as _h
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = _partial_edge_agg(_edges_from_triples(t))
-        buckets = (_h(t.column("src").to_pylist(), salt=b"gpart") % num_buckets).astype("int32")
+        # vectorized FNV bucket hash (same note as aggregate_edges)
+        buckets = (_h(t.column("src"), salt=0x6BA7) % num_buckets).astype("int32")
         return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def agg_and_adj(group: pa.Table) -> pa.Table:

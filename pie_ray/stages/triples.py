@@ -148,7 +148,7 @@ def dedup_triples(ds, extra_keys: tuple[str, ...] = (), num_buckets: int = DEDUP
     resume — the downstream canonical dedup removes any cross-partition
     survivors, so the final triple set is independent of partition batching).
     """
-    from pie_ray.util import hash64_array
+    from pie_ray.util import bucket_hash_strings
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = _partial_dedup(t, extra_keys)
@@ -156,7 +156,8 @@ def dedup_triples(ds, extra_keys: tuple[str, ...] = (), num_buckets: int = DEDUP
             t.column("subj"), t.column("pred"), t.column("obj"),
             *[pc.cast(t.column(k), pa.string()) for k in extra_keys], "\x1f",
         )
-        buckets = (hash64_array(key.to_pylist(), salt=b"dedup") % num_buckets).astype("int32")
+        # vectorized FNV bucket hash (bucket choice never feeds results)
+        buckets = (bucket_hash_strings(key, salt=0xDED) % num_buckets).astype("int32")
         return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def dedup_bucket(group: pa.Table) -> pa.Table:
