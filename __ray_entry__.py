@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median": relational.q_exact_median,
         "exact_median_grouped": relational.q_exact_median_grouped,
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
+        "graph_components": _lazy("pie_ray.functions.graphops", "q_graph_components"),
+        "graph_communities": _lazy("pie_ray.functions.graphops", "q_graph_communities"),
     }.items()}
 
 
@@ -477,6 +479,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS s_suppkey, COUNT(*) AS n_triangles
             FROM nodes GROUP BY node
+        """,
+        "graph_components": """
+            -- connected components of the co-supplier graph, component =
+            -- smallest member id: recursive min-label reachability (the
+            -- oracle graph is small, so enumerating (node, reaching-label)
+            -- pairs is bounded by n * component size)
+            WITH RECURSIVE su AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_quantity > 46.0
+            ), e AS (
+              SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+              FROM su a JOIN su b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            ), r(node, lab) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM e)
+              UNION
+              SELECT e.b, r.lab FROM r JOIN e ON e.a = r.node
+            )
+            SELECT node AS s_suppkey, MIN(lab) AS component
+            FROM r GROUP BY node
         """,
         "window_events": """
             SELECT date_trunc('hour', ts) AS window_start,

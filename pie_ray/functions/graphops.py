@@ -653,6 +653,192 @@ def q_kcore(sf_dir: str):
     return core_numbers_distributed(edges)
 
 
+# ----------------------------------------------- label propagation communities
+
+
+def label_propagation(edges: "ray.data.Dataset", max_rounds: int = 20):
+    """Community detection by synchronous deterministic label propagation
+    (Raghavan et al. 2007, made deterministic): every node starts labelled
+    with its own id; each round every node adopts the most frequent label
+    among its neighbours plus itself, ties broken by the SMALLEST label.
+    Synchronous updates + deterministic tie-break make the result a pure
+    function of the edge set — independent of partitioning/parallelism
+    (tested), unlike the classic async/randomized LPA.
+
+    Input: packed-edge Dataset (column ``e`` = a * 2^32 + b, a < b — the
+    ``cooccurrence_edges`` convention; node ids must fit in uint32 like the
+    rest of this module). Output: Dataset ``(node, community)``.
+
+    Scale shape: per round ONE hash join (attach neighbour labels to
+    directed edges) + one bounded bucketed groupby computing the grouped
+    MODE fully vectorized (pack (node, label) -> unique counts -> lexsort
+    (node asc, count desc, label asc) -> first per node), + a label-table-
+    sized join to count changes. ``.materialize()`` barriers keep each
+    exchange in its own streaming plan (repo rule). Rounds are capped:
+    synchronous LPA can oscillate on bipartite-ish structures, and the cap
+    bounds the cost while keeping determinism."""
+    from pie_ray.util import drop_empty_blocks
+
+    def split_both(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        a = (e // PACK).astype(np.int64)
+        b = (e % PACK).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    directed = edges.map_batches(split_both, batch_format="pyarrow").materialize()
+    n_parts = join_num_partitions(directed.size_bytes())
+    nb = bucket_count(directed.size_bytes(), floor=N_BUCKETS)
+    _LAB_SCHEMA = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        ids = np.unique(t.column("src").to_numpy(zero_copy_only=False))
+        b = (hash64_ints(ids, salt=0x1A8) % nb).astype(np.int32)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "lab": pa.array(ids, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    labels = drop_empty_blocks(
+        directed.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "node": pc.unique(g.column("node").combine_chunks()),
+                    "lab": pc.unique(g.column("node").combine_chunks()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize(),
+        schema=_LAB_SCHEMA,
+    ).materialize()
+
+    def vote_bucket_tag(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        b = (hash64_ints(src, salt=0x10DE) % nb).astype(np.int32)
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "vlab": t.column("lab"),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def mode_bucket(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        lab = g.column("vlab").to_numpy(zero_copy_only=False)
+        key = src * PACK + lab  # both < 2^32 by module convention
+        uk, cnt = np.unique(key, return_counts=True)
+        s = (uk // PACK).astype(np.int64)
+        l = (uk % PACK).astype(np.int64)
+        order = np.lexsort((l, -cnt, s))  # node asc, count desc, label asc
+        s, l = s[order], l[order]
+        _, first = np.unique(s, return_index=True)
+        return pa.table(
+            {"node": pa.array(s[first], pa.int64()), "lab": pa.array(l[first], pa.int64())}
+        )
+
+    for _ in range(max_rounds):
+        nbr = directed.join(
+            labels,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("dst",),
+            right_on=("node",),
+        ).materialize()
+        # self-vote: the node's own current label counts once
+        self_votes = labels.map_batches(
+            lambda t: pa.table({"src": t.column("node"), "lab": t.column("lab")}),
+            batch_format="pyarrow",
+        )
+        votes = nbr.map_batches(
+            lambda t: pa.table({"src": t.column("src"), "lab": t.column("lab")}),
+            batch_format="pyarrow",
+        ).union(self_votes)
+        new_labels = drop_empty_blocks(
+            votes.map_batches(vote_bucket_tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(mode_bucket, batch_format="pyarrow")
+            .materialize(),
+            schema=_LAB_SCHEMA,
+        ).materialize()
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda t: pa.table(
+                        {"node2": t.column("node"), "old_lab": t.column("lab")}
+                    ),
+                    batch_format="pyarrow",
+                ).materialize(),
+                join_type="inner",
+                num_partitions=join_num_partitions(new_labels.size_bytes()),
+                on=("node",),
+                right_on=("node2",),
+            )
+            .filter(expr="lab != old_lab")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "community": t.column("lab")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_graph_communities(sf_dir: str):
+    """Deterministic label-propagation communities over the co-supplier
+    graph (rows-only surface — iterative mode-vote fixpoints are not
+    SQL-expressible; gated by planted-community, local-reference-parity and
+    partition-independence pytests)."""
+    labels = label_propagation(cooccurrence_edges(sf_dir))
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("node"), "community": t.column("community")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components of the co-supplier graph as a driver-oracled
+    entry (DuckDB side: WITH RECURSIVE min-label reachability — feasible
+    because the oracle graph is small; the engine path is the same
+    size-adaptive ``connected_components`` the KG linking stage uses).
+    Component label = smallest member id on both sides."""
+
+    def split(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array((e // PACK).astype(np.int64), pa.int64()),
+                "dst": pa.array((e % PACK).astype(np.int64), pa.int64()),
+            }
+        )
+
+    edges = cooccurrence_edges(sf_dir).map_batches(split, batch_format="pyarrow")
+    comp = connected_components(edges)
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("node"), "component": t.column("component")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------- connected components
 
 

@@ -334,3 +334,104 @@ def test_connected_components_string_nodes_no_edges(ray_session):
     )
     assert got.node.tolist() == ["x", "y", "z"]
     assert got.component.tolist() == ["x", "y", "z"]
+
+
+# --------------------------------------------- label propagation communities
+
+
+def _lpa_reference(pairs, max_rounds=20):
+    """Pure-python replica of the synchronous deterministic LPA contract:
+    vote = neighbour labels + own label once; winner = max count, ties ->
+    smallest label; synchronous rounds; stop on no change or the cap."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(max_rounds):
+        new = {}
+        for n in adj:
+            votes: dict[int, int] = {}
+            for m in adj[n]:
+                votes[lab[m]] = votes.get(lab[m], 0) + 1
+            votes[lab[n]] = votes.get(lab[n], 0) + 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+def _lpa_dict(ds):
+    t = pa.Table.from_pylist(ds.take_all())
+    return dict(zip(t.column("node").to_pylist(), t.column("community").to_pylist()))
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """Two 5-cliques joined by one bridge edge: each clique converges to
+    one community and the two communities differ."""
+    import ray.data
+
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    pairs = c1 + c2 + [(4, 10)]
+    edges = ray.data.from_arrow(pa.table({"e": pa.array(pack_edges(pairs), pa.int64())}))
+    got = _lpa_dict(G.label_propagation(edges))
+    assert set(got) == set(range(5)) | set(range(10, 15))
+    assert len({got[n] for n in range(5)}) == 1
+    assert len({got[n] for n in range(10, 15)}) == 1
+    assert got[0] != got[10]
+    assert got == _lpa_reference(pairs)
+
+
+def test_label_propagation_matches_reference_random(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, 150).astype(np.int64)
+    b = rng.integers(0, 60, 150).astype(np.int64)
+    keep = a != b
+    pairs = list(zip(a[keep].tolist(), b[keep].tolist()))
+    edges = ray.data.from_arrow(
+        pa.table({"e": pa.array(pack_edges(pairs), pa.int64())})
+    ).repartition(5)
+    assert _lpa_dict(G.label_propagation(edges)) == _lpa_reference(pairs)
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_label_propagation_partition_independent(ray_session, nblocks):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 40, 80).astype(np.int64)
+    b = rng.integers(0, 40, 80).astype(np.int64)
+    keep = a != b
+    packed = pack_edges(list(zip(a[keep].tolist(), b[keep].tolist())))
+    edges = ray.data.from_arrow(
+        pa.table({"e": pa.array(packed, pa.int64())})
+    ).repartition(nblocks)
+    base = ray.data.from_arrow(pa.table({"e": pa.array(packed, pa.int64())}))
+    assert _lpa_dict(G.label_propagation(edges)) == _lpa_dict(
+        G.label_propagation(base)
+    )
+
+
+def test_graph_components_entry_matches_brute(ray_session):
+    """q_graph_components (the SQL-oracled CC entry) vs brute DSU over the
+    same derived co-supplier graph."""
+    from pie_ray.util import gather_table
+
+    edges = G.cooccurrence_edges(SF).materialize()
+    packed = (
+        gather_table(edges, schema=G.EDGE_SCHEMA)
+        .column("e")
+        .to_numpy(zero_copy_only=False)
+    )
+    pairs = [(int(e >> 32), int(e & 0xFFFFFFFF)) for e in packed]
+    expect = _brute_cc(pairs)
+    t = pa.Table.from_pylist(G.q_graph_components(SF).take_all())
+    got = dict(zip(t.column("s_suppkey").to_pylist(), t.column("component").to_pylist()))
+    assert got == expect and len(got) > 0
