@@ -278,13 +278,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": _lazy("pie_ray.functions.graphops", "q_kcore"),
         "graph_components": _lazy("pie_ray.functions.graphops", "q_graph_components"),
         "graph_communities": _lazy("pie_ray.functions.graphops", "q_graph_communities"),
+        "graph_pagerank": _lazy("pie_ray.functions.graphops", "q_graph_pagerank"),
     }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from pie_ray.functions.graphops import pagerank_oracle_sql
     from pie_ray.functions.validate import validate_oracle_sql
 
     return {
+        # integer-exact PageRank: the fixed-point update is all-int64, so
+        # the nested-CTE unrolled power iteration hash-matches bit-for-bit
+        "graph_pagerank": pagerank_oracle_sql(),
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
             FROM lineitem WHERE l_quantity > 45

@@ -653,6 +653,273 @@ def q_kcore(sf_dir: str):
     return core_numbers_distributed(edges)
 
 
+# ------------------------------------------------------ integer-exact PageRank
+
+PR_SCALE = 1_000_000_000  # rank fixed-point scale (int64-safe: see docstring)
+PR_ITERS = 10
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def pagerank_integer_driver(
+    edges_packed: np.ndarray,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> pa.Table:
+    """Integer-exact PageRank: ranks are int64 fixed-point (``scale`` = one
+    unit of mass), the update is r'(v) = floor(scale*15/100) +
+    floor(85 * sum_{u in N(v)} floor(r(u)/deg(u)) / 100) for a fixed number
+    of synchronous iterations. Every operation is integer, so the result is
+    bit-identical regardless of summation order — which makes PageRank
+    SQL-ORACLE-ABLE (float power iteration never hash-matches across
+    engines because float sums reorder). Overflow bound: a node's rank is
+    at most 0.15*scale + 0.85*indeg*scale; with scale=1e9 that stays well
+    inside int64 up to ~1e8-degree hubs.
+
+    Undirected input (packed ``e`` = a*2^32+b): each edge contributes in
+    both directions. Driver path, fully vectorized (np.add.at accumulate —
+    NOT bincount-with-weights, which casts to float64 and loses exactness
+    past 2^53)."""
+    a = (edges_packed // PACK).astype(np.int64)
+    b = (edges_packed % PACK).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    n = len(nodes)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    r = np.full(n, scale, np.int64)
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    for _ in range(iters):
+        contrib = r // deg
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, dst, contrib[src])
+        r = base + PR_DAMP_NUM * acc // PR_DAMP_DEN
+    return pa.table(
+        {
+            "s_suppkey": pa.array(nodes, pa.int64()),
+            "rank_scaled": pa.array(r, pa.int64()),
+        }
+    )
+
+
+def pagerank_integer_distributed(
+    edges: "ray.data.Dataset",
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+):
+    """Distributed twin of ``pagerank_integer_driver`` — integer math makes
+    the two paths AGREE BIT-FOR-BIT (equivalence-tested), unlike float
+    PageRank where partial-sum order would differ. Per iteration: one hash
+    join (edge picks up the source's (rank, degree)) + one bounded bucketed
+    groupby (sum of floor-contributions per destination) + one join back
+    onto the degree table; ``.materialize()`` barriers between exchanges
+    (repo rule)."""
+    from pie_ray.util import drop_empty_blocks
+
+    def split_both(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        a = (e // PACK).astype(np.int64)
+        b = (e % PACK).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    directed = edges.map_batches(split_both, batch_format="pyarrow").materialize()
+    n_parts = join_num_partitions(directed.size_bytes())
+    nb = bucket_count(directed.size_bytes(), floor=N_BUCKETS)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids, cnts = np.unique(
+            t.column("src").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        b = (hash64_ints(ids, salt=0x9A6E) % nb).astype(np.int32)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "deg": pa.array(cnts.astype(np.int64), pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def deg_combine(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("deg", "sum")])
+        return rename_grouped(gb, ["node"], ["node", "deg"])
+
+    _DEG_SCHEMA = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    deg_ds = drop_empty_blocks(
+        directed.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deg_combine, batch_format="pyarrow")
+        .materialize(),
+        schema=_DEG_SCHEMA,
+    ).materialize()
+
+    # state carried per node: (node, r, deg) — avoids a deg re-join on the
+    # contribution side; only the new-rank side joins deg each round
+    state = deg_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "r": pa.array(
+                    np.full(t.num_rows, scale, np.int64), pa.int64()
+                ),
+                "deg": t.column("deg"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    _ACC_SCHEMA = pa.schema([("node", pa.int64()), ("acc", pa.int64())])
+
+    def contrib_tag(t: pa.Table) -> pa.Table:
+        dstv = t.column("dst").to_numpy(zero_copy_only=False)
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        # per-batch partial: sum contributions per destination locally
+        c = r // d
+        ids, idx = np.unique(dstv, return_inverse=True)
+        acc = np.zeros(len(ids), np.int64)
+        np.add.at(acc, idx, c)
+        b = (hash64_ints(ids, salt=0x2B5) % nb).astype(np.int32)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "acc": pa.array(acc, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def acc_combine(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("acc", "sum")])
+        return rename_grouped(gb, ["node"], ["node", "acc"])
+
+    for _ in range(iters):
+        j = directed.join(
+            state,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("src",),
+            right_on=("node",),
+        ).materialize()
+        acc_ds = drop_empty_blocks(
+            j.map_batches(contrib_tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(acc_combine, batch_format="pyarrow")
+            .materialize(),
+            schema=_ACC_SCHEMA,
+        ).materialize()
+        # every node has >= 1 in-edge (undirected both ways) -> inner join
+        state = (
+            acc_ds.join(
+                deg_ds.map_batches(
+                    lambda t: pa.table(
+                        {"node2": t.column("node"), "deg": t.column("deg")}
+                    ),
+                    batch_format="pyarrow",
+                ).materialize(),
+                join_type="inner",
+                num_partitions=join_num_partitions(acc_ds.size_bytes()),
+                on=("node",),
+                right_on=("node2",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        # int64-only arithmetic end to end (pc.divide on
+                        # int64 truncates = floor on non-negatives) — a
+                        # float path would drift past 2^53 and break the
+                        # bit-exact driver==distributed==oracle contract
+                        "r": pc.add(
+                            pa.scalar(base, pa.int64()),
+                            pc.divide(
+                                pc.multiply(
+                                    t.column("acc"),
+                                    pa.scalar(PR_DAMP_NUM, pa.int64()),
+                                ),
+                                pa.scalar(PR_DAMP_DEN, pa.int64()),
+                            ),
+                        ),
+                        "deg": t.column("deg"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("node"), "rank_scaled": t.column("r")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_graph_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the co-supplier graph, SQL-oracled: all
+    arithmetic is int64 fixed-point so the DuckDB nested-CTE power
+    iteration reproduces the ranks BIT-FOR-BIT (a float PageRank can never
+    pass a value-hash oracle — partial sums reorder). Size-adaptive like
+    triangles/k-core: vectorized driver iteration under DRIVER_EDGE_LIMIT
+    edges, the joins-based distributed iteration above (bit-equal,
+    equivalence-tested)."""
+    edges = cooccurrence_edges(sf_dir).materialize()
+    if edges.count() <= DRIVER_EDGE_LIMIT:
+        tbl = gather_table(edges, schema=EDGE_SCHEMA)
+        return pagerank_integer_driver(tbl.column("e").to_numpy(zero_copy_only=False))
+    return pagerank_integer_distributed(edges)
+
+
+def pagerank_oracle_sql(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """The DuckDB oracle for ``q_graph_pagerank``: the same integer update
+    unrolled as ``iters`` nested CTEs (standard SQL forbids aggregation in
+    a recursive CTE term, so a fixed-iteration unroll is the portable
+    form). ``//`` is DuckDB integer (floor) division — identical to
+    numpy's on non-negative int64."""
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    parts = [
+        f"""
+        WITH su AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_quantity > {TRI_QTY_THRESHOLD}
+        ), e AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM su a JOIN su b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        ), deg AS (
+          SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src
+        ), it0 AS (
+          SELECT node, CAST({scale} AS BIGINT) AS r FROM deg
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", it{i} AS (
+          SELECT deg.node,
+                 {base} + {PR_DAMP_NUM} * s.acc // {PR_DAMP_DEN} AS r
+          FROM deg JOIN (
+            SELECT e.dst AS node, SUM(p.r // deg2.d) AS acc
+            FROM it{i - 1} p
+            JOIN deg deg2 ON deg2.node = p.node
+            JOIN e ON e.src = p.node
+            GROUP BY e.dst
+          ) s ON s.node = deg.node
+        )"""
+        )
+    parts.append(
+        f"\n        SELECT node AS s_suppkey, r AS rank_scaled FROM it{iters}"
+    )
+    return "".join(parts)
+
+
 # ----------------------------------------------- label propagation communities
 
 

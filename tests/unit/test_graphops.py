@@ -435,3 +435,82 @@ def test_graph_components_entry_matches_brute(ray_session):
     t = pa.Table.from_pylist(G.q_graph_components(SF).take_all())
     got = dict(zip(t.column("s_suppkey").to_pylist(), t.column("component").to_pylist()))
     assert got == expect and len(got) > 0
+
+
+# ------------------------------------------------------ integer-exact PageRank
+
+
+def _pr_reference(pairs, iters=G.PR_ITERS, scale=G.PR_SCALE):
+    """Pure-python replica of the integer PageRank contract."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(ms) for n, ms in adj.items()}
+    r = {n: scale for n in adj}
+    base = scale * (G.PR_DAMP_DEN - G.PR_DAMP_NUM) // G.PR_DAMP_DEN
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            acc = sum(r[u] // deg[u] for u in adj[v])
+            new[v] = base + G.PR_DAMP_NUM * acc // G.PR_DAMP_DEN
+        r = new
+    return r
+
+
+def test_pagerank_integer_matches_reference():
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 80, 200).astype(np.int64)
+    b = rng.integers(0, 80, 200).astype(np.int64)
+    keep = a != b
+    pairs = list(zip(a[keep].tolist(), b[keep].tolist()))
+    got = table_to_dict(
+        G.pagerank_integer_driver(pack_edges(pairs)), "s_suppkey", "rank_scaled"
+    )
+    assert got == _pr_reference(pairs) and len(got) > 0
+
+
+def test_pagerank_driver_vs_distributed_bit_equal(ray_session):
+    """Integer arithmetic makes the two paths agree BIT-FOR-BIT — the
+    whole point of the fixed-point design."""
+    from pie_ray.util import gather_table
+
+    edges = G.cooccurrence_edges(SF).materialize()
+    packed = (
+        gather_table(edges, schema=G.EDGE_SCHEMA)
+        .column("e")
+        .to_numpy(zero_copy_only=False)
+    )
+    drv = table_to_dict(
+        G.pagerank_integer_driver(packed), "s_suppkey", "rank_scaled"
+    )
+    dist = table_to_dict(
+        pa.Table.from_pylist(G.pagerank_integer_distributed(edges).take_all()),
+        "s_suppkey",
+        "rank_scaled",
+    )
+    assert drv == dist and len(drv) > 0
+
+
+def test_pagerank_partition_independent(ray_session):
+    a = table_to_dict(
+        pa.Table.from_pylist(
+            G.pagerank_integer_distributed(
+                G.cooccurrence_edges(SF, override_num_blocks=1).materialize()
+            ).take_all()
+        ),
+        "s_suppkey",
+        "rank_scaled",
+    )
+    b = table_to_dict(
+        pa.Table.from_pylist(
+            G.pagerank_integer_distributed(
+                G.cooccurrence_edges(SF, override_num_blocks=7).materialize()
+            ).take_all()
+        ),
+        "s_suppkey",
+        "rank_scaled",
+    )
+    assert a == b and len(a) > 0
