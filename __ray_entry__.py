@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _lazy("pie_ray.functions.graphops", "q_graph_components"),
         "graph_communities": _lazy("pie_ray.functions.graphops", "q_graph_communities"),
         "graph_pagerank": _lazy("pie_ray.functions.graphops", "q_graph_pagerank"),
+        "grouped_mode": relational.q_grouped_mode,
     }.items()}
 
 
@@ -290,6 +291,20 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact PageRank: the fixed-point update is all-int64, so
         # the nested-CTE unrolled power iteration hash-matches bit-for-bit
         "graph_pagerank": pagerank_oracle_sql(),
+        "grouped_mode": """
+            -- grouped MODE with the engine's deterministic tie-break
+            -- (highest count, then smallest value) — DuckDB's mode() leaves
+            -- ties unspecified, so the oracle pins the same ordering
+            SELECT user_id, event_type AS mode_event, cnt AS n_occurrences
+            FROM (
+              SELECT user_id, event_type, COUNT(*) AS cnt,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY COUNT(*) DESC, event_type ASC
+                     ) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
             FROM lineitem WHERE l_quantity > 45

@@ -815,6 +815,58 @@ def q_count_distinct(sf_dir: str):
     )
 
 
+def q_grouped_mode(sf_dir: str):
+    """B4 depth: distributed grouped MODE — most frequent event_type per
+    user, with the DETERMINISTIC tie-break (highest count, then smallest
+    value) that makes mode oracle-able (DuckDB's ``mode()`` leaves ties
+    unspecified, so the oracle uses ROW_NUMBER over the same ordering).
+    Shape: per-batch (user, event) count partials collapse each batch to
+    near-distinct size, ONE bucketed shuffle on hash(user_id) co-locates
+    each user's partials, per-bucket Arrow sum + sort + vectorized
+    first-row-per-group argmax. Groups are high-cardinality (users) — the
+    standard bucketed exchange, never a per-group Ray groupby."""
+    from pie_ray.util import bucket_count, hash64_ints, rename_grouped
+
+    ds = scan(sf_dir, "events", columns=["user_id", "event_type"])
+    nb = bucket_count(ds.size_bytes(), floor=64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        gb = rename_grouped(gb, ["user_id", "event_type"], ["user_id", "event_type", "c"])
+        b = (
+            hash64_ints(gb.column("user_id").to_numpy(zero_copy_only=False), salt=0x30DE)
+            % nb
+        ).astype("int32")
+        return gb.append_column("bucket", pa.array(b, pa.int32()))
+
+    def mode_bucket(g: pa.Table) -> pa.Table:
+        gb = (
+            g.drop_columns(["bucket"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("c", "sum")])
+        )
+        gb = rename_grouped(gb, ["user_id", "event_type"], ["user_id", "event_type", "c"])
+        srt = gb.sort_by(
+            [("user_id", "ascending"), ("c", "descending"), ("event_type", "ascending")]
+        )
+        u = srt.column("user_id").to_numpy(zero_copy_only=False)
+        _, first = np.unique(u, return_index=True)
+        out = srt.take(first)
+        return pa.table(
+            {
+                "user_id": out.column("user_id"),
+                "mode_event": out.column("event_type"),
+                "n_occurrences": out.column("c"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mode_bucket, batch_format="pyarrow")
+    )
+
+
 def q_rollup_revenue(sf_dir: str):
     """GROUPING SETS / ROLLUP parity: revenue at (flag, status), (flag) and
     grand-total levels, absent keys as 'ALL' — three exact partial-agg
