@@ -280,14 +280,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_communities": _lazy("pie_ray.functions.graphops", "q_graph_communities"),
         "graph_pagerank": _lazy("pie_ray.functions.graphops", "q_graph_pagerank"),
         "grouped_mode": relational.q_grouped_mode,
+        "quality_classifier": _lazy(
+            "pie_ray.functions.quality_clf", "q_quality_classifier"
+        ),
     }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     from pie_ray.functions.graphops import pagerank_oracle_sql
+    from pie_ray.functions.quality_clf import QUALITY_CLF_ORACLE_SQL
     from pie_ray.functions.validate import validate_oracle_sql
 
     return {
+        # NB-style quality classifier (CCNet/GPT-3 filter shape): integer
+        # fixed-point weights -> every value bit-exact vs DuckDB
+        "quality_classifier": QUALITY_CLF_ORACLE_SQL,
         # integer-exact PageRank: the fixed-point update is all-int64, so
         # the nested-CTE unrolled power iteration hash-matches bit-for-bit
         "graph_pagerank": pagerank_oracle_sql(),
