@@ -103,6 +103,28 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(aggregate_edges(_cached_triples(ENTRY_N_PAGES)), iters=8)
 
 
+def _kg_entity_profiles(sf_dir: str):
+    """Per-entity KG summary (fact/predicate/provenance breadth, bounded
+    url sample, first/last seen) over the canonical triples — rows-only.
+    The list column flattens to a joined string for the driver's generic
+    row hasher (same treatment as kg_graph's adjacency)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pie_ray.stages.entity_profile import entity_profiles
+
+    prof = entity_profiles(_cached_triples(ENTRY_N_PAGES))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("sample_urls"),
+            "sample_urls",
+            pc.binary_join(t.column("sample_urls"), "|"),
+        )
+
+    return prof.map_batches(flatten, batch_format="pyarrow")
+
+
 def _mixture_sample(sf_dir: str):
     """Kept-rows side of packing.q_sample_to_token_budget (the shortfall
     report is a driver-side Table; the entry surface returns the Dataset)."""
@@ -283,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _lazy(
             "pie_ray.functions.quality_clf", "q_quality_classifier"
         ),
+        "kg_entity_profiles": _kg_entity_profiles,
     }.items()}
 
 
