@@ -345,3 +345,60 @@ def compact_deltas(root: str) -> dict:
         _write_meta(root, meta)
     stats["caches_current"] = caches_current
     return stats
+
+
+# ---------------------------------------------------------------------------
+# time travel — read the KG as of an earlier increment, and change feeds
+# ---------------------------------------------------------------------------
+
+
+def list_increments(root: str) -> list[int]:
+    """Increment ids still individually readable (compaction collapses
+    history into delta_000000 — the standard LSM trade: fewer files, less
+    time-travel granularity; run it when history is no longer needed)."""
+    import glob as _glob
+
+    ks = set()
+    for d in _glob.glob(os.path.join(root, "raw", "delta_*")):
+        ks.add(int(os.path.basename(d).split("_")[1]))
+    return sorted(ks)
+
+
+def triples_asof(root: str, upto: int, cfg=None):
+    """Canonical triples AS OF increment ``upto`` (inclusive) — link,
+    canonicalize and dedup re-run over the raw-delta PREFIX, so the result
+    is bit-equal to what the store served after that ingest (the same
+    purity argument as _rebuild: output is a pure function of the raw
+    deltas; determinism across parallelism is the tested invariant).
+    Returns a materialized Dataset; the live store is never touched."""
+    from pie_ray.pipelines.kg import KgConfig, canonicalize_stage, link_stage
+
+    cfg = cfg or KgConfig()
+    files = [
+        f
+        for f in _delta_files(root, "raw")
+        if int(os.path.basename(os.path.dirname(f)).split("_")[1]) <= upto
+    ]
+    if not files:
+        raise ValueError(
+            f"no raw deltas <= increment {upto} under {root} "
+            f"(available: {list_increments(root)}; compaction may have "
+            "collapsed history)"
+        )
+    import ray.data
+
+    raw = ray.data.read_parquet(files).materialize()
+    canon = link_stage(raw, cfg)
+    return canonicalize_stage(raw, canon, cfg).materialize()
+
+
+def kg_changes(root: str, k_from: int, k_to: int, cfg=None):
+    """Change feed between two increments: (subj, pred, obj, change) rows
+    with change in {'added', 'removed'} — triples_diff over two as-of
+    reads. Both sides materialize BEFORE the diff's exchange (repo rule:
+    one all-to-all per streaming plan)."""
+    from pie_ray.functions.graphops import triples_diff
+
+    old = triples_asof(root, k_from, cfg)
+    new = triples_asof(root, k_to, cfg)
+    return triples_diff(old, new)
