@@ -253,6 +253,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling: ONE entry runs the random ±3σ gate then returns the
         # SQL-oracled md5 holdout; weighted = deterministic A-ES top-k
         "sampling": relational.q_sampling,
+        # round-4 rotation: the NB quality classifier (flagship LLM-data
+        # family, fully oracled) takes the 50th recorded slot;
+        # sample_weighted moves beyond the cap (oracled + conformance-green
+        # at both scales either way)
+        "quality_classifier": _lazy(
+            "pie_ray.functions.quality_clf", "q_quality_classifier"
+        ),
         "sample_weighted": relational.q_sample_weighted,
         # --- entries 51+ sit BEYOND the ~50-row driver recording cap ---
         # (kept last on purpose: unrecorded today, verified for free if
@@ -302,9 +309,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_communities": _lazy("pie_ray.functions.graphops", "q_graph_communities"),
         "graph_pagerank": _lazy("pie_ray.functions.graphops", "q_graph_pagerank"),
         "grouped_mode": relational.q_grouped_mode,
-        "quality_classifier": _lazy(
-            "pie_ray.functions.quality_clf", "q_quality_classifier"
-        ),
         "kg_entity_profiles": _kg_entity_profiles,
     }.items()}
 
