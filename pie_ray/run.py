@@ -60,7 +60,42 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--fpp", type=float, default=1e-3, help="ingest Bloom false-positive rate"
     )
+    p.add_argument(
+        "--profiles",
+        action="store_true",
+        help="also write per-entity profiles (fact/predicate/provenance "
+        "breadth, first/last seen) to <output>/profiles",
+    )
     return p
+
+
+def _write_profiles(triples_path: str, out_root: str) -> dict:
+    """Entity profiles parquet next to the triples (one subj-bucketed
+    exchange over the just-written canonical set; list column flattened to
+    a joined string for plain-parquet consumers)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pie_ray.stages.entity_profile import entity_profiles
+
+    triples = ray.data.read_parquet(triples_path)
+    prof = entity_profiles(triples.materialize())
+
+    def flatten(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("sample_urls"),
+            "sample_urls",
+            pc.binary_join(t.column("sample_urls"), "|"),
+        )
+
+    out = f"{out_root}/profiles"
+    shutil.rmtree(out, ignore_errors=True)
+    flat = prof.map_batches(flatten, batch_format="pyarrow").materialize()
+    flat.write_parquet(out)
+    return {"profiles_path": out, "n_entities": flat.count()}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -177,6 +212,8 @@ def main(argv: list[str] | None = None) -> int:
             report = incremental_update(args.output, factory(None), cfg, fpp=args.fpp)
         else:
             report = incremental_build(factory(None), args.output, cfg)
+        if args.profiles:
+            report.update(_write_profiles(report["triples_path"], args.output))
         report["wall_s"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(report, indent=1))
         ray.shutdown()
@@ -193,6 +230,8 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     report = run_resumable(factory, args.output, cfg, num_parts=args.num_parts, corpus_id=corpus_id)
+    if args.profiles:
+        report.update(_write_profiles(report["triples_path"], args.output))
     report["wall_s"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(report, indent=1))
     ray.shutdown()

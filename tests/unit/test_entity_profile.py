@@ -108,6 +108,22 @@ def test_partition_independence(ray_session):
         assert got == base
 
 
+def test_cli_profiles_writer(ray_session, tmp_path):
+    """The CLI's --profiles post-step: parquet out, list column flattened."""
+    import pyarrow.parquet as pq
+
+    from pie_ray.run import _write_profiles
+
+    tri_dir = tmp_path / "triples"
+    tri_dir.mkdir()
+    pq.write_table(_triples_table(), str(tri_dir / "part-0.parquet"))
+    rep = _write_profiles(str(tri_dir), str(tmp_path))
+    assert rep["n_entities"] == 2
+    out = pq.ParquetDataset(rep["profiles_path"]).read()
+    by_subj = dict(zip(out.column("subj").to_pylist(), out.column("sample_urls").to_pylist()))
+    assert by_subj["per:alice"] == "https://a/1|https://a/2|https://a/3"
+
+
 def test_over_real_pipeline_output(ray_session):
     from pie_ray.pipelines.kg import build_triples
     from pie_ray.sources.synth import synth_pages
