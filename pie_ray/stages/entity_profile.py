@@ -94,57 +94,69 @@ def _combine(g: pa.Table) -> pa.Table:
         ["subj"],
         ["subj", "n_triples", "n_preds", "n_urls", "first_seen", "last_seen"],
     ).sort_by([("subj", "ascending")])
-    # top predicate: grouped MODE with deterministic ties (count desc, pred asc)
+    subj_sorted = subj_agg.column("subj").combine_chunks()
+
+    # top predicate: grouped MODE with deterministic ties — ONE Arrow sort
+    # (subj asc, count desc, pred asc), then the first row per subject
+    # (group boundaries via dictionary-encoded int codes; no per-row Python)
     pred_cnt = rename_grouped(
         g.group_by(["subj", "pred"]).aggregate([("n", "sum")]),
         ["subj", "pred"],
         ["subj", "pred", "pn"],
+    ).sort_by(
+        [("subj", "ascending"), ("pn", "descending"), ("pred", "ascending")]
     )
-    s = pred_cnt.column("subj").to_pylist()
-    p = pred_cnt.column("pred").to_pylist()
-    n = pred_cnt.column("pn").to_numpy(zero_copy_only=False)
-    # factorize to int codes: np.unique returns SORTED uniques, so the
-    # inverse codes carry the lexicographic order the tie-break needs
-    s_u, s_codes = np.unique(np.asarray(s, dtype=object), return_inverse=True)
-    p_u, p_codes = np.unique(np.asarray(p, dtype=object), return_inverse=True)
-    order = np.lexsort((p_codes, -n, s_codes))
-    s_sorted = s_codes[order]
-    _, first = np.unique(s_sorted, return_index=True)
-    top_by_subj = dict(
-        zip(
-            s_u[s_sorted[first]].tolist(),
-            p_u[p_codes[order][first]].tolist(),
-        )
-    )
-    # provenance sample: SAMPLE_URLS smallest distinct urls per subject
+    top_first = _group_starts(pred_cnt.column("subj"))
+    top_subj = pred_cnt.column("subj").combine_chunks().take(top_first)
+    top_pred = pred_cnt.column("pred").combine_chunks().take(top_first)
+    top_aligned = top_pred.take(pc.index_in(subj_sorted, value_set=top_subj))
+
+    # provenance sample: the SAMPLE_URLS lexicographically-smallest distinct
+    # urls per subject — sorted distinct pairs, vectorized first-k-per-group
+    # (position-within-group < k), ListArray built straight from offsets
     su = (
         g.group_by(["subj", "url"])
         .aggregate([])
         .sort_by([("subj", "ascending"), ("url", "ascending")])
     )
-    su_s = su.column("subj").to_pylist()
-    su_u = su.column("url").to_pylist()
-    samples: dict[str, list[str]] = {}
-    for subj, url in zip(su_s, su_u):  # rows per bucket are pre-shrunk distincts
-        lst = samples.setdefault(subj, [])
-        if len(lst) < SAMPLE_URLS:
-            lst.append(url)
-    subjects = subj_agg.column("subj").to_pylist()
+    starts = _group_starts(su.column("subj"))
+    n_rows = su.num_rows
+    counts = np.diff(np.append(starts, n_rows))
+    pos = np.arange(n_rows) - np.repeat(starts, counts)
+    keep = pos < SAMPLE_URLS
+    kept_counts = np.minimum(counts, SAMPLE_URLS)
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+    urls_kept = su.column("url").combine_chunks().filter(pa.array(keep))
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), urls_kept)
+    su_subj = su.column("subj").combine_chunks().take(pa.array(starts, pa.int64()))
+    samples_aligned = lists.take(pc.index_in(subj_sorted, value_set=su_subj)).cast(
+        pa.list_(pa.string())
+    )
+
     return pa.table(
         {
-            "subj": subj_agg.column("subj"),
+            "subj": subj_sorted,
             "n_triples": pc.cast(subj_agg.column("n_triples"), pa.int64()),
             "n_preds": pc.cast(subj_agg.column("n_preds"), pa.int64()),
             "n_urls": pc.cast(subj_agg.column("n_urls"), pa.int64()),
-            "top_pred": pa.array([top_by_subj[x] for x in subjects], pa.string()),
+            "top_pred": top_aligned,
             "first_seen": subj_agg.column("first_seen").cast(pa.timestamp("us")),
             "last_seen": subj_agg.column("last_seen").cast(pa.timestamp("us")),
-            "sample_urls": pa.array(
-                [samples[x] for x in subjects], pa.list_(pa.string())
-            ),
+            "sample_urls": samples_aligned,
         },
         schema=PROFILE_SCHEMA,
     )
+
+
+def _group_starts(col) -> np.ndarray:
+    """First-row index of each run in a SORTED column (int codes via
+    dictionary encode — C-speed compare, no Python string walk)."""
+    codes = pc.dictionary_encode(col.combine_chunks()).indices.to_numpy(
+        zero_copy_only=False
+    )
+    if len(codes) == 0:
+        return np.empty(0, np.int64)
+    return np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]).astype(np.int64)
 
 
 def entity_profiles(triples_ds, num_buckets: int | None = None):
