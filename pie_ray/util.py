@@ -60,7 +60,7 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 BUCKET_HASH_PREFIX = 48
 
 
-def bucket_hash_strings(col, salt: int = 0) -> np.ndarray:
+def bucket_hash_strings(col, salt: int = 0, prefix: int | None = BUCKET_HASH_PREFIX) -> np.ndarray:
     """Vectorized 64-bit FNV-1a of an Arrow string/binary array (or a list
     of Python strings) -> uint64, for BUCKET ASSIGNMENT ONLY.
 
@@ -70,7 +70,14 @@ def bucket_hash_strings(col, salt: int = 0) -> np.ndarray:
     loop (iterations = min(max length, BUCKET_HASH_PREFIX), each a numpy op
     over all rows), folds the true length, and finishes with a splitmix
     avalanche. Deterministic across processes/partitioning (pure function
-    of bytes+salt); nulls hash to 0 like hash64_array."""
+    of bytes+salt); nulls hash to 0 like hash64_array.
+
+    ``prefix`` caps the folded bytes (default BUCKET_HASH_PREFIX — plenty
+    to SPREAD a shuffle). Pass ``prefix=None`` to fold the FULL content:
+    needed when the hash feeds a membership structure (Bloom prefilters)
+    where systematic prefix collisions would inflate false positives —
+    iteration count becomes the batch's max length, still one numpy op
+    per byte position, not per row."""
     import pyarrow as pa
 
     if isinstance(col, (list, tuple)):
@@ -92,7 +99,7 @@ def bucket_hash_strings(col, salt: int = 0) -> np.ndarray:
 
     h = np.full(n, _FNV_OFFSET ^ np.uint64((0x9E3779B97F4A7C15 * (salt + 1)) & 0xFFFFFFFFFFFFFFFF))
     maxlen = int(lengths.max()) if n else 0
-    for j in range(min(maxlen, BUCKET_HASH_PREFIX)):
+    for j in range(maxlen if prefix is None else min(maxlen, prefix)):
         mask = lengths > j
         hj = h[mask]
         hj = (hj ^ data[starts[mask] + j].astype(_U64)) * _FNV_PRIME
