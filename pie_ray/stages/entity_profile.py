@@ -151,9 +151,8 @@ def _combine(g: pa.Table) -> pa.Table:
 def _group_starts(col) -> np.ndarray:
     """First-row index of each run in a SORTED column (int codes via
     dictionary encode — C-speed compare, no Python string walk)."""
-    codes = pc.dictionary_encode(col.combine_chunks()).indices.to_numpy(
-        zero_copy_only=False
-    )
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    codes = pc.dictionary_encode(arr).indices.to_numpy(zero_copy_only=False)
     if len(codes) == 0:
         return np.empty(0, np.int64)
     return np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]).astype(np.int64)

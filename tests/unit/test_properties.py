@@ -129,3 +129,70 @@ def test_range_partition_preserves_total_order(keys, nb, seed):
     got = np.concatenate(out)
     want = np.lexsort((tie, k))
     assert got.tolist() == want.tolist()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    strs=st.lists(st.text(max_size=80), min_size=1, max_size=40),
+    k=st.integers(0, 5),
+)
+def test_bucket_hash_slice_and_type_invariance(strs, k):
+    """The buffer-offset handling: hashing a SLICED Arrow array must equal
+    the corresponding tail of the full hash (regression for the
+    arr.offset math), and large_string must agree with string."""
+    import pyarrow as pa
+
+    from pie_ray.util import bucket_hash_strings
+
+    arr = pa.array(strs, pa.string())
+    h_full = bucket_hash_strings(arr, salt=7, prefix=None)
+    k = min(k, len(strs) - 1)
+    h_slice = bucket_hash_strings(arr.slice(k), salt=7, prefix=None)
+    assert (h_slice == h_full[k:]).all()
+    large = pa.array(strs, pa.large_string())
+    assert (bucket_hash_strings(large, salt=7, prefix=None) == h_full).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    keys=st.lists(
+        st.text(min_size=1, max_size=30), min_size=1, max_size=50, unique=True
+    )
+)
+def test_bloom_join_mask_has_no_false_negatives(keys):
+    """The bloom_semi_join exactness guarantee rests on this: every
+    inserted key must probe True (false positives are allowed, false
+    negatives never)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pie_ray.functions.bloomjoin import _bloom_mask, _bloom_params, _key_hash_pair
+
+    m, h = _bloom_params(len(keys), 0.01)
+    h1, h2 = _key_hash_pair(pa.array(keys, pa.string()), 0xB100)
+    i = np.arange(h, dtype=np.uint64)
+    pos = ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).ravel().astype(
+        np.int64
+    )
+    bits = np.zeros(m // 8, np.uint8)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    mask = _bloom_mask(pa.array(keys, pa.string()), bits, m, h, 0xB100)
+    assert mask.all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(groups=st.lists(st.tuples(st.text(max_size=6), st.integers(1, 4)), min_size=0, max_size=20))
+def test_group_starts_matches_itertools_groupby(groups):
+    import itertools
+
+    import pyarrow as pa
+
+    from pie_ray.stages.entity_profile import _group_starts
+
+    vals = sorted(v for v, n in groups for _ in range(n))
+    starts = _group_starts(pa.array(vals, pa.string())).tolist()
+    want, pos = [], 0
+    for _, grp in itertools.groupby(vals):
+        want.append(pos)
+        pos += len(list(grp))
+    assert starts == want
