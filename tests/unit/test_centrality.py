@@ -1,0 +1,106 @@
+"""Betweenness centrality: exact path vs networkx on planted and random
+graphs, pivot estimator consistency (k = n pivots IS exact), the
+driver==distributed equivalence, determinism, and the declared
+broadcast-budget seam."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pie_ray.functions.centrality import (
+    betweenness_distributed,
+    betweenness_driver,
+    q_graph_betweenness,
+)
+from pie_ray.functions.graphops import PACK
+
+
+def _pack(pairs):
+    return np.array([a * int(PACK) + b for a, b in pairs], np.int64)
+
+
+def _bc_map(tbl):
+    return dict(
+        zip(tbl.column("s_suppkey").to_pylist(), tbl.column("betweenness").to_pylist())
+    )
+
+
+def _nx_bc(pairs):
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    return nx.betweenness_centrality(g, normalized=False)
+
+
+PATH = [(1, 2), (2, 3), (3, 4)]           # path graph: inner nodes broker
+STAR = [(0, i) for i in range(1, 6)]       # star: hub brokers everything
+BRIDGE = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+
+
+@pytest.mark.parametrize("pairs", [PATH, STAR, BRIDGE])
+def test_exact_matches_networkx(pairs):
+    got = _bc_map(betweenness_driver(_pack(pairs)))
+    want = _nx_bc(pairs)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_exact_matches_networkx_random():
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        n = 25
+        m = 60
+        pairs = set()
+        while len(pairs) < m:
+            a, b = rng.randint(0, n, 2)
+            if a != b:
+                pairs.add((min(a, b) + 1, max(a, b) + 1))
+        pairs = sorted(pairs)
+        got = _bc_map(betweenness_driver(_pack(pairs)))
+        want = _nx_bc(pairs)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
+def test_pivot_estimator_full_k_is_exact_and_partial_is_sane():
+    packed = _pack(BRIDGE)
+    exact = _bc_map(betweenness_driver(packed))
+    full = _bc_map(betweenness_driver(packed, k_pivots=100))
+    assert full == exact
+    part = _bc_map(betweenness_driver(packed, k_pivots=3))
+    # unbiased estimator, same support; top broker must stay detectable
+    assert set(part) == set(exact)
+    assert max(part, key=part.get) in {3, 4}  # the bridge endpoints
+
+
+def test_distributed_equals_driver(ray_session):
+    packed = _pack(BRIDGE)
+    a = _bc_map(betweenness_driver(packed))
+    b = _bc_map(betweenness_distributed(packed))
+    assert set(a) == set(b)
+    for k in a:
+        assert b[k] == pytest.approx(a[k], rel=1e-9)
+    # and twice distributed -> identical floats (deterministic combine)
+    c = _bc_map(betweenness_distributed(packed))
+    assert b == c
+
+
+def test_entry_runs_on_testdata(ray_session):
+    out = q_graph_betweenness("/root/testdata/sf0.001").take_all()
+    assert len(out) > 0
+    assert all(r["betweenness"] >= 0.0 for r in out)
+
+
+def test_broadcast_budget_seam():
+    import pie_ray.functions.centrality as c
+
+    old = c.EDGE_BROADCAST_LIMIT
+    c.EDGE_BROADCAST_LIMIT = 2
+    try:
+        with pytest.raises(NotImplementedError):
+            betweenness_distributed(_pack(BRIDGE))
+    finally:
+        c.EDGE_BROADCAST_LIMIT = old
