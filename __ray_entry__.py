@@ -310,8 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _lazy("pie_ray.functions.graphops", "q_graph_pagerank"),
         "grouped_mode": relational.q_grouped_mode,
         "kg_entity_profiles": _kg_entity_profiles,
-        "graph_betweenness": _lazy(
-            "pie_ray.functions.centrality", "q_graph_betweenness"
+        "graph_centrality": _lazy(
+            "pie_ray.functions.centrality", "q_graph_centrality"
         ),
     }.items()}
 

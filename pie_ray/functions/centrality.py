@@ -90,6 +90,56 @@ def _brandes_from_sources(
     return bc
 
 
+def _harmonic_from_sources(
+    n: int, src: np.ndarray, dst: np.ndarray, sources: np.ndarray
+) -> np.ndarray:
+    """Σ 1/d(u, v) contributions from the given sources u to every node v
+    (undirected symmetry: a BFS from u contributes to all v at once)."""
+    harm = np.zeros(n, np.float64)
+    for s in sources:
+        dist = np.full(n, -1, np.int32)
+        dist[s] = 0
+        d = 0
+        while True:
+            m_e = (dist[src] == d) & (dist[dst] == -1)
+            if not m_e.any():
+                break
+            dist[dst[m_e]] = d + 1
+            d += 1
+        reach = dist > 0
+        harm[reach] += 1.0 / dist[reach]
+    return harm
+
+
+_KERNELS = {
+    "betweenness": _brandes_from_sources,
+    "harmonic": _harmonic_from_sources,
+}
+# per-kernel final scale on the pivot-scaled sums (betweenness counts each
+# unordered pair twice across a full source sweep)
+_KERNEL_NORM = {"betweenness": 0.5, "harmonic": 1.0}
+
+
+def harmonic_driver(edges_packed: np.ndarray, k_pivots: int | None = None) -> pa.Table:
+    """(s_suppkey, harmonic) — harmonic centrality (Boldi & Vigna 2014,
+    the closeness variant robust to disconnected graphs): exact when
+    ``k_pivots`` covers all nodes, else the n/k pivot estimate."""
+    nodes, src, dst = _csr_arrays(edges_packed)
+    n = len(nodes)
+    if n == 0:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()), "harmonic": pa.array([], pa.float64())}
+        )
+    sources, scale = _pick_pivots(nodes, n, k_pivots)
+    h = _harmonic_from_sources(n, src, dst, sources) * scale
+    return pa.table(
+        {
+            "s_suppkey": pa.array(nodes, pa.int64()),
+            "harmonic": pa.array(h, pa.float64()),
+        }
+    )
+
+
 def betweenness_driver(
     edges_packed: np.ndarray, k_pivots: int | None = None
 ) -> pa.Table:
@@ -120,25 +170,29 @@ def _pick_pivots(nodes: np.ndarray, n: int, k_pivots: int | None):
     return pivots, n / k_pivots
 
 
-def betweenness_distributed(
-    edges_packed: np.ndarray, k_pivots: int | None = None
+def _centrality_distributed(
+    edges_packed: np.ndarray, kernel: str, out_col: str, k_pivots: int | None
 ) -> pa.Table:
-    """Same estimator, pivots fanned out as a task map against the
-    broadcast edge arrays; per-task partials (dense n-float vectors) sum on
-    the driver in chunk order — deterministic, and equal to the driver path
-    up to float regrouping (tested to 1e-9 relative)."""
+    """Pivot fan-out shared by the centrality kernels: edge arrays
+    broadcast once via ``ray.put``, pivot chunks run as a task map, each
+    task returns one dense n-float partial per chunk, summed on the driver
+    in chunk order — deterministic, equal to the driver path up to float
+    regrouping (tested to 1e-9 relative). Driver traffic is
+    n × ceil(k/PIVOT_CHUNK) floats, never edges."""
     import ray
 
     if 2 * len(edges_packed) > EDGE_BROADCAST_LIMIT:
         raise NotImplementedError(
-            "betweenness beyond the edge-broadcast budget needs a "
+            f"{kernel} beyond the edge-broadcast budget needs a "
             "partitioned multi-source BFS (not implemented; see module "
             "docstring for the declared seam)"
         )
     nodes, src, dst = _csr_arrays(edges_packed)
     n = len(nodes)
     if n == 0:
-        return betweenness_driver(edges_packed, k_pivots)
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()), out_col: pa.array([], pa.float64())}
+        )
     sources, scale = _pick_pivots(nodes, n, k_pivots)
     graph_ref = ray.put((n, src, dst))
 
@@ -149,13 +203,14 @@ def betweenness_distributed(
         [{"chunk_id": i, "pivots": c.tolist()} for i, c in enumerate(chunks)]
     )
 
-    def run_chunk(t: pa.Table, gref=None) -> pa.Table:
+    def run_chunk(t: pa.Table, gref=None, kname=kernel) -> pa.Table:
         n_, src_, dst_ = ray.get(gref)
+        fn = _KERNELS[kname]
         out_ids, out_bc, out_node = [], [], []
         for cid, piv in zip(
             t.column("chunk_id").to_pylist(), t.column("pivots").to_pylist()
         ):
-            bc = _brandes_from_sources(n_, src_, dst_, np.asarray(piv, np.int64))
+            bc = fn(n_, src_, dst_, np.asarray(piv, np.int64))
             out_ids.append(cid)
             out_node.append(np.arange(n_, dtype=np.int64))
             out_bc.append(bc)
@@ -179,25 +234,43 @@ def betweenness_distributed(
     bc = np.zeros(n, np.float64)
     for cid in sorted(by_chunk):
         bc += by_chunk[cid]
-    bc *= scale / 2.0
+    bc *= scale * _KERNEL_NORM[kernel]
     return pa.table(
         {
             "s_suppkey": pa.array(nodes, pa.int64()),
-            "betweenness": pa.array(bc, pa.float64()),
+            out_col: pa.array(bc, pa.float64()),
         }
     )
 
 
-def q_graph_betweenness(sf_dir: str, k_pivots: int | None = None):
-    """Driver entry: betweenness over the co-supplier graph (rows-only —
-    shortest-path dependency sums are floats and not SQL-hash-matchable;
-    gated by networkx-parity, pivot-consistency and driver==distributed
-    pytests). Uses the pivot fan-out when the graph has more nodes than
-    PIVOT_CHUNK (exercises the distributed path at every scale)."""
+def betweenness_distributed(
+    edges_packed: np.ndarray, k_pivots: int | None = None
+) -> pa.Table:
+    return _centrality_distributed(edges_packed, "betweenness", "betweenness", k_pivots)
+
+
+def harmonic_distributed(
+    edges_packed: np.ndarray, k_pivots: int | None = None
+) -> pa.Table:
+    return _centrality_distributed(edges_packed, "harmonic", "harmonic", k_pivots)
+
+
+def q_graph_centrality(sf_dir: str, k_pivots: int | None = None):
+    """Driver entry: betweenness + harmonic centrality over the
+    co-supplier graph in one row per node (rows-only — shortest-path
+    dependency sums are floats and not SQL-hash-matchable; gated by
+    networkx-parity, pivot-consistency and driver==distributed pytests).
+    Both kernels run through the distributed pivot fan-out against the
+    same broadcast edge arrays."""
     from pie_ray.functions.graphops import EDGE_SCHEMA, cooccurrence_edges
     from pie_ray.util import gather_table
 
     edges = cooccurrence_edges(sf_dir).materialize()
     tbl = gather_table(edges, schema=EDGE_SCHEMA)
     packed = tbl.column("e").to_numpy(zero_copy_only=False)
-    return ray.data.from_arrow(betweenness_distributed(packed, k_pivots))
+    bet = betweenness_distributed(packed, k_pivots)
+    har = harmonic_distributed(packed, k_pivots)
+    # node sets identical by construction (same _csr_arrays)
+    return ray.data.from_arrow(
+        bet.append_column("harmonic", har.column("harmonic"))
+    )

@@ -11,7 +11,9 @@ import pytest
 from pie_ray.functions.centrality import (
     betweenness_distributed,
     betweenness_driver,
-    q_graph_betweenness,
+    harmonic_distributed,
+    harmonic_driver,
+    q_graph_centrality,
 )
 from pie_ray.functions.graphops import PACK
 
@@ -89,9 +91,31 @@ def test_distributed_equals_driver(ray_session):
 
 
 def test_entry_runs_on_testdata(ray_session):
-    out = q_graph_betweenness("/root/testdata/sf0.001").take_all()
+    out = q_graph_centrality("/root/testdata/sf0.001").take_all()
     assert len(out) > 0
     assert all(r["betweenness"] >= 0.0 for r in out)
+    assert all(r["harmonic"] > 0.0 for r in out)
+
+
+def test_harmonic_matches_networkx(ray_session):
+    import networkx as nx
+
+    for pairs in (PATH, STAR, BRIDGE):
+        got = dict(
+            zip(
+                harmonic_driver(_pack(pairs)).column("s_suppkey").to_pylist(),
+                harmonic_driver(_pack(pairs)).column("harmonic").to_pylist(),
+            )
+        )
+        g = nx.Graph(); g.add_edges_from(pairs)
+        want = nx.harmonic_centrality(g)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12), k
+    # distributed == driver for harmonic too
+    a = harmonic_driver(_pack(BRIDGE)).column("harmonic").to_pylist()
+    b = harmonic_distributed(_pack(BRIDGE)).column("harmonic").to_pylist()
+    assert a == pytest.approx(b, rel=1e-9)
 
 
 def test_broadcast_budget_seam():
