@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_centrality": _lazy(
             "pie_ray.functions.centrality", "q_graph_centrality"
         ),
+        "media_phash": _lazy("pie_ray.functions.multimodal", "q_media_phash"),
     }.items()}
 
 

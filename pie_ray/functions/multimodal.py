@@ -297,3 +297,224 @@ def q_media_frames(sf_dir: str):
     return synth_media(64).map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def grayscale(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> (H, W) float64 luma (ITU-R 601 weights)."""
+    return img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash (public recipe): 9x8 nearest-neighbor downscale of
+    the luma, bit = left pixel brighter than its right neighbor. Robust to
+    rescaling/compression; Hamming distance ~ visual difference."""
+    g = grayscale(resize_nearest(img, 9, 8).astype(np.uint8)[..., :3]) if img.ndim == 3 else None
+    if g is None:
+        raise ValueError("expected (H, W, 3) uint8 image")
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average hash: 8x8 luma, bit = pixel above the mean."""
+    g = grayscale(resize_nearest(img, 8, 8).astype(np.uint8)[..., :3])
+    bits = (g > g.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class MediaHasher:
+    """Actor-pool stage: decode image/video (first frame) -> 64-bit dHash +
+    aHash fingerprints. Audio rows pass through with hash -1 (a spectral
+    fingerprint is a different kernel). Payload column dropped on output."""
+
+    def __init__(self, mode: str = "fake"):
+        self.backend = DecodeBackend(mode)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        kinds = t.column("kind").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        ws = t.column("width").to_pylist()
+        hs = t.column("height").to_pylist()
+        dh, ah = [], []
+        for k, p, w, h in zip(kinds, payloads, ws, hs):
+            if k == "audio":
+                dh.append(-1)
+                ah.append(-1)
+                continue
+            img = self.backend.decode_image(p, w, h)
+            # two's-complement wrap: int64 column carries the uint64 bits
+            dh.append(np.array(dhash64(img), np.uint64).astype(np.int64).item())
+            ah.append(np.array(ahash64(img), np.uint64).astype(np.int64).item())
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "kind": t.column("kind"),
+                "dhash": pa.array(dh, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
+            }
+        )
+
+
+def hash_media(ds, mode: str = "fake", batch_size: int = 16, concurrency=(1, 4)):
+    return ds.map_batches(
+        MediaHasher,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy 1.x has no bitwise_count)."""
+    return (
+        np.unpackbits(x.astype(np.uint64).view(np.uint8))
+        .reshape(-1, 64)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+NEAR_DUP_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 GUARANTEES a shared band
+
+
+def media_near_dups(hashes_ds, max_hamming: int = 3, num_buckets: int = 64):
+    """Near-duplicate image pairs by banded dHash LSH: split the 64-bit
+    hash into NEAR_DUP_BANDS 16-bit bands; any pair within ``max_hamming``
+    bit flips shares at least one band whenever max_hamming < bands
+    (pigeonhole — candidate generation is COMPLETE for the default 3, the
+    same guarantee structure as the MinHash banding in stages/linking).
+    One bucketed exchange on (band, value); within-bucket pairs verified
+    with a vectorized XOR popcount. Returns (id_a, id_b, hamming) with
+    id_a < id_b, distinct."""
+    from pie_ray.util import hash64_ints
+
+    def band_tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.not_equal(t.column("dhash"), -1))
+        h = t.column("dhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column("media_id").to_pylist()
+        n = len(ids)
+        out_band, out_val, out_id, out_hash = [], [], [], []
+        for b in range(NEAR_DUP_BANDS):
+            val = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_band.append(np.full(n, b, np.int64))
+            out_val.append(val)
+            out_id.extend(ids)
+            out_hash.append(h.astype(np.int64))
+        band = np.concatenate(out_band) if n else np.empty(0, np.int64)
+        val = np.concatenate(out_val) if n else np.empty(0, np.int64)
+        hh = np.concatenate(out_hash) if n else np.empty(0, np.int64)
+        key = band * (1 << 16) + val
+        bkt = (hash64_ints(key, salt=0x9DA5) % num_buckets).astype(np.int32)
+        return pa.table(
+            {
+                "band": pa.array(band, pa.int64()),
+                "val": pa.array(val, pa.int64()),
+                "media_id": pa.array(out_id, pa.string()),
+                "dhash": pa.array(hh, pa.int64()),
+                "bucket": pa.array(bkt, pa.int32()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        key = (
+            g.column("band").to_numpy(zero_copy_only=False) * (1 << 16)
+            + g.column("val").to_numpy(zero_copy_only=False)
+        )
+        ids = np.asarray(g.column("media_id").to_pylist(), dtype=object)
+        hs = g.column("dhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        key, ids, hs = key[order], ids[order], hs[order]
+        _, starts, counts = np.unique(key, return_index=True, return_counts=True)
+        pa_, pb_ = [], []
+        ha_, hb_ = [], []
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            st = starts[counts == k]
+            mat_i = ids[st[:, None] + np.arange(k)[None, :]]
+            mat_h = hs[st[:, None] + np.arange(k)[None, :]]
+            iu, ju = np.triu_indices(int(k), 1)
+            pa_.append(mat_i[:, iu].ravel())
+            pb_.append(mat_i[:, ju].ravel())
+            ha_.append(mat_h[:, iu].ravel())
+            hb_.append(mat_h[:, ju].ravel())
+        if not pa_:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        A = np.concatenate(pa_)
+        B = np.concatenate(pb_)
+        HA = np.concatenate(ha_)
+        HB = np.concatenate(hb_)
+        swap = A > B
+        A, B = np.where(swap, B, A), np.where(swap, A, B)
+        ham = _popcount64(HA ^ HB)
+        keep = ham <= max_hamming
+        # distinct within bucket (same pair can repeat across bands)
+        combo = np.char.add(np.char.add(A[keep].astype(str), "\x1f"), B[keep].astype(str))
+        _, first = np.unique(combo, return_index=True)
+        return pa.table(
+            {
+                "id_a": pa.array(A[keep][first], pa.string()),
+                "id_b": pa.array(B[keep][first], pa.string()),
+                "hamming": pa.array(ham[keep][first], pa.int64()),
+            }
+        )
+
+    paired = (
+        hashes_ds.map_batches(band_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+    # cross-bucket dedup: a pair repeats only across bands, and a (band,
+    # val) key lands in ONE bucket — but two DIFFERENT shared bands can
+    # hash to different buckets, so one more tiny exchange dedups pairs
+    def pair_tag(t: pa.Table) -> pa.Table:
+        from pie_ray.util import bucket_hash_strings
+
+        key = pa.compute.binary_join_element_wise(
+            t.column("id_a"), t.column("id_b"), "\x1f"
+        )
+        b = (bucket_hash_strings(key, salt=0x77A1) % num_buckets).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def pair_dedup(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["bucket"]).group_by(["id_a", "id_b"]).aggregate(
+            [("hamming", "min")]
+        ).rename_columns(["id_a", "id_b", "hamming"])
+
+    return (
+        paired.map_batches(pair_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair_dedup, batch_format="pyarrow")
+    )
+
+
+def q_media_phash(sf_dir: str):
+    """Driver entry: perceptual hashes + near-dup pairs over a synthetic
+    media table with PLANTED exact duplicates (copies of existing payloads
+    under new ids — same payload => same fake decode => hamming 0). Returns
+    the pair table (rows-only; gated by brute-force-hamming parity tests)."""
+    base = synth_media(64)
+
+    def plant(t: pa.Table) -> pa.Table:
+        imgs = t.filter(pa.compute.equal(t.column("kind"), "image"))
+        k = min(8, imgs.num_rows)
+        dup = imgs.slice(0, k)
+        ids = pa.array([f"dup{i:04d}" for i in range(k)], pa.string())
+        dup = dup.set_column(dup.schema.get_field_index("media_id"), "media_id", ids)
+        return pa.concat_tables([t, dup])
+
+    planted = base.map_batches(plant, batch_format="pyarrow")
+    return media_near_dups(hash_media(planted))
