@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pie_ray.functions.centrality", "q_graph_centrality"
         ),
         "media_phash": _lazy("pie_ray.functions.multimodal", "q_media_phash"),
+        "sim_join": _lazy("pie_ray.functions.similarity", "q_sim_join"),
     }.items()}
 
 
@@ -326,6 +327,17 @@ def oracle_sql() -> dict[str, str]:
         # NB-style quality classifier (CCNet/GPT-3 filter shape): integer
         # fixed-point weights -> every value bit-exact vs DuckDB
         "quality_classifier": QUALITY_CLF_ORACLE_SQL,
+        # exact thresholded all-pairs cosine self-join (round-6 contract,
+        # same float tolerance story as knn_cosine)
+        "sim_join": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+        """,
         # integer-exact PageRank: the fixed-point update is all-int64, so
         # the nested-CTE unrolled power iteration hash-matches bit-for-bit
         "graph_pagerank": pagerank_oracle_sql(),

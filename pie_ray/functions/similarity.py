@@ -480,3 +480,91 @@ def q_knn_ann(sf_dir: str):
         part = q(sf_dir).map_batches(tag(op), batch_format="pyarrow")
         out = part if out is None else out.union(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact cosine similarity self-join (thresholded all-pairs)
+# ---------------------------------------------------------------------------
+
+SIM_JOIN_BROADCAST_MAX = 2_000_000  # vectors broadcastable (~1 GB at dim 64)
+SIM_JOIN_THRESHOLD = 0.3
+
+
+def cosine_sim_join(
+    ds,
+    threshold: float = SIM_JOIN_THRESHOLD,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """EXACT thresholded all-pairs cosine self-join -> (id_a < id_b, sim
+    rounded to 6 dp): the oracled twin of the approximate LSH near-dup
+    path in dedup.embedding_near_dups. One broadcast of the normalized
+    matrix (``ray.put`` once), then each batch matmuls its rows against
+    the full matrix — O(n·dim) flops per row, vectorized, no shuffle; the
+    id_a < id_b constraint halves emission. Past
+    ``SIM_JOIN_BROADCAST_MAX`` vectors the exact quadratic join is the
+    wrong tool by construction — the declared answer at that scale is the
+    LSH/SemDeDup family, so this raises rather than degrades silently.
+
+    Rounding to 6 dp on BOTH the emitted value and the threshold compare
+    mirrors the knn_cosine oracle contract (DuckDB's
+    list_cosine_similarity agrees with numpy float64 to well under 1e-6)."""
+    import ray
+
+    n = ds.count()
+    if n > SIM_JOIN_BROADCAST_MAX:
+        raise NotImplementedError(
+            "exact all-pairs similarity beyond the broadcast budget is "
+            "quadratic by definition — use dedup.embedding_near_dups "
+            "(LSH) or semdedup.semantic_dedup at that scale"
+        )
+    ids_parts: list[np.ndarray] = []
+    mat_parts: list[np.ndarray] = []
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        ids_parts.append(
+            t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        mat_parts.append(list_to_matrix(t.column(emb_col)))
+    ids = np.concatenate(ids_parts)
+    mat = np.vstack(mat_parts)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ref = ray.put((ids, mat))
+
+    def pairs(t: pa.Table, bref=None) -> pa.Table:
+        all_ids, all_mat = ray.get(bref)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        my_ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        my_mat = list_to_matrix(t.column(emb_col))
+        my_norms = np.linalg.norm(my_mat, axis=1)
+        my_norms[my_norms == 0] = 1.0
+        my_mat = my_mat / my_norms[:, None]
+        sims = np.round(my_mat @ all_mat.T, 6)  # (b, n)
+        keep = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
+        ri, ci = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(my_ids[ri], pa.int64()),
+                "id_b": pa.array(all_ids[ci], pa.int64()),
+                "sim": pa.array(sims[ri, ci], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, fn_kwargs={"bref": ref}, batch_format="pyarrow")
+
+
+def q_sim_join(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return cosine_sim_join(ds)
