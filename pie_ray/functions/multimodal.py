@@ -397,26 +397,31 @@ def media_near_dups(hashes_ds, max_hamming: int = 3, num_buckets: int = 64):
     def band_tag(t: pa.Table) -> pa.Table:
         t = t.filter(pa.compute.not_equal(t.column("dhash"), -1))
         h = t.column("dhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = t.column("media_id").to_pylist()
-        n = len(ids)
-        out_band, out_val, out_id, out_hash = [], [], [], []
-        for b in range(NEAR_DUP_BANDS):
-            val = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_band.append(np.full(n, b, np.int64))
-            out_val.append(val)
-            out_id.extend(ids)
-            out_hash.append(h.astype(np.int64))
-        band = np.concatenate(out_band) if n else np.empty(0, np.int64)
-        val = np.concatenate(out_val) if n else np.empty(0, np.int64)
-        hh = np.concatenate(out_hash) if n else np.empty(0, np.int64)
+        ids_arr = t.column("media_id").combine_chunks()
+        n = len(h)
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                    "media_id": pa.array([], pa.string()),
+                    "dhash": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        band = np.repeat(np.arange(NEAR_DUP_BANDS, dtype=np.int64), n)
+        shifts = np.repeat(np.arange(NEAR_DUP_BANDS, dtype=np.uint64) * 16, n)
+        h_tiled = np.tile(h, NEAR_DUP_BANDS)
+        val = ((h_tiled >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        ids_tiled = pa.concat_arrays([ids_arr] * NEAR_DUP_BANDS)
         key = band * (1 << 16) + val
         bkt = (hash64_ints(key, salt=0x9DA5) % num_buckets).astype(np.int32)
         return pa.table(
             {
                 "band": pa.array(band, pa.int64()),
                 "val": pa.array(val, pa.int64()),
-                "media_id": pa.array(out_id, pa.string()),
-                "dhash": pa.array(hh, pa.int64()),
+                "media_id": ids_tiled,
+                "dhash": pa.array(h_tiled.astype(np.int64), pa.int64()),
                 "bucket": pa.array(bkt, pa.int32()),
             }
         )
