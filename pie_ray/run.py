@@ -32,6 +32,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="maintenance: merge accumulated --ingest delta dirs under "
         "--output into one delta each (no new pages processed)",
     )
+    src.add_argument(
+        "--changes",
+        nargs=2,
+        type=int,
+        metavar=("FROM", "TO"),
+        help="time-travel change feed over an --ingest store: print the "
+        "added/removed fact counts between two increments and write the "
+        "diff to <output>/changes_FROM_TO (no build runs)",
+    )
     p.add_argument("--output", required=True, help="output root (triples/, graph/, _manifests/)")
     p.add_argument(
         "--langs",
@@ -121,6 +130,34 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     tune_data_context()
+
+    if args.changes:
+        import json as _json
+        import shutil
+
+        from pie_ray.pipelines.incremental import kg_changes, list_increments
+
+        k_from, k_to = args.changes
+        diff = kg_changes(args.output, k_from, k_to).materialize()
+        out = f"{args.output}/changes_{k_from}_{k_to}"
+        shutil.rmtree(out, ignore_errors=True)
+        diff.write_parquet(out)
+        n_added = diff.filter(expr="change == 'added'").count()
+        print(
+            _json.dumps(
+                {
+                    "increments": list_increments(args.output),
+                    "from": k_from,
+                    "to": k_to,
+                    "added": n_added,
+                    "removed": diff.count() - n_added,
+                    "changes_path": out,
+                },
+                indent=1,
+            )
+        )
+        ray.shutdown()
+        return 0
 
     from pie_ray.pipelines.kg import KgConfig
     from pie_ray.pipelines.resume import run_resumable
