@@ -495,9 +495,12 @@ def media_near_dups(hashes_ds, max_hamming: int = 3, num_buckets: int = 64):
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     def pair_dedup(g: pa.Table) -> pa.Table:
-        return g.drop_columns(["bucket"]).group_by(["id_a", "id_b"]).aggregate(
+        from pie_ray.util import rename_grouped
+
+        gb = g.drop_columns(["bucket"]).group_by(["id_a", "id_b"]).aggregate(
             [("hamming", "min")]
-        ).rename_columns(["id_a", "id_b", "hamming"])
+        )
+        return rename_grouped(gb, ["id_a", "id_b"], ["id_a", "id_b", "hamming"])
 
     return (
         paired.map_batches(pair_tag, batch_format="pyarrow")
