@@ -327,10 +327,27 @@ def ahash64(img: np.ndarray) -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
+def audiohash64(wav: np.ndarray) -> int:
+    """Energy-sign fingerprint for audio (the Haitsma-Kalker 2002 shape
+    without the FFT — this container has no DSP libs, and frame-energy
+    deltas carry the same robust-bit structure): 65 equal frames, bit =
+    this frame's energy exceeds the previous frame's."""
+    n = len(wav)
+    if n == 0:
+        return 0
+    edges = np.linspace(0, n, 66).astype(np.int64)
+    sq = np.concatenate([[0.0], np.cumsum(wav.astype(np.float64) ** 2)])
+    en = (sq[edges[1:]] - sq[edges[:-1]]) / np.maximum(np.diff(edges), 1)
+    bits = en[1:] > en[:-1]
+    return int(np.packbits(bits).view(">u8")[0])
+
+
 class MediaHasher:
-    """Actor-pool stage: decode image/video (first frame) -> 64-bit dHash +
-    aHash fingerprints. Audio rows pass through with hash -1 (a spectral
-    fingerprint is a different kernel). Payload column dropped on output."""
+    """Actor-pool stage: 64-bit perceptual fingerprints per modality —
+    image/video (first frame) get dHash + aHash over the decoded frame,
+    audio gets the frame-energy-sign hash over the decoded waveform
+    (carried in ``dhash`` so the banded near-dup pass covers all kinds;
+    ``ahash`` is -1 for audio). Payload column dropped on output."""
 
     def __init__(self, mode: str = "fake"):
         self.backend = DecodeBackend(mode)
@@ -340,16 +357,22 @@ class MediaHasher:
         payloads = t.column("payload").to_pylist()
         ws = t.column("width").to_pylist()
         hs = t.column("height").to_pylist()
+        durs = t.column("duration_ms").to_pylist()
+
+        def wrap(v: int) -> int:
+            # two's-complement wrap: int64 column carries the uint64 bits
+            return np.array(v, np.uint64).astype(np.int64).item()
+
         dh, ah = [], []
-        for k, p, w, h in zip(kinds, payloads, ws, hs):
+        for k, p, w, h, dur in zip(kinds, payloads, ws, hs, durs):
             if k == "audio":
-                dh.append(-1)
+                wav = self.backend.decode_audio(p, dur)
+                dh.append(wrap(audiohash64(wav)))
                 ah.append(-1)
                 continue
             img = self.backend.decode_image(p, w, h)
-            # two's-complement wrap: int64 column carries the uint64 bits
-            dh.append(np.array(dhash64(img), np.uint64).astype(np.int64).item())
-            ah.append(np.array(ahash64(img), np.uint64).astype(np.int64).item())
+            dh.append(wrap(dhash64(img)))
+            ah.append(wrap(ahash64(img)))
         return pa.table(
             {
                 "media_id": t.column("media_id"),
@@ -398,6 +421,14 @@ def media_near_dups(hashes_ds, max_hamming: int = 3, num_buckets: int = 64):
         t = t.filter(pa.compute.not_equal(t.column("dhash"), -1))
         h = t.column("dhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids_arr = t.column("media_id").combine_chunks()
+        # hash SPACE: audio fingerprints and visual dHashes are different
+        # functions — a numeric collision across them is meaningless, so
+        # the space id folds into the band key (image+video share one
+        # space deliberately: a video's first frame can near-dup an image)
+        space = np.asarray(
+            pa.compute.equal(t.column("kind"), "audio").to_numpy(zero_copy_only=False),
+            np.int64,
+        )
         n = len(h)
         if n == 0:
             return pa.table(
@@ -414,6 +445,7 @@ def media_near_dups(hashes_ds, max_hamming: int = 3, num_buckets: int = 64):
         h_tiled = np.tile(h, NEAR_DUP_BANDS)
         val = ((h_tiled >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
         ids_tiled = pa.concat_arrays([ids_arr] * NEAR_DUP_BANDS)
+        band = band + np.tile(space, NEAR_DUP_BANDS) * NEAR_DUP_BANDS
         key = band * (1 << 16) + val
         bkt = (hash64_ints(key, salt=0x9DA5) % num_buckets).astype(np.int32)
         return pa.table(

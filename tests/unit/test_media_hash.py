@@ -76,12 +76,43 @@ def test_planted_duplicates_found_e2e(ray_session):
     assert all(r["hamming"] == 0 for r in dup_pairs)
 
 
-def test_audio_rows_skip(ray_session):
-    from pie_ray.functions.multimodal import hash_media
+def test_audio_fingerprint_and_no_cross_space_pairs(ray_session):
+    from pie_ray.functions.multimodal import audiohash64, hash_media
 
     hashed = hash_media(synth_media(12), concurrency=(1, 2)).take_all()
     for r in hashed:
         if r["kind"] == "audio":
-            assert r["dhash"] == -1 and r["ahash"] == -1
+            assert r["dhash"] != -1 and r["ahash"] == -1  # energy-sign hash
         else:
-            assert r["dhash"] != -1
+            assert r["dhash"] != -1 and r["ahash"] != -1
+    # determinism of the audio kernel
+    wav = np.random.default_rng(9).standard_normal(4096).astype(np.float32)
+    assert audiohash64(wav) == audiohash64(wav.copy())
+    # an image and an audio row with the SAME numeric hash must never pair
+    t = _hash_table({"img": 12345, "aud": 12345})
+    t = t.set_column(
+        t.schema.get_field_index("kind"),
+        "kind",
+        pa.array(["audio", "image"], pa.string()),  # ids sorted: aud, img
+    )
+    pairs = media_near_dups(ray.data.from_arrow(t), max_hamming=3).take_all()
+    assert pairs == []
+
+
+def test_planted_audio_duplicates_pair(ray_session):
+    from pie_ray.functions.multimodal import hash_media
+
+    base = synth_media(12)
+
+    def plant(t: pa.Table) -> pa.Table:
+        aud = t.filter(pa.compute.equal(t.column("kind"), "audio"))
+        dup = aud.slice(0, 2)
+        ids = pa.array([f"adup{i}" for i in range(dup.num_rows)], pa.string())
+        dup = dup.set_column(dup.schema.get_field_index("media_id"), "media_id", ids)
+        return pa.concat_tables([t, dup])
+
+    pairs = media_near_dups(
+        hash_media(base.map_batches(plant, batch_format="pyarrow"), concurrency=(1, 2))
+    ).take_all()
+    adup = [r for r in pairs if r["id_a"].startswith("adup") or r["id_b"].startswith("adup")]
+    assert len(adup) >= 2 and all(r["hamming"] == 0 for r in adup)
