@@ -138,10 +138,114 @@ def _write_increment(root: str, k: int, pages_ds, cfg) -> int:
     )
 
 
+def part_fingerprints(triples_ds, num_parts: int) -> dict[int, tuple[int, int]]:
+    """128-bit content fingerprint per GRAPH PARTITION of a triple set:
+    rows route by the graph's recorded rule (blake2b64(subj, salt=b'part')
+    % P), each row hashes over its FULL content (provenance included — a
+    min-warc_ts change with an unchanged (s,p,o) key still changes the
+    graph's first_ts, so key-level diffs are not enough), and a partition's
+    fingerprint is the order-independent XOR of its row hashes under two
+    salts. Driver state: P × 2 ints; per-batch partials ship ≤ P rows."""
+    import numpy as np
+
+    from pie_ray.util import hash64_array
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "f1": pa.array([], pa.int64()),
+                    "f2": pa.array([], pa.int64()),
+                }
+            )
+        subj = t.column("subj").to_pylist()
+        # part rule must match stages/graph.adjacency_batch exactly
+        part = (hash64_array(subj, salt=b"part") % np.uint64(num_parts)).astype(
+            np.int64
+        )
+        key = pc.binary_join_element_wise(
+            t.column("subj"),
+            t.column("pred"),
+            t.column("obj"),
+            t.column("url"),
+            pc.cast(pc.cast(t.column("warc_ts"), pa.int64()), pa.string()),
+            "\x1f",
+        ).to_pylist()
+        h1 = hash64_array(key, salt=b"gfp1").astype(np.uint64)
+        h2 = hash64_array(key, salt=b"gfp2").astype(np.uint64)
+        out_p, out_1, out_2 = [], [], []
+        for p in np.unique(part):
+            m = part == p
+            out_p.append(int(p))
+            out_1.append(int(np.bitwise_xor.reduce(h1[m])))
+            out_2.append(int(np.bitwise_xor.reduce(h2[m])))
+        return pa.table(
+            {
+                "part": pa.array(out_p, pa.int32()),
+                "f1": pa.array(np.array(out_1, np.uint64).astype(np.int64), pa.int64()),
+                "f2": pa.array(np.array(out_2, np.uint64).astype(np.int64), pa.int64()),
+            }
+        )
+
+    acc: dict[int, tuple[int, int]] = {}
+    for r in triples_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        a, b = acc.get(r["part"], (0, 0))
+        acc[r["part"]] = (a ^ (r["f1"] & 0xFFFFFFFFFFFFFFFF), b ^ (r["f2"] & 0xFFFFFFFFFFFFFFFF))
+    return acc
+
+
+def _refresh_graph_parts(root: str, triples, affected: set[int], cfg) -> None:
+    """Rebuild ONLY the affected graph partitions: filter the new triple
+    set to subjects routing into them (edges are subj -> obj, so a triple
+    can only contribute to part(subj)), run the standard fused
+    edge-agg/adjacency exchange over that subset, and swap per-part dirs.
+    A part with rows before and none after is deleted."""
+    import numpy as np
+
+    from pie_ray.stages.graph import aggregate_edges_to_adjacency
+    from pie_ray.util import hash64_array
+
+    want = np.array(sorted(affected), dtype=np.int64)
+
+    def keep_parts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        subj = t.column("subj").combine_chunks()
+        uniq = pc.unique(subj)
+        up = (
+            hash64_array(uniq.to_pylist(), salt=b"part")
+            % np.uint64(cfg.num_graph_parts)
+        ).astype(np.int64)
+        keep_subj = uniq.filter(pa.array(np.isin(up, want)))
+        return t.filter(pc.is_in(subj, value_set=keep_subj))
+
+    sub = triples.map_batches(keep_parts, batch_format="pyarrow").materialize()
+    adj = aggregate_edges_to_adjacency(sub, cfg.num_graph_parts)
+    refresh = os.path.join(root, "graph.refresh")
+    shutil.rmtree(refresh, ignore_errors=True)
+    adj.write_parquet(refresh, partition_cols=["part"])
+    gdir = os.path.join(root, "graph")
+    for p in sorted(affected):
+        new_dir = os.path.join(refresh, f"part={p}")
+        old_dir = os.path.join(gdir, f"part={p}")
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(new_dir):
+            os.replace(new_dir, old_dir)
+    shutil.rmtree(refresh, ignore_errors=True)
+
+
 def _rebuild(root: str, cfg) -> dict:
     """Raw-delta union -> link -> canonicalize -> dedup -> graph. Same code
     path as the fresh pipeline (pipelines.kg), so incremental output is
-    equal BY CONSTRUCTION to a fresh build over the union of all inputs."""
+    equal BY CONSTRUCTION to a fresh build over the union of all inputs.
+
+    The GRAPH step is delta-aware: per-partition content fingerprints of
+    the old vs new triple sets (provenance included) pick the partitions
+    whose adjacency could have changed, and only those rebuild — untouched
+    part dirs are not rewritten. Crash-safety rides the existing built_fp
+    gate: meta is stamped only after a full _rebuild returns, so a crash
+    mid-refresh leaves built_fp stale and the next update rebuilds."""
     import ray.data
 
     from pie_ray.pipelines.kg import canonicalize_stage, graph_stage, link_stage
@@ -151,20 +255,45 @@ def _rebuild(root: str, cfg) -> dict:
     canon = link_stage(raw, cfg)
     triples = canonicalize_stage(raw, canon, cfg).materialize()
 
+    tri_dir = os.path.join(root, "triples")
+    gdir = os.path.join(root, "graph")
+    meta_path = os.path.join(gdir, "_GRAPH_META.json")
+    old_fp: dict[int, tuple[int, int]] | None = None
+    if os.path.exists(tri_dir) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("num_parts") == cfg.num_graph_parts:
+                old_fp = part_fingerprints(
+                    ray.data.read_parquet(tri_dir), cfg.num_graph_parts
+                )
+
     tri_build = os.path.join(root, "triples.building")
     shutil.rmtree(tri_build, ignore_errors=True)
     os.makedirs(tri_build)
     triples.write_parquet(tri_build)
     _swap_in(tri_build, os.path.join(root, "triples"))
 
-    g_build = os.path.join(root, "graph.building")
-    shutil.rmtree(g_build, ignore_errors=True)
-    write_graph(graph_stage(triples, cfg), g_build, num_parts=cfg.num_graph_parts)
-    _swap_in(g_build, os.path.join(root, "graph"))
+    stats: dict = {}
+    if old_fp is not None:
+        new_fp = part_fingerprints(triples, cfg.num_graph_parts)
+        affected = {
+            p
+            for p in set(old_fp) | set(new_fp)
+            if old_fp.get(p) != new_fp.get(p)
+        }
+        stats["graph_parts_rebuilt"] = len(affected)
+        stats["graph_parts_total"] = cfg.num_graph_parts
+        if affected:
+            _refresh_graph_parts(root, triples, affected, cfg)
+    else:
+        g_build = os.path.join(root, "graph.building")
+        shutil.rmtree(g_build, ignore_errors=True)
+        write_graph(graph_stage(triples, cfg), g_build, num_parts=cfg.num_graph_parts)
+        _swap_in(g_build, os.path.join(root, "graph"))
     return {
         "triples_path": os.path.join(root, "triples"),
         "graph_path": os.path.join(root, "graph"),
         "n_triples": triples.count(),
+        **stats,
     }
 
 
