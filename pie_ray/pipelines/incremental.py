@@ -235,17 +235,41 @@ def _refresh_graph_parts(root: str, triples, affected: set[int], cfg) -> None:
     shutil.rmtree(refresh, ignore_errors=True)
 
 
+GRAPH_FP_NAME = "graph_fp.json"
+
+
+def _read_graph_fp(root: str, num_parts: int) -> dict[int, tuple[int, int]] | None:
+    path = os.path.join(root, GRAPH_FP_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("num_parts") != num_parts:
+        return None
+    return {int(k): (v[0], v[1]) for k, v in d["fp"].items()}
+
+
+def _write_graph_fp(root: str, num_parts: int, fp: dict[int, tuple[int, int]]) -> None:
+    path = os.path.join(root, GRAPH_FP_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_parts": num_parts, "fp": {str(k): list(v) for k, v in fp.items()}}, f)
+    os.replace(tmp, path)
+
+
 def _rebuild(root: str, cfg) -> dict:
     """Raw-delta union -> link -> canonicalize -> dedup -> graph. Same code
     path as the fresh pipeline (pipelines.kg), so incremental output is
     equal BY CONSTRUCTION to a fresh build over the union of all inputs.
 
-    The GRAPH step is delta-aware: per-partition content fingerprints of
-    the old vs new triple sets (provenance included) pick the partitions
-    whose adjacency could have changed, and only those rebuild — untouched
-    part dirs are not rewritten. Crash-safety rides the existing built_fp
-    gate: meta is stamped only after a full _rebuild returns, so a crash
-    mid-refresh leaves built_fp stale and the next update rebuilds."""
+    The GRAPH step is delta-aware: the new triple set's per-partition
+    content fingerprints are diffed against the fingerprints STORED when
+    the graph was last known consistent (graph_fp.json — written LAST,
+    atomically), and only mismatching partitions rebuild. Diffing against
+    the stored-with-the-graph state (not against the old triples) is what
+    makes a crash mid-refresh safe: the sidecar still describes the
+    pre-update graph, so the re-run recomputes the SAME affected set and
+    converges — and it also saves a full scan of the old triples."""
     import ray.data
 
     from pie_ray.pipelines.kg import canonicalize_stage, graph_stage, link_stage
@@ -255,16 +279,9 @@ def _rebuild(root: str, cfg) -> dict:
     canon = link_stage(raw, cfg)
     triples = canonicalize_stage(raw, canon, cfg).materialize()
 
-    tri_dir = os.path.join(root, "triples")
-    gdir = os.path.join(root, "graph")
-    meta_path = os.path.join(gdir, "_GRAPH_META.json")
-    old_fp: dict[int, tuple[int, int]] | None = None
-    if os.path.exists(tri_dir) and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if json.load(f).get("num_parts") == cfg.num_graph_parts:
-                old_fp = part_fingerprints(
-                    ray.data.read_parquet(tri_dir), cfg.num_graph_parts
-                )
+    old_fp = _read_graph_fp(root, cfg.num_graph_parts)
+    if not os.path.exists(os.path.join(root, "graph", "_GRAPH_META.json")):
+        old_fp = None  # no graph on disk -> full build regardless of sidecar
 
     tri_build = os.path.join(root, "triples.building")
     shutil.rmtree(tri_build, ignore_errors=True)
@@ -273,8 +290,8 @@ def _rebuild(root: str, cfg) -> dict:
     _swap_in(tri_build, os.path.join(root, "triples"))
 
     stats: dict = {}
+    new_fp = part_fingerprints(triples, cfg.num_graph_parts)
     if old_fp is not None:
-        new_fp = part_fingerprints(triples, cfg.num_graph_parts)
         affected = {
             p
             for p in set(old_fp) | set(new_fp)
@@ -289,6 +306,9 @@ def _rebuild(root: str, cfg) -> dict:
         shutil.rmtree(g_build, ignore_errors=True)
         write_graph(graph_stage(triples, cfg), g_build, num_parts=cfg.num_graph_parts)
         _swap_in(g_build, os.path.join(root, "graph"))
+    # stamp LAST: anything that dies before this line leaves the old
+    # sidecar in place, and the next rebuild redoes the same partitions
+    _write_graph_fp(root, cfg.num_graph_parts, new_fp)
     return {
         "triples_path": os.path.join(root, "triples"),
         "graph_path": os.path.join(root, "graph"),

@@ -93,3 +93,48 @@ def test_fingerprint_is_provenance_sensitive(ray_session):
     fp3 = part_fingerprints(ray.data.from_arrow(tbl("2024-01-01T00:00:00")), 16)
     assert fp1 == fp3
     assert fp1 != fp2  # same (s,p,o), earlier min-ts -> graph first_ts changes
+
+
+def test_crash_mid_refresh_converges_on_rerun(ray_session, tmp_path):
+    """Kill the refresh after it has swapped only a subset of the affected
+    partitions (sidecar not yet stamped, ingest meta not updated): the
+    re-run must recompute the SAME affected set from the stored sidecar
+    and leave the graph equal to a fresh build."""
+    import ray.data
+
+    import pie_ray.pipelines.incremental as inc
+    from pie_ray.pipelines.incremental import incremental_build, incremental_update
+    from pie_ray.pipelines.kg import KgConfig, graph_stage
+    from pie_ray.sources.synth import synth_pages
+
+    root = str(tmp_path / "store")
+    cfg = KgConfig(num_graph_parts=32)
+    incremental_build(synth_pages(150), root, cfg)
+
+    real_refresh = inc._refresh_graph_parts
+
+    def dying_refresh(root_, triples, affected, cfg_):
+        subset = set(sorted(affected)[: max(1, len(affected) // 2)])
+        real_refresh(root_, triples, subset, cfg_)  # partial swap...
+        raise RuntimeError("simulated crash mid-refresh")
+
+    inc._refresh_graph_parts = dying_refresh
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            incremental_update(root, synth_pages(200), cfg)
+    finally:
+        inc._refresh_graph_parts = real_refresh
+
+    # re-run the SAME update: Bloom sees all urls, but the delta
+    # fingerprint no longer matches the stamped built_fp, so it rebuilds
+    rep = incremental_update(root, synth_pages(200), cfg)
+    assert rep["rebuilt"]
+    assert rep["graph_parts_rebuilt"] > 0
+
+    tri = ray.data.read_parquet(f"{root}/triples").materialize()
+    want = {(r["src"], r["degree"], r["part"]) for r in graph_stage(tri, cfg).take_all()}
+    got = {
+        (r["src"], r["degree"], int(r["part"]))
+        for r in ray.data.read_parquet(f"{root}/graph").take_all()
+    }
+    assert got == want
