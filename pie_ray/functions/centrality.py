@@ -52,12 +52,19 @@ def _csr_arrays(edges_packed: np.ndarray):
 
 
 def _brandes_from_sources(
-    n: int, src: np.ndarray, dst: np.ndarray, sources: np.ndarray
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    sources: np.ndarray,
+    harm_out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Sum of Brandes dependencies over ``sources`` (unnormalized; each
     unordered pair counted twice across a full source sweep — the caller
     halves). Vectorized per source: every level is a masked pass over the
-    full directed edge arrays."""
+    full directed edge arrays. When ``harm_out`` is given, the harmonic
+    contributions (Σ 1/d) accumulate into it from the SAME BFS distances —
+    computing both centralities costs one extra masked add, not a second
+    BFS sweep."""
     bc = np.zeros(n, np.float64)
     for s in sources:
         dist = np.full(n, -1, np.int32)
@@ -72,6 +79,9 @@ def _brandes_from_sources(
             dist[dst[m_e]] = d + 1
             d += 1
         depth = d
+        if harm_out is not None:
+            reach = dist > 0
+            harm_out[reach] += 1.0 / dist[reach]
         # sigma forward by level: edges u->v with dist[v] == dist[u]+1
         du, dv = dist[src], dist[dst]
         dag = (du >= 0) & (dv == du + 1)
@@ -111,10 +121,6 @@ def _harmonic_from_sources(
     return harm
 
 
-_KERNELS = {
-    "betweenness": _brandes_from_sources,
-    "harmonic": _harmonic_from_sources,
-}
 # per-kernel final scale on the pivot-scaled sums (betweenness counts each
 # unordered pair twice across a full source sweep)
 _KERNEL_NORM = {"betweenness": 0.5, "harmonic": 1.0}
@@ -171,19 +177,23 @@ def _pick_pivots(nodes: np.ndarray, n: int, k_pivots: int | None):
 
 
 def _centrality_distributed(
-    edges_packed: np.ndarray, kernel: str, out_col: str, k_pivots: int | None
+    edges_packed: np.ndarray, kernels: list[str], k_pivots: int | None
 ) -> pa.Table:
     """Pivot fan-out shared by the centrality kernels: edge arrays
     broadcast once via ``ray.put``, pivot chunks run as a task map, each
-    task returns one dense n-float partial per chunk, summed on the driver
-    in chunk order — deterministic, equal to the driver path up to float
-    regrouping (tested to 1e-9 relative). Driver traffic is
-    n × ceil(k/PIVOT_CHUNK) floats, never edges."""
+    task returns one dense n-float partial per chunk PER KERNEL (asking
+    for both costs one extra masked add per BFS, not a second sweep),
+    summed on the driver in chunk order — deterministic, equal to the
+    driver path up to float regrouping (tested to 1e-9 relative). Driver
+    traffic is n × ceil(k/PIVOT_CHUNK) rows, never edges; the combine is
+    one vectorized lexsort + reshape-sum, no per-row Python."""
     import ray
+
+    from pie_ray.util import gather_table
 
     if 2 * len(edges_packed) > EDGE_BROADCAST_LIMIT:
         raise NotImplementedError(
-            f"{kernel} beyond the edge-broadcast budget needs a "
+            f"{'/'.join(kernels)} beyond the edge-broadcast budget needs a "
             "partitioned multi-source BFS (not implemented; see module "
             "docstring for the declared seam)"
         )
@@ -191,7 +201,10 @@ def _centrality_distributed(
     n = len(nodes)
     if n == 0:
         return pa.table(
-            {"s_suppkey": pa.array([], pa.int64()), out_col: pa.array([], pa.float64())}
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                **{k: pa.array([], pa.float64()) for k in kernels},
+            }
         )
     sources, scale = _pick_pivots(nodes, n, k_pivots)
     graph_ref = ray.put((n, src, dst))
@@ -203,56 +216,69 @@ def _centrality_distributed(
         [{"chunk_id": i, "pivots": c.tolist()} for i, c in enumerate(chunks)]
     )
 
-    def run_chunk(t: pa.Table, gref=None, kname=kernel) -> pa.Table:
+    def run_chunk(t: pa.Table, gref=None, knames=tuple(kernels)) -> pa.Table:
         n_, src_, dst_ = ray.get(gref)
-        fn = _KERNELS[kname]
-        out_ids, out_bc, out_node = [], [], []
+        out: dict[str, list] = {"chunk_id": [], "node": []}
+        for k in knames:
+            out[k] = []
         for cid, piv in zip(
             t.column("chunk_id").to_pylist(), t.column("pivots").to_pylist()
         ):
-            bc = fn(n_, src_, dst_, np.asarray(piv, np.int64))
-            out_ids.append(cid)
-            out_node.append(np.arange(n_, dtype=np.int64))
-            out_bc.append(bc)
+            piv = np.asarray(piv, np.int64)
+            vals: dict[str, np.ndarray] = {}
+            if "betweenness" in knames:
+                harm = np.zeros(n_, np.float64) if "harmonic" in knames else None
+                vals["betweenness"] = _brandes_from_sources(
+                    n_, src_, dst_, piv, harm_out=harm
+                )
+                if harm is not None:
+                    vals["harmonic"] = harm
+            else:
+                vals["harmonic"] = _harmonic_from_sources(n_, src_, dst_, piv)
+            out["chunk_id"].append(np.full(n_, cid, np.int64))
+            out["node"].append(np.arange(n_, dtype=np.int64))
+            for k in knames:
+                out[k].append(vals[k])
         return pa.table(
             {
-                "chunk_id": pa.array(
-                    np.repeat(out_ids, [len(x) for x in out_node]), pa.int64()
-                ),
-                "node": pa.array(np.concatenate(out_node), pa.int64()),
-                "bc": pa.array(np.concatenate(out_bc), pa.float64()),
+                "chunk_id": pa.array(np.concatenate(out["chunk_id"]), pa.int64()),
+                "node": pa.array(np.concatenate(out["node"]), pa.int64()),
+                **{
+                    k: pa.array(np.concatenate(out[k]), pa.float64())
+                    for k in knames
+                },
             }
         )
 
-    parts = pivot_ds.map_batches(
-        run_chunk, fn_kwargs={"gref": graph_ref}, batch_format="pyarrow"
-    ).take_all()
-    # deterministic combine: chunk-id order, then node order within chunk
-    by_chunk: dict[int, np.ndarray] = {}
-    for r in sorted(parts, key=lambda r: (r["chunk_id"], r["node"])):
-        by_chunk.setdefault(r["chunk_id"], np.zeros(n, np.float64))[r["node"]] = r["bc"]
-    bc = np.zeros(n, np.float64)
-    for cid in sorted(by_chunk):
-        bc += by_chunk[cid]
-    bc *= scale * _KERNEL_NORM[kernel]
-    return pa.table(
-        {
-            "s_suppkey": pa.array(nodes, pa.int64()),
-            out_col: pa.array(bc, pa.float64()),
-        }
+    parts = gather_table(
+        pivot_ds.map_batches(
+            run_chunk, fn_kwargs={"gref": graph_ref}, batch_format="pyarrow"
+        ).materialize()
     )
+    # deterministic vectorized combine: rows sort by (chunk_id, node), so
+    # each kernel column reshapes to (n_chunks, n) and sums in chunk order
+    cid = parts.column("chunk_id").to_numpy(zero_copy_only=False)
+    node = parts.column("node").to_numpy(zero_copy_only=False)
+    order = np.lexsort((node, cid))
+    n_chunks = len(chunks)
+    cols: dict[str, pa.Array] = {}
+    for k in kernels:
+        v = parts.column(k).to_numpy(zero_copy_only=False)[order]
+        total = v.reshape(n_chunks, n).sum(axis=0) * (scale * _KERNEL_NORM[k])
+        cols[k] = pa.array(total, pa.float64())
+    return pa.table({"s_suppkey": pa.array(nodes, pa.int64()), **cols})
 
 
 def betweenness_distributed(
     edges_packed: np.ndarray, k_pivots: int | None = None
 ) -> pa.Table:
-    return _centrality_distributed(edges_packed, "betweenness", "betweenness", k_pivots)
+    return _centrality_distributed(edges_packed, ["betweenness"], k_pivots)
 
 
 def harmonic_distributed(
     edges_packed: np.ndarray, k_pivots: int | None = None
 ) -> pa.Table:
-    return _centrality_distributed(edges_packed, "harmonic", "harmonic", k_pivots)
+    return _centrality_distributed(edges_packed, ["harmonic"], k_pivots)
 
 
 def q_graph_centrality(sf_dir: str, k_pivots: int | None = None):
@@ -260,17 +286,22 @@ def q_graph_centrality(sf_dir: str, k_pivots: int | None = None):
     co-supplier graph in one row per node (rows-only — shortest-path
     dependency sums are floats and not SQL-hash-matchable; gated by
     networkx-parity, pivot-consistency and driver==distributed pytests).
-    Both kernels run through the distributed pivot fan-out against the
-    same broadcast edge arrays."""
+    ONE pivot fan-out computes both kernels against one broadcast of the
+    edge arrays (harmonic rides the Brandes BFS distances). The broadcast
+    budget is gated BEFORE the driver pull — gather_table's contract says
+    the caller owns the size gate."""
     from pie_ray.functions.graphops import EDGE_SCHEMA, cooccurrence_edges
     from pie_ray.util import gather_table
 
     edges = cooccurrence_edges(sf_dir).materialize()
+    if 2 * edges.count() > EDGE_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "centrality beyond the edge-broadcast budget needs a "
+            "partitioned multi-source BFS (declared seam; see module "
+            "docstring)"
+        )
     tbl = gather_table(edges, schema=EDGE_SCHEMA)
     packed = tbl.column("e").to_numpy(zero_copy_only=False)
-    bet = betweenness_distributed(packed, k_pivots)
-    har = harmonic_distributed(packed, k_pivots)
-    # node sets identical by construction (same _csr_arrays)
     return ray.data.from_arrow(
-        bet.append_column("harmonic", har.column("harmonic"))
+        _centrality_distributed(packed, ["betweenness", "harmonic"], k_pivots)
     )

@@ -418,7 +418,10 @@ def media_near_dups(hashes_ds, max_hamming: int = 3, num_buckets: int = 64):
     from pie_ray.util import hash64_ints
 
     def band_tag(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.compute.not_equal(t.column("dhash"), -1))
+        # no sentinel filter: every modality carries a real dhash, and an
+        # all-ones fingerprint is a LEGITIMATE value that reads back as
+        # int64 -1 (e.g. a strict left-to-right luma gradient) — filtering
+        # it would break the hamming<=3 completeness guarantee
         h = t.column("dhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids_arr = t.column("media_id").combine_chunks()
         # hash SPACE: audio fingerprints and visual dHashes are different
@@ -508,10 +511,19 @@ def media_near_dups(hashes_ds, max_hamming: int = 3, num_buckets: int = 64):
             }
         )
 
-    paired = (
+    from pie_ray.util import drop_empty_blocks
+
+    # barrier: the pair table is SMALL (verified pairs only) and the next
+    # step is another bucketed exchange — two all-to-alls must never share
+    # a streaming plan (repo rule: aggregator actors starve at few CPUs)
+    paired = drop_empty_blocks(
         hashes_ds.map_batches(band_tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
+        .materialize(),
+        schema=pa.schema(
+            [("id_a", pa.string()), ("id_b", pa.string()), ("hamming", pa.int64())]
+        ),
     )
 
     # cross-bucket dedup: a pair repeats only across bands, and a (band,

@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from pie_ray.functions.textops import WC_BUCKETS, WS_CHARS
+from pie_ray.functions.textops import WC_BUCKETS
 from pie_ray.util import (
     bucket_count,
     bucket_hash_strings,
@@ -77,17 +77,12 @@ def _label_pos(source: pa.Array) -> pa.Array:
 
 
 def _explode_tokens(t: pa.Table, cols: list[str]):
-    """(words, parent_row_indices) for the non-empty-after-trim docs, plus
-    the filtered companion columns — the textops tokenization contract."""
-    text = pc.fill_null(t.column("text").combine_chunks(), "")
-    trimmed = pc.utf8_trim(pc.utf8_lower(text), characters=WS_CHARS)
-    keep = pc.not_equal(trimmed, "")
-    trimmed = trimmed.filter(keep)
-    lists = pc.split_pattern_regex(trimmed, r"[ \t\n\f\r]+")
-    words = pc.list_flatten(lists)
-    parents = pc.list_parent_indices(lists)
-    out_cols = [t.column(c).combine_chunks().filter(keep) for c in cols]
-    return words, parents, out_cols
+    """(words, parent_row_indices, filtered companion columns) — delegates
+    to the ONE frozen tokenization implementation (textops.explode_ws_lower
+    with extra_cols); a local copy would silently diverge on a spec bump."""
+    from pie_ray.functions.textops import explode_ws_lower
+
+    return explode_ws_lower(t, extra_cols=cols)
 
 
 def train_quality_classifier(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -223,11 +218,16 @@ def score_quality(
 
     terms = _term_counts(docs).materialize()
     nb = bucket_count(terms.size_bytes(), floor=WC_BUCKETS)
-    joined = terms.join(
-        weights,
-        join_type="inner",
-        num_partitions=join_num_partitions(terms.size_bytes()),
-        on=("word",),
+    # barrier between the join exchange and the doc-bucket exchange (repo
+    # rule: two all-to-alls in one streaming plan starve each other's
+    # aggregator actors at few CPUs); strip the join's empty-schema blocks
+    joined = drop_empty_blocks(
+        terms.join(
+            weights,
+            join_type="inner",
+            num_partitions=join_num_partitions(terms.size_bytes()),
+            on=("word",),
+        ).materialize()
     )
 
     def doc_partial(t: pa.Table) -> pa.Table:

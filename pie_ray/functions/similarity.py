@@ -511,6 +511,10 @@ def cosine_sim_join(
     list_cosine_similarity agrees with numpy float64 to well under 1e-6)."""
     import ray
 
+    # ONE execution of the input plan: the count gate, the broadcast pull
+    # and the scoring pass all reuse the materialized blocks (a mapped/
+    # filtered input would otherwise execute up to three times)
+    ds = ds.materialize()
     n = ds.count()
     if n > SIM_JOIN_BROADCAST_MAX:
         raise NotImplementedError(

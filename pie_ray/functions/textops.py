@@ -45,19 +45,28 @@ def ws_tokens(s: str | None) -> list[str]:
 
 
 
-def explode_ws_lower(t: pa.Table, with_doc_ids: bool = False):
+def explode_ws_lower(t: pa.Table, with_doc_ids: bool = False, extra_cols=None):
     """Arrow-kernel word explode: lower -> trim -> regex split -> flatten —
     the vectorized form of ``[ws_tokens(s.lower()) for s in texts]`` (the
     per-token Python Counter loops this replaces dominated every corpus
     word statistic). Same [ \\t\\n\\f\\r] class and lower(trim()) order as
     the SQL oracles; empty/null docs contribute no tokens (split of "" would
-    otherwise emit one "" token). Returns (words, doc_ids-per-word|None)."""
+    otherwise emit one "" token). Returns (words, doc_ids-per-word|None).
+
+    ``extra_cols`` is the generic row-companion form (used by the quality
+    classifier, which needs per-token labels): returns ``(words,
+    parent_row_indices, [filtered companion arrays])`` so callers can
+    ``take`` any per-row value onto the tokens — ONE implementation of the
+    frozen tokenization contract, not a copy per consumer."""
     text = pc.fill_null(t.column("text").combine_chunks(), "")
     trimmed = pc.utf8_trim(pc.utf8_lower(text), characters=WS_CHARS)
     keep = pc.not_equal(trimmed, "")
     trimmed = trimmed.filter(keep)
     lists = pc.split_pattern_regex(trimmed, r"[ \t\n\f\r]+")
     words = pc.list_flatten(lists)
+    if extra_cols is not None:
+        comps = [t.column(c).combine_chunks().filter(keep) for c in extra_cols]
+        return words, pc.list_parent_indices(lists), comps
     if not with_doc_ids:
         return words, None
     ids = t.column("doc_id").combine_chunks().filter(keep)

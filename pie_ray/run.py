@@ -131,6 +131,21 @@ def main(argv: list[str] | None = None) -> int:
 
     tune_data_context()
 
+    from pie_ray.pipelines.kg import KgConfig
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    max_actors = args.ner_actors or max(2, n_cpus - 2)
+    # ONE config for every branch: an as-of re-link under different
+    # linking params (tau) than the store was built with would produce a
+    # different canonicalization than the store ever served
+    cfg = KgConfig(
+        langs=tuple(s for s in args.langs.split(",") if s),
+        ner_batch_size=args.ner_batch_size,
+        ner_concurrency=(1, max_actors),
+        tau=args.tau,
+        num_graph_parts=args.graph_parts,
+    )
+
     if args.changes:
         import json as _json
         import shutil
@@ -138,7 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         from pie_ray.pipelines.incremental import kg_changes, list_increments
 
         k_from, k_to = args.changes
-        diff = kg_changes(args.output, k_from, k_to).materialize()
+        diff = kg_changes(args.output, k_from, k_to, cfg).materialize()
         out = f"{args.output}/changes_{k_from}_{k_to}"
         shutil.rmtree(out, ignore_errors=True)
         diff.write_parquet(out)
@@ -159,18 +174,7 @@ def main(argv: list[str] | None = None) -> int:
         ray.shutdown()
         return 0
 
-    from pie_ray.pipelines.kg import KgConfig
     from pie_ray.pipelines.resume import run_resumable
-
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    max_actors = args.ner_actors or max(2, n_cpus - 2)
-    cfg = KgConfig(
-        langs=tuple(s for s in args.langs.split(",") if s),
-        ner_batch_size=args.ner_batch_size,
-        ner_concurrency=(1, max_actors),
-        tau=args.tau,
-        num_graph_parts=args.graph_parts,
-    )
 
     if args.synth is not None:
         from pie_ray.sources.synth import synth_pages, synth_pages_for_parts

@@ -21,7 +21,7 @@ def _ds(vecs, ids=None, blocks=1):
     return ds.repartition(blocks) if blocks > 1 else ds
 
 
-def test_sim_join_brute_parity_and_order():
+def test_sim_join_brute_parity_and_order(ray_session):
     vecs = [[1, 0], [0.9, 0.1], [0, 1], [-1, 0], [0.5, 0.5]]
     got = sorted(
         (r["id_a"], r["id_b"], r["sim"])
@@ -39,7 +39,7 @@ def test_sim_join_brute_parity_and_order():
     assert all(a < b for a, b, _ in got)
 
 
-def test_sim_join_partition_independent():
+def test_sim_join_partition_independent(ray_session):
     rng = np.random.RandomState(5)
     vecs = rng.randn(40, 8).tolist()
     base = None
@@ -53,7 +53,7 @@ def test_sim_join_partition_independent():
         assert got == base and len(got) > 0
 
 
-def test_sim_join_budget_seam():
+def test_sim_join_budget_seam(ray_session):
     import pie_ray.functions.similarity as s
 
     old = s.SIM_JOIN_BROADCAST_MAX
