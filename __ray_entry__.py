@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "media_phash": _lazy("pie_ray.functions.multimodal", "q_media_phash"),
         "sim_join": _lazy("pie_ray.functions.similarity", "q_sim_join"),
+        "regr_by_flag": relational.q_regr_by_flag,
+        "streaks_events": relational.q_streaks_events,
     }.items()}
 
 
@@ -341,6 +343,58 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact PageRank: the fixed-point update is all-int64, so
         # the nested-CTE unrolled power iteration hash-matches bit-for-bit
         "graph_pagerank": pagerank_oracle_sql(),
+        "regr_by_flag": """
+            -- per-flag least-squares regression of price-in-cents on
+            -- quantity, from EXACT integer moments (HUGEINT sums), each
+            -- statistic ONE float expression — bit-identical to the engine
+            WITH m AS (
+              SELECT l_returnflag,
+                     COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+                     SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * CAST(round(l_extendedprice*100) AS BIGINT)) AS sy2,
+                     SUM(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sx2 - sx*sx AS DOUBLE)
+                     AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sx2 - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n
+                     AS intercept,
+                   CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     / CAST(n - 1 AS DOUBLE) AS covar_samp,
+                   (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+                     / (CAST(n*sx2 - sx*sx AS DOUBLE) * CAST(n*sy2 - sy*sy AS DOUBLE))
+                     AS r2
+            FROM m
+        """,
+        "streaks_events": """
+            -- gaps-and-islands: per-user consecutive-day activity streaks
+            -- (island = maximal run of consecutive active epoch-days)
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ), g AS (
+              SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS grp
+              FROM d
+            ), s AS (
+              SELECT user_id, grp, COUNT(*) AS len
+              FROM g GROUP BY user_id, grp
+            )
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   COUNT(*) AS n_streaks,
+                   MAX(len) AS longest_streak
+            FROM s GROUP BY user_id
+        """,
         "grouped_mode": """
             -- grouped MODE with the engine's deterministic tie-break
             -- (highest count, then smallest value) — DuckDB's mode() leaves

@@ -3519,3 +3519,220 @@ def q_exact_median_grouped(sf_dir: str):
     ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
     t = exact_quantile_disc_grouped(ds, "l_extendedprice", 0.5, "l_returnflag")
     return t.rename_columns(["l_returnflag", "median_price"])
+
+
+# ---------------------------------------------------------------------------
+# B3+: grouped least-squares regression / covariance (exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+def grouped_regression(ds, key: str, x_col: str, y_col: str):
+    """Per-group simple linear regression y = slope*x + intercept plus
+    sample covariance and r² — from EXACT integer moments.
+
+    ``x_col`` and ``y_col`` must already be int64 columns (the caller maps
+    money to cents / rounds first). Each batch ships one tiny partial row
+    per group (n, Σx, Σy, Σx², Σy², Σxy — exact int64 sums); the driver
+    combines them in arbitrary-precision Python ints, so n·Σxy etc. never
+    overflow at any corpus size, then evaluates each statistic as ONE float
+    expression over the exact moments:
+
+        slope     = float(nΣxy − ΣxΣy) / float(nΣx² − (Σx)²)
+        intercept = (float(Σy) − slope·float(Σx)) / n
+        covar_s   = float(nΣxy − ΣxΣy) / float(n) / float(n−1)
+        r2        = float(num)² / (float(dx)·float(dy))
+
+    The oracle SQL computes the SAME expressions over SUM(BIGINT) moments
+    (HUGEINT-exact in DuckDB), so every double is bit-identical — the same
+    closed-form trick as q_global_agg's corr. Driver state is O(groups);
+    no shuffle (lowcard keys only)."""
+    from pie_ray.util import rename_grouped
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sy": pa.array([], pa.int64()),
+                    "sx2": pa.array([], pa.int64()),
+                    "sy2": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                }
+            )
+        x = t.column(x_col)
+        y = t.column(y_col)
+        d = pa.table(
+            {
+                key: t.column(key),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "sx": x,
+                "sy": y,
+                "sx2": pc.multiply(x, x),
+                "sy2": pc.multiply(y, y),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        gb = d.group_by([key]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sx2", "sy2", "sxy")]
+        )
+        return rename_grouped(
+            gb, [key], [key, "n", "sx", "sy", "sx2", "sy2", "sxy"]
+        )
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        m = acc.setdefault(r[key], [0, 0, 0, 0, 0, 0])
+        for i, c in enumerate(("n", "sx", "sy", "sx2", "sy2", "sxy")):
+            m[i] += int(r[c])  # python ints: no overflow at any scale
+
+    keys, ns, slopes, intercepts, covars, r2s = [], [], [], [], [], []
+    for k in sorted(acc):
+        n, sx, sy, sx2, sy2, sxy = acc[k]
+        num = n * sxy - sx * sy
+        dx = n * sx2 - sx * sx
+        dy = n * sy2 - sy * sy
+        slope = float(num) / float(dx) if dx else 0.0
+        keys.append(k)
+        ns.append(n)
+        slopes.append(slope)
+        intercepts.append((float(sy) - slope * float(sx)) / n if n else 0.0)
+        covars.append(float(num) / float(n) / float(n - 1) if n > 1 else 0.0)
+        r2s.append(
+            (float(num) * float(num)) / (float(dx) * float(dy))
+            if dx and dy
+            else 0.0
+        )
+    return pa.table(
+        {
+            key: pa.array(keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+            "intercept": pa.array(intercepts, pa.float64()),
+            "covar_samp": pa.array(covars, pa.float64()),
+            "r2": pa.array(r2s, pa.float64()),
+        }
+    )
+
+
+def q_regr_by_flag(sf_dir: str):
+    """Driver entry: per-returnflag regression of price-in-cents on
+    quantity (slope = cents of extended price per unit of quantity)."""
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "x": pc.cast(t.column("l_quantity"), pa.int64()),
+                "y": cents(t.column("l_extendedprice")),
+            }
+        )
+
+    return grouped_regression(
+        ds.map_batches(derive, batch_format="pyarrow"), "l_returnflag", "x", "y"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10+: gaps-and-islands — per-user consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+
+def activity_streaks(ds, user_col: str = "user_id", ts_col: str = "ts",
+                     num_buckets: int = 32):
+    """Per-user consecutive-day activity streaks (gaps-and-islands): an
+    island is a maximal run of consecutive epoch-days on which the user
+    had >=1 event. Returns (user_id, n_active_days, n_streaks,
+    longest_streak).
+
+    Map-side: rows collapse to distinct (user, day) pairs per batch before
+    the shuffle, so at most one row per user-day ships. ONE user-bucketed
+    exchange; per bucket a fully vectorized sorted pass (a user's rows
+    co-locate, so per-bucket islands ARE global islands). Driver never
+    sees row-proportional data."""
+    from pie_ray.util import hash64_ints
+
+    DAY_US = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False)
+        day = (
+            pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)
+        b = (hash64_ints(pairs[:, 0], salt=23) % num_buckets).astype("int32")
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_active_days": pa.array([], pa.int64()),
+                "n_streaks": pa.array([], pa.int64()),
+                "longest_streak": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        pairs = np.unique(
+            np.stack(
+                [
+                    g.column("user_id").to_numpy(zero_copy_only=False),
+                    g.column("day").to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        u, day = pairs[:, 0], pairs[:, 1]
+        n = len(u)
+        new_user = np.ones(n, bool)
+        new_user[1:] = u[1:] != u[:-1]
+        # a new streak starts on a new user OR a >1-day gap
+        new_streak = new_user.copy()
+        new_streak[1:] |= day[1:] != day[:-1] + 1
+        streak_id = np.cumsum(new_streak) - 1
+        s_starts = np.flatnonzero(new_streak)
+        s_len = np.diff(np.append(s_starts, n))
+        # per-user combine over the streak table (users' streaks contiguous)
+        u_starts = np.flatnonzero(new_user)
+        su = u[s_starts]  # user of each streak, sorted
+        su_new = np.ones(len(su), bool)
+        su_new[1:] = su[1:] != su[:-1]
+        su_starts = np.flatnonzero(su_new)
+        n_streaks = np.diff(np.append(su_starts, len(su)))
+        longest = np.maximum.reduceat(s_len, su_starts)
+        active = np.add.reduceat(s_len, su_starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[u_starts], pa.int64()),
+                "n_active_days": pa.array(active.astype(np.int64), pa.int64()),
+                "n_streaks": pa.array(n_streaks.astype(np.int64), pa.int64()),
+                "longest_streak": pa.array(longest.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def q_streaks_events(sf_dir: str):
+    """Driver entry: activity streaks over the events table."""
+    from pie_ray.util import bucket_count
+
+    ds = scan(sf_dir, "events", columns=["user_id", "ts"])
+    return activity_streaks(
+        ds, num_buckets=bucket_count(ds.size_bytes(), floor=32)
+    )
