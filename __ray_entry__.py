@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_join": _lazy("pie_ray.functions.similarity", "q_sim_join"),
         "regr_by_flag": relational.q_regr_by_flag,
         "streaks_events": relational.q_streaks_events,
+        "fuzzy_name_match": _lazy(
+            "pie_ray.functions.fuzzyjoin", "q_fuzzy_name_match"
+        ),
     }.items()}
 
 
@@ -394,6 +397,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_streaks,
                    MAX(len) AS longest_streak
             FROM s GROUP BY user_id
+        """,
+        "fuzzy_name_match": """
+            -- all customer-name pairs at Levenshtein distance EXACTLY 1,
+            -- via the same deletion-neighborhood blocking the engine uses
+            -- (complete for lev<=1: a substitution pair shares the deletion
+            -- at the substituted slot; an ins/del pair shares the shorter
+            -- string), then an independent levenshtein() verify
+            WITH v AS (
+              SELECT c_name AS name, c_name AS var FROM customer
+              UNION ALL
+              SELECT c_name, substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+              FROM customer, (SELECT unnest(range(1, 49)) AS i)
+              WHERE i <= len(c_name)
+            ), cand AS (
+              SELECT DISTINCT a.name AS name_a, b.name AS name_b
+              FROM v a JOIN v b ON a.var = b.var AND a.name < b.name
+            )
+            SELECT name_a, name_b FROM cand
+            WHERE levenshtein(name_a, name_b) = 1
         """,
         "grouped_mode": """
             -- grouped MODE with the engine's deterministic tie-break

@@ -3700,7 +3700,6 @@ def activity_streaks(ds, user_col: str = "user_id", ts_col: str = "ts",
         # a new streak starts on a new user OR a >1-day gap
         new_streak = new_user.copy()
         new_streak[1:] |= day[1:] != day[:-1] + 1
-        streak_id = np.cumsum(new_streak) - 1
         s_starts = np.flatnonzero(new_streak)
         s_len = np.diff(np.append(s_starts, n))
         # per-user combine over the streak table (users' streaks contiguous)
