@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_match": _lazy(
             "pie_ray.functions.fuzzyjoin", "q_fuzzy_name_match"
         ),
+        "graph_link_predict": _lazy(
+            "pie_ray.functions.graphops", "q_graph_link_predict"
+        ),
     }.items()}
 
 
@@ -397,6 +400,40 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_streaks,
                    MAX(len) AS longest_streak
             FROM s GROUP BY user_id
+        """,
+        "graph_link_predict": """
+            -- link prediction on the co-supplier graph: common-neighbor
+            -- count + Jaccard for every NON-adjacent pair sharing >=1
+            -- neighbor (jaccard = one double division over exact ints —
+            -- bit-identical to the engine)
+            WITH su AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_quantity > 46.0
+            ), e AS (
+              SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+              FROM su a JOIN su b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            ), ee AS (
+              SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+            ), deg AS (
+              SELECT a AS node, COUNT(*) AS d FROM ee GROUP BY a
+            ), w AS (
+              SELECT e1.b AS x, e2.b AS y
+              FROM ee e1 JOIN ee e2 ON e1.a = e2.a AND e1.b < e2.b
+            ), cn AS (
+              SELECT x, y, COUNT(*) AS common FROM w GROUP BY x, y
+            ), nonadj AS (
+              SELECT cn.* FROM cn LEFT JOIN e
+              ON cn.x = e.a AND cn.y = e.b
+              WHERE e.a IS NULL
+            )
+            SELECT n.x AS suppkey_a, n.y AS suppkey_b,
+                   n.common AS common_neighbors,
+                   CAST(n.common AS DOUBLE)
+                     / CAST(da.d + db.d - n.common AS DOUBLE) AS jaccard
+            FROM nonadj n
+            JOIN deg da ON da.node = n.x
+            JOIN deg db ON db.node = n.y
         """,
         "fuzzy_name_match": """
             -- all customer-name pairs at Levenshtein distance EXACTLY 1,

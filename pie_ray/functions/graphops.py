@@ -1300,3 +1300,221 @@ def triples_diff(old_ds, new_ds, num_buckets: int = 64):
         return only.select(COLS).append_column("change", change)
 
     return tagged.groupby("bucket").map_groups(diff_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# link prediction: common-neighbors + Jaccard scores for non-adjacent pairs
+# ---------------------------------------------------------------------------
+
+
+def link_predict_driver(edges_packed: np.ndarray) -> pa.Table:
+    """Exact common-neighbor / Jaccard link-prediction scores for every
+    NON-adjacent node pair with >= 1 common neighbor, vectorized on the
+    driver (the under-DRIVER_EDGE_LIMIT path; int64-packed edge array)."""
+    a = (edges_packed // PACK).astype(np.int64)
+    b = (edges_packed % PACK).astype(np.int64)
+    mid = np.concatenate([a, b])
+    leaf = np.concatenate([b, a])
+    order = np.argsort(mid, kind="stable")
+    x, y = _pairs_by_size(mid[order], leaf[order])  # a<b per pair by sort
+    pk = _pack(x, y)
+    upk, cnt = np.unique(pk, return_counts=True)
+    keep = ~np.isin(upk, edges_packed)  # predicted = NOT already an edge
+    upk, cnt = upk[keep], cnt[keep]
+    nodes, deg = np.unique(np.concatenate([a, b]), return_counts=True)
+    dx = deg[np.searchsorted(nodes, (upk // PACK))]
+    dy = deg[np.searchsorted(nodes, (upk % PACK))]
+    union = (dx + dy - cnt).astype(np.int64)
+    jac = cnt.astype(np.float64) / union.astype(np.float64)
+    return pa.table(
+        {
+            "suppkey_a": pa.array((upk // PACK).astype(np.int64), pa.int64()),
+            "suppkey_b": pa.array((upk % PACK).astype(np.int64), pa.int64()),
+            "common_neighbors": pa.array(cnt.astype(np.int64), pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
+
+
+def link_predict_distributed(edges: "ray.data.Dataset") -> pa.Table:
+    """Distributed link prediction over a packed edge Dataset.
+
+    Wedges enumerate per-MID (each mid's rows co-locate in ONE bucketed
+    exchange — per-mid fan-out is deg(mid)^2/2, the algorithm's intrinsic
+    cost); pair counts combine in a second bucketed exchange; adjacency is
+    removed with a LEFT_ANTI hash join against the edge set and endpoint
+    degrees attach via two inner joins with the bucketed degree table. All
+    exchanges are barriered (materialize) per the one-exchange-per-plan
+    rule, and every materialized groupby/join output is empty-block-
+    normalized before feeding the next join. Returns the gathered result
+    table (bounded: callers at this size want the full score set; a top-k
+    pushdown would go here if result grain ever exceeded driver memory)."""
+    from pie_ray.util import drop_empty_blocks
+
+    nb = bucket_count(edges.size_bytes(), floor=N_BUCKETS)
+
+    def mid_bucket(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        a = (e // PACK).astype(np.int64)
+        b = (e % PACK).astype(np.int64)
+        mid = np.concatenate([a, b])
+        leaf = np.concatenate([b, a])
+        bkt = (hash64_ints(mid, salt=0x11D4) % nb).astype(np.int32)
+        return pa.table(
+            {
+                "mid": pa.array(mid, pa.int64()),
+                "leaf": pa.array(leaf, pa.int64()),
+                "bucket": pa.array(bkt, pa.int32()),
+            }
+        )
+
+    def bucket_wedges(g: pa.Table) -> pa.Table:
+        mid = g.column("mid").to_numpy(zero_copy_only=False)
+        leaf = g.column("leaf").to_numpy(zero_copy_only=False)
+        order = np.argsort(mid, kind="stable")
+        x, y = _pairs_by_size(mid[order], leaf[order])
+        upk, c = np.unique(_pack(x, y), return_counts=True)
+        b2 = (hash64_ints(upk, salt=0x2B71) % nb).astype(np.int32)
+        return pa.table(
+            {
+                "pk": pa.array(upk, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+                "bucket": pa.array(b2, pa.int32()),
+            }
+        )
+
+    wedge_schema = pa.schema(
+        [("pk", pa.int64()), ("c", pa.int64()), ("bucket", pa.int32())]
+    )
+    partials = drop_empty_blocks(
+        edges.map_batches(mid_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_wedges, batch_format="pyarrow")
+        .materialize(),
+        schema=wedge_schema,
+    )
+
+    def pair_sum(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = g.drop_columns(["bucket"]).group_by(["pk"]).aggregate([("c", "sum")])
+        return rename_grouped(gb, ["pk"], ["pk", "common_neighbors"])
+
+    counts = drop_empty_blocks(
+        partials.groupby("bucket")
+        .map_groups(pair_sum, batch_format="pyarrow")
+        .materialize(),
+        schema=pa.schema([("pk", pa.int64()), ("common_neighbors", pa.int64())]),
+    )
+
+    # adjacency removal: LEFT_ANTI against the edge set on the packed key
+    jp = join_num_partitions(counts.size_bytes())
+    nonadj = drop_empty_blocks(
+        counts.join(
+            edges, join_type="left_anti", num_partitions=jp, on=("pk",), right_on=("e",)
+        ).materialize(),
+        schema=pa.schema([("pk", pa.int64()), ("common_neighbors", pa.int64())]),
+    )
+
+    # degree table (same bucketed partial-count pattern as triangles)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        ids = np.concatenate([(e // PACK), (e % PACK)]).astype(np.int64)
+        ids, cnts = np.unique(ids, return_counts=True)
+        bkt = (hash64_ints(ids, salt=0x0DE6) % nb).astype(np.int32)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "deg": pa.array(cnts.astype(np.int64), pa.int64()),
+                "bucket": pa.array(bkt, pa.int32()),
+            }
+        )
+
+    def deg_combine(g: pa.Table) -> pa.Table:
+        from pie_ray.util import rename_grouped
+
+        gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("deg", "sum")])
+        return rename_grouped(gb, ["node"], ["node", "deg"])
+
+    deg_ds = drop_empty_blocks(
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deg_combine, batch_format="pyarrow")
+        .materialize(),
+        schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    )
+
+    def split_pair(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "suppkey_a": pa.array((pk // PACK).astype(np.int64), pa.int64()),
+                "suppkey_b": pa.array((pk % PACK).astype(np.int64), pa.int64()),
+                "common_neighbors": t.column("common_neighbors"),
+            }
+        )
+
+    pairs = nonadj.map_batches(split_pair, batch_format="pyarrow")
+    j1 = drop_empty_blocks(
+        pairs.join(
+            deg_ds, join_type="inner", num_partitions=jp, on=("suppkey_a",), right_on=("node",)
+        ).materialize()
+    )
+
+    def keep_da(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "suppkey_a": t.column("suppkey_a"),
+                "suppkey_b": t.column("suppkey_b"),
+                "common_neighbors": t.column("common_neighbors"),
+                "deg_a": t.column("deg"),
+            }
+        )
+
+    j2 = drop_empty_blocks(
+        j1.map_batches(keep_da, batch_format="pyarrow")
+        .join(
+            deg_ds, join_type="inner", num_partitions=jp, on=("suppkey_b",), right_on=("node",)
+        )
+        .materialize()
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cn = t.column("common_neighbors").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg").to_numpy(zero_copy_only=False)
+        jac = cn.astype(np.float64) / (da + db - cn).astype(np.float64)
+        return pa.table(
+            {
+                "suppkey_a": t.column("suppkey_a"),
+                "suppkey_b": t.column("suppkey_b"),
+                "common_neighbors": t.column("common_neighbors"),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    out = j2.map_batches(score, batch_format="pyarrow")
+    return gather_table(
+        out,
+        schema=pa.schema(
+            [
+                ("suppkey_a", pa.int64()),
+                ("suppkey_b", pa.int64()),
+                ("common_neighbors", pa.int64()),
+                ("jaccard", pa.float64()),
+            ]
+        ),
+    )
+
+
+def q_graph_link_predict(sf_dir: str):
+    """Driver entry: link prediction on the co-supplier graph — for every
+    non-adjacent supplier pair with >=1 common neighbor, the common-
+    neighbor count and Jaccard coefficient |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+    (the classic entity-linking candidate-generation scores). Size-
+    adaptive like q_graph_triangles; both paths equivalence-tested."""
+    edges = cooccurrence_edges(sf_dir)
+    if edges.count() <= DRIVER_EDGE_LIMIT:
+        tbl = gather_table(edges, schema=EDGE_SCHEMA)
+        return link_predict_driver(tbl.column("e").to_numpy(zero_copy_only=False))
+    return link_predict_distributed(edges)

@@ -514,3 +514,64 @@ def test_pagerank_partition_independent(ray_session):
         "rank_scaled",
     )
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# link prediction (common neighbors + Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _link_brute(pairs):
+    """Reference scores from an explicit neighbor-set scan."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if y in adj[x]:
+                continue
+            cn = len(adj[x] & adj[y])
+            if cn:
+                out[(x, y)] = (cn, cn / len(adj[x] | adj[y]))
+    return out
+
+
+def _packed(pairs):
+    a = np.array([p[0] for p in pairs], np.int64)
+    b = np.array([p[1] for p in pairs], np.int64)
+    return G._pack(np.minimum(a, b), np.maximum(a, b))
+
+
+def test_link_predict_driver_vs_bruteforce():
+    rng = np.random.default_rng(17)
+    pairs = {tuple(sorted(p)) for p in rng.integers(0, 30, size=(120, 2)) if p[0] != p[1]}
+    pairs = sorted(pairs)
+    got = G.link_predict_driver(np.unique(_packed(pairs)))
+    want = _link_brute(pairs)
+    got_map = {
+        (r["suppkey_a"], r["suppkey_b"]): (r["common_neighbors"], r["jaccard"])
+        for r in got.to_pylist()
+    }
+    assert set(got_map) == set(want)
+    for k, (cn, jac) in want.items():
+        assert got_map[k][0] == cn
+        assert got_map[k][1] == jac  # same single float division
+
+
+def test_link_predict_driver_vs_distributed(ray_session):
+    import ray.data
+    from pie_ray.util import gather_table
+
+    edges = G.cooccurrence_edges(SF).materialize()
+    tbl = gather_table(edges, schema=G.EDGE_SCHEMA)
+    packed = tbl.column("e").to_numpy(zero_copy_only=False)
+    drv = G.link_predict_driver(packed)
+    dist = G.link_predict_distributed(edges)
+    key = lambda t: sorted(
+        (r["suppkey_a"], r["suppkey_b"], r["common_neighbors"], r["jaccard"])
+        for r in t.to_pylist()
+    )
+    assert key(drv) == key(dist) and drv.num_rows > 0
