@@ -709,37 +709,119 @@ def pagerank_integer_distributed(
 ):
     """Distributed twin of ``pagerank_integer_driver`` — integer math makes
     the two paths AGREE BIT-FOR-BIT (equivalence-tested), unlike float
-    PageRank where partial-sum order would differ. Per iteration: one hash
-    join (edge picks up the source's (rank, degree)) + one bounded bucketed
-    groupby (sum of floor-contributions per destination) + one join back
-    onto the degree table; ``.materialize()`` barriers between exchanges
-    (repo rule)."""
-    from pie_ray.util import drop_empty_blocks
+    PageRank where partial-sum order would differ. Symmetrizes the packed
+    undirected edges, then runs the generic directed-weighted core (every
+    weight 1 — the weighted update w*(r//W) with W = degree-count reduces
+    to the original r//deg exactly)."""
 
     def split_both(t: pa.Table) -> pa.Table:
         e = t.column("e").to_numpy(zero_copy_only=False)
         a = (e // PACK).astype(np.int64)
         b = (e % PACK).astype(np.int64)
+        n2 = 2 * len(e)
         return pa.table(
             {
                 "src": pa.array(np.concatenate([a, b]), pa.int64()),
                 "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "w": pa.array(np.ones(n2, np.int64), pa.int64()),
             }
         )
 
     directed = edges.map_batches(split_both, batch_format="pyarrow").materialize()
+    out = pagerank_directed_distributed(
+        directed, iters=iters, scale=scale, add_dangling_self_loops=False
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("node"), "rank_scaled": t.column("rank_scaled")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_integer_directed_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray | None = None,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> pa.Table:
+    """Directed weighted integer-exact PageRank on the driver. The update
+    is r'(v) = base + floor(85 * sum_{(u,v,w)} w * floor(r(u) / W(u)) /
+    100) with W(u) = total out-WEIGHT of u. Dangling nodes (out-weight 0)
+    get a weight-1 self-loop — deterministic mass retention, identical in
+    the distributed twin. Returns (node, rank_scaled); node ids are the
+    caller's int64 ids (NOT packed — no 2^32 bound)."""
+    src = src.astype(np.int64)
+    dst = dst.astype(np.int64)
+    w = np.ones(len(src), np.int64) if w is None else w.astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src) :]
+    n = len(nodes)
+    outw = np.zeros(n, np.int64)
+    np.add.at(outw, si, w)
+    dangling = np.flatnonzero(outw == 0)
+    if len(dangling):
+        si = np.concatenate([si, dangling])
+        di = np.concatenate([di, dangling])
+        w = np.concatenate([w, np.ones(len(dangling), np.int64)])
+        outw[dangling] = 1
+    r = np.full(n, scale, np.int64)
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    for _ in range(iters):
+        contrib = w * (r // outw)[si]
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, di, contrib)
+        r = base + PR_DAMP_NUM * acc // PR_DAMP_DEN
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "rank_scaled": pa.array(r, pa.int64()),
+        }
+    )
+
+
+def pagerank_directed_distributed(
+    directed: "ray.data.Dataset",
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    add_dangling_self_loops: bool = True,
+):
+    """Generic distributed integer PageRank core over a directed weighted
+    edge Dataset (columns src, dst, w — int64). Per iteration: one hash
+    join (edge picks up the source's (rank, out-weight)) + one bounded
+    bucketed groupby (sum of contributions per destination) + one LEFT
+    join back onto the node table (a node with no in-edges still exists:
+    its acc coalesces to 0 — for symmetrized input every node has
+    in-edges, so this is bit-identical to the historical inner join);
+    ``.materialize()`` barriers between exchanges (repo rule).
+
+    ``add_dangling_self_loops``: append a weight-1 self-loop for every
+    node with zero out-weight (general directed graphs — matches the
+    driver twin bit-for-bit). Symmetrized callers skip the extra pass.
+    Returns a Dataset (node, rank_scaled)."""
+    from pie_ray.util import drop_empty_blocks
+
+    directed = directed.materialize()
     n_parts = join_num_partitions(directed.size_bytes())
     nb = bucket_count(directed.size_bytes(), floor=N_BUCKETS)
 
     def deg_partial(t: pa.Table) -> pa.Table:
-        ids, cnts = np.unique(
-            t.column("src").to_numpy(zero_copy_only=False), return_counts=True
-        )
+        # out-WEIGHT per node over the FULL universe: dst-side nodes ride
+        # along with weight 0, so pure sinks appear with deg 0 (dangling)
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        wv = t.column("w").to_numpy(zero_copy_only=False)
+        ids_all = np.concatenate([s, d])
+        wts = np.concatenate([wv, np.zeros(len(d), np.int64)])
+        ids, idx = np.unique(ids_all, return_inverse=True)
+        acc = np.zeros(len(ids), np.int64)
+        np.add.at(acc, idx, wts)
         b = (hash64_ints(ids, salt=0x9A6E) % nb).astype(np.int32)
         return pa.table(
             {
                 "node": pa.array(ids, pa.int64()),
-                "deg": pa.array(cnts.astype(np.int64), pa.int64()),
+                "deg": pa.array(acc, pa.int64()),
                 "bucket": pa.array(b, pa.int32()),
             }
         )
@@ -758,6 +840,31 @@ def pagerank_integer_distributed(
         .materialize(),
         schema=_DEG_SCHEMA,
     ).materialize()
+
+    if add_dangling_self_loops:
+        loops = deg_ds.filter(expr="deg == 0").map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("node"),
+                    "dst": t.column("node"),
+                    "w": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        if loops.count() > 0:
+            directed = directed.union(loops).materialize()
+        deg_ds = deg_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "deg": pc.max_element_wise(
+                        t.column("deg"), pa.scalar(1, pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
 
     # state carried per node: (node, r, deg) — avoids a deg re-join on the
     # contribution side; only the new-rank side joins deg each round
@@ -780,8 +887,9 @@ def pagerank_integer_distributed(
         dstv = t.column("dst").to_numpy(zero_copy_only=False)
         r = t.column("r").to_numpy(zero_copy_only=False)
         d = t.column("deg").to_numpy(zero_copy_only=False)
+        wv = t.column("w").to_numpy(zero_copy_only=False)
         # per-batch partial: sum contributions per destination locally
-        c = r // d
+        c = wv * (r // d)
         ids, idx = np.unique(dstv, return_inverse=True)
         acc = np.zeros(len(ids), np.int64)
         np.add.at(acc, idx, c)
@@ -815,17 +923,19 @@ def pagerank_integer_distributed(
             .materialize(),
             schema=_ACC_SCHEMA,
         ).materialize()
-        # every node has >= 1 in-edge (undirected both ways) -> inner join
+        # LEFT join from the node table: a node with no in-edges coalesces
+        # its acc to 0 (for symmetrized input every node HAS in-edges, so
+        # this is bit-identical to the historical inner join)
         state = (
-            acc_ds.join(
-                deg_ds.map_batches(
+            deg_ds.join(
+                acc_ds.map_batches(
                     lambda t: pa.table(
-                        {"node2": t.column("node"), "deg": t.column("deg")}
+                        {"node2": t.column("node"), "acc": t.column("acc")}
                     ),
                     batch_format="pyarrow",
                 ).materialize(),
-                join_type="inner",
-                num_partitions=join_num_partitions(acc_ds.size_bytes()),
+                join_type="left_outer",
+                num_partitions=join_num_partitions(deg_ds.size_bytes()),
                 on=("node",),
                 right_on=("node2",),
             )
@@ -841,7 +951,10 @@ def pagerank_integer_distributed(
                             pa.scalar(base, pa.int64()),
                             pc.divide(
                                 pc.multiply(
-                                    t.column("acc"),
+                                    pc.fill_null(
+                                        pc.cast(t.column("acc"), pa.int64()),
+                                        pa.scalar(0, pa.int64()),
+                                    ),
                                     pa.scalar(PR_DAMP_NUM, pa.int64()),
                                 ),
                                 pa.scalar(PR_DAMP_DEN, pa.int64()),
@@ -857,7 +970,7 @@ def pagerank_integer_distributed(
 
     return state.map_batches(
         lambda t: pa.table(
-            {"s_suppkey": t.column("node"), "rank_scaled": t.column("r")}
+            {"node": t.column("node"), "rank_scaled": t.column("r")}
         ),
         batch_format="pyarrow",
     )

@@ -140,3 +140,163 @@ def host_edges(pages_ds, num_buckets: int | None = None):
         .groupby("bucket")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+HOST_ID_DRIVER_LIMIT = 2_000_000
+
+
+def host_pagerank(edges_ds, iters: int | None = None, scale: int | None = None,
+                  id_path: str = "auto", num_buckets: int | None = None):
+    """Integer-exact weighted directed PageRank over the host link graph
+    (the domain-quality prior: CCNet/RefinedWeb-style pipelines gate or
+    weight documents by the standing of their host). Input is
+    ``host_edges`` output (src_host, dst_host, n_links); link counts are
+    the edge weights; dangling hosts retain their mass via a weight-1
+    self-loop. Returns (host, rank_scaled) — int64 fixed-point, so the
+    result is bit-identical across partitionings AND across the two id
+    paths (equivalence-tested).
+
+    Size-adaptive (``id_path``: auto | driver | join): under
+    ``HOST_ID_DRIVER_LIMIT`` edges the edge table is bounded, so hosts map
+    to dense ids with one driver searchsorted and the vectorized driver
+    iteration runs; above it, hosts get ids from ``global_rank`` (the
+    distributed total-order primitive — no driver pull), edges pick them
+    up via two hash joins, the joins-based distributed iteration runs, and
+    ranks join back to host strings."""
+    from pie_ray.functions.graphops import (
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_directed_distributed,
+        pagerank_integer_directed_driver,
+    )
+    from pie_ray.util import drop_empty_blocks, gather_table, join_num_partitions
+
+    iters = PR_ITERS if iters is None else iters
+    scale = PR_SCALE if scale is None else scale
+    edges_ds = edges_ds.materialize()
+    use_driver = id_path == "driver" or (
+        id_path == "auto" and edges_ds.count() <= HOST_ID_DRIVER_LIMIT
+    )
+
+    if use_driver:
+        tbl = gather_table(
+            edges_ds,
+            schema=pa.schema(
+                [
+                    ("src_host", pa.string()),
+                    ("dst_host", pa.string()),
+                    ("n_links", pa.int64()),
+                ]
+            ),
+        )
+        src = np.asarray(tbl.column("src_host").to_pylist())
+        dst = np.asarray(tbl.column("dst_host").to_pylist())
+        w = tbl.column("n_links").to_numpy(zero_copy_only=False)
+        hosts = np.unique(np.concatenate([src, dst]))
+        ranks = pagerank_integer_directed_driver(
+            np.searchsorted(hosts, src),
+            np.searchsorted(hosts, dst),
+            w,
+            iters=iters,
+            scale=scale,
+        )
+        nid = ranks.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": pa.array(hosts[nid], pa.string()),
+                "rank_scaled": ranks.column("rank_scaled"),
+            }
+        )
+
+    # join path: distinct hosts -> dense ids without any driver pull
+    from pie_ray.functions.relational import global_rank
+
+    nb = num_buckets or bucket_count(edges_ds.size_bytes(), floor=32)
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        hs = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(t.column("src_host").to_pylist()),
+                    np.asarray(t.column("dst_host").to_pylist()),
+                ]
+            )
+        )
+        ha = pa.array(hs, pa.string())
+        b = (bucket_hash_strings(ha, salt=0x40B1) % nb).astype("int32")
+        return pa.table({"host": ha, "bucket": pa.array(b, pa.int32())})
+
+    def host_unique(g: pa.Table) -> pa.Table:
+        gb = g.drop_columns(["bucket"]).group_by(["host"]).aggregate([])
+        return rename_grouped(gb, ["host"], ["host"])
+
+    hosts_ds = drop_empty_blocks(
+        edges_ds.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(host_unique, batch_format="pyarrow")
+        .materialize(),
+        schema=pa.schema([("host", pa.string())]),
+    )
+    ids = global_rank(hosts_ds, "host", "host", rank_name="nid").materialize()
+    jp = join_num_partitions(edges_ds.size_bytes())
+    j1 = drop_empty_blocks(
+        edges_ds.join(
+            ids, join_type="inner", num_partitions=jp,
+            on=("src_host",), right_on=("host",),
+        ).materialize()
+    )
+    j1 = j1.map_batches(
+        lambda t: pa.table(
+            {
+                "dst_host": t.column("dst_host"),
+                "src": pc.cast(t.column("nid"), pa.int64()),
+                "w": t.column("n_links"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = drop_empty_blocks(
+        j1.join(
+            ids, join_type="inner", num_partitions=jp,
+            on=("dst_host",), right_on=("host",),
+        ).materialize()
+    )
+    directed = j2.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "dst": pc.cast(t.column("nid"), pa.int64()),
+                "w": t.column("w"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    ranks = drop_empty_blocks(
+        pagerank_directed_distributed(
+            directed, iters=iters, scale=scale, add_dangling_self_loops=True
+        ).materialize(),
+        schema=pa.schema([("node", pa.int64()), ("rank_scaled", pa.int64())]),
+    )
+    back = drop_empty_blocks(
+        ranks.join(
+            ids.map_batches(
+                lambda t: pa.table(
+                    {"host": t.column("host"), "nid2": pc.cast(t.column("nid"), pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ).materialize(),
+            join_type="inner",
+            num_partitions=join_num_partitions(ranks.size_bytes()),
+            on=("node",),
+            right_on=("nid2",),
+        ).materialize()
+    )
+    return gather_table(
+        back.map_batches(
+            lambda t: pa.table(
+                {"host": t.column("host"), "rank_scaled": t.column("rank_scaled")}
+            ),
+            batch_format="pyarrow",
+        ),
+        schema=pa.schema([("host", pa.string()), ("rank_scaled", pa.int64())]),
+    )

@@ -108,3 +108,89 @@ def test_host_graph_feeds_components(ray_session):
     assert labels["a.com"] == labels["b.com"] == labels["c.com"]
     assert labels["x.com"] == labels["y.com"]
     assert labels["a.com"] != labels["x.com"]
+
+
+# ---------------------------------------------------------------------------
+# host PageRank (directed weighted integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def _pr_reference(edges, iters, scale):
+    """Pure-python directed weighted integer PageRank with dangling
+    self-loops (floor arithmetic, same update rule)."""
+    nodes = sorted({n for e in edges for n in e[:2]})
+    outw = {n: 0 for n in nodes}
+    for s, d, w in edges:
+        outw[s] += w
+    full = list(edges) + [(n, n, 1) for n in nodes if outw[n] == 0]
+    for n in nodes:
+        outw[n] = max(outw[n], 1)
+    r = {n: scale for n in nodes}
+    base = scale * 15 // 100
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for s, d, w in full:
+            acc[d] += w * (r[s] // outw[s])
+        r = {n: base + 85 * acc[n] // 100 for n in nodes}
+    return r
+
+
+def test_directed_driver_pagerank_vs_reference():
+    from pie_ray.functions.graphops import pagerank_integer_directed_driver
+
+    rng = np.random.default_rng(5)
+    edges = [
+        (int(s), int(d), int(w))
+        for s, d, w in zip(
+            rng.integers(0, 12, 40), rng.integers(0, 14, 40), rng.integers(1, 5, 40)
+        )
+        if s != d
+    ]
+    got = pagerank_integer_directed_driver(
+        np.array([e[0] for e in edges]),
+        np.array([e[1] for e in edges]),
+        np.array([e[2] for e in edges]),
+        iters=6,
+        scale=10**9,
+    )
+    want = _pr_reference(edges, 6, 10**9)
+    got_map = dict(
+        zip(got.column("node").to_pylist(), got.column("rank_scaled").to_pylist())
+    )
+    assert got_map == want
+
+
+def _link_corpus():
+    # hub.com is linked by everyone; leaf.com links out only (dangling dst)
+    pages = [
+        _page("https://s1.com/", ["https://hub.com/", "https://s2.com/"]),
+        _page("https://s2.com/", ["https://hub.com/", "https://hub.com/x"]),
+        _page("https://s3.com/", ["https://hub.com/", "https://leaf.com/"]),
+        _page("https://hub.com/", ["https://s1.com/"]),
+    ]
+    return pa.table(
+        {
+            "url": pa.array([p[0] for p in pages], pa.string()),
+            "html": pa.array([p[1] for p in pages], pa.binary()),
+        }
+    )
+
+
+def test_host_pagerank_driver_vs_join_path_bit_equal(ray_session):
+    from pie_ray.stages.links import host_pagerank
+
+    edges = host_edges(ray.data.from_arrow(_link_corpus()), num_buckets=4)
+    drv = host_pagerank(edges, iters=5, id_path="driver")
+    jn = host_pagerank(edges, iters=5, id_path="join")
+    as_map = lambda t: dict(
+        zip(t.column("host").to_pylist(), t.column("rank_scaled").to_pylist())
+    )
+    m1, m2 = as_map(drv), as_map(jn)
+    assert m1 == m2 and len(m1) > 0
+    # the universally-linked hub outranks the hosts that only RECEIVE one
+    # inbound source link (s1 inherits ALL of hub's mass — hub's single
+    # outlink — and the dangling leaf retains mass via its self-loop, so
+    # neither is comparable to hub on this topology)
+    hub = m1["hub.com"]
+    assert hub > m1["s2.com"] and hub > m1["s3.com"]
+    assert "leaf.com" in m1  # dangling host still present (self-loop)
