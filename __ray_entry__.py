@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_link_predict": _lazy(
             "pie_ray.functions.graphops", "q_graph_link_predict"
         ),
+        "window_first_last": relational.q_window_first_last,
+        "impute_nulls": relational.q_impute_nulls,
     }.items()}
 
 
@@ -453,6 +455,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT name_a, name_b FROM cand
             WHERE levenshtein(name_a, name_b) = 1
+        """,
+        "window_first_last": """
+            -- frame value windows: first/last/2nd value per user over the
+            -- full (ts, event_id)-ordered partition — pure value copies,
+            -- floats bit-exact; 1-row partitions COALESCE second_val to
+            -- the engine's -1.0 sentinel
+            SELECT event_id, user_id,
+                   FIRST_VALUE(value) OVER w AS first_val,
+                   LAST_VALUE(value) OVER w AS last_val,
+                   COALESCE(NTH_VALUE(value, 2) OVER w, -1.0) AS second_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        """,
+        "impute_nulls": """
+            -- null imputation over a deterministically-nulled copy of
+            -- events.value (NULL when event_id % 7 = 0, planted identically
+            -- by the engine): constant fill, LOCF forward-fill (-1.0 when
+            -- no prior observation) and per-user observed mean (-1.0 for
+            -- all-null users) computed as ONE float expression over exact
+            -- integer cents — bit-identical to the engine
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+              FROM events
+            ), m AS (
+              SELECT user_id,
+                     SUM(CAST(round(v*100) AS BIGINT)) AS sum_c,
+                     COUNT(v) AS cnt
+              FROM e GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id,
+                   COALESCE(e.v, 0.0) AS v_const,
+                   COALESCE(LAST_VALUE(e.v IGNORE NULLS) OVER (
+                     PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     -1.0) AS v_locf,
+                   COALESCE(e.v,
+                     CASE WHEN m.cnt > 0
+                          THEN CAST(m.sum_c AS DOUBLE) / m.cnt / 100.0
+                          ELSE -1.0 END) AS v_mean
+            FROM e JOIN m USING (user_id)
         """,
         "grouped_mode": """
             -- grouped MODE with the engine's deterministic tie-break

@@ -3735,3 +3735,229 @@ def q_streaks_events(sf_dir: str):
     return activity_streaks(
         ds, num_buckets=bucket_count(ds.size_bytes(), floor=32)
     )
+
+# ---------------------------------------------------------------------------
+# B10+: frame value window functions — first_value / last_value / nth_value
+# ---------------------------------------------------------------------------
+
+
+def frame_value_windows(ds, key_col: str, order_cols: list[str], value_col: str,
+                        num_buckets: int = 32, sentinel: float = -1.0):
+    """Per-key full-frame value windows: first_value, last_value and
+    nth_value(2) of ``value_col`` over the whole partition ordered by
+    ``order_cols`` (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING). All
+    three outputs are pure value COPIES — floats match the SQL oracle
+    bit-for-bit; ``second_val`` uses ``sentinel`` for 1-row partitions
+    (COALESCE'd identically in the oracle).
+
+    Same shape as the other window entries: ONE key-bucketed exchange (a
+    key's rows co-locate, so per-bucket frames ARE global frames), then a
+    fully vectorized sorted pass per bucket — no Python row loops, state
+    bounded by bucket size."""
+    from pie_ray.util import hash64_ints
+
+    out_cols = order_cols + [key_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_ints(t.column(key_col).to_numpy(zero_copy_only=False), salt=31)
+            % num_buckets
+        ).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending")] + [(c, "ascending") for c in order_cols]
+        )
+        g = g.take(order)
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(keys)
+        if n == 0:
+            return pa.table(
+                {c: g.column(c) for c in out_cols}
+                | {
+                    "first_val": pa.array([], pa.float64()),
+                    "last_val": pa.array([], pa.float64()),
+                    "second_val": pa.array([], pa.float64()),
+                }
+            )
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        base = np.zeros(n, np.int64)
+        base[starts] = starts
+        np.maximum.accumulate(base, out=base)  # per-row partition start
+        run_id = np.cumsum(new) - 1
+        run_ends = np.append(starts[1:], n) - 1  # per-run last index
+        ends = run_ends[run_id]  # per-row partition end
+        first = vals[base]
+        last = vals[ends]
+        second = np.full(n, sentinel, np.float64)
+        has2 = ends - base >= 1
+        second[has2] = vals[base[has2] + 1]
+        return pa.table(
+            {c: g.column(c) for c in out_cols}
+            | {
+                "first_val": pa.array(first, pa.float64()),
+                "last_val": pa.array(last, pa.float64()),
+                "second_val": pa.array(second, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def q_window_first_last(sf_dir: str):
+    """Driver entry: first/last/2nd value of ``value`` per user over the
+    full (ts, event_id)-ordered partition."""
+    from pie_ray.util import bucket_count
+
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = frame_value_windows(
+        ds,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        num_buckets=bucket_count(ds.size_bytes(), floor=32),
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["ts"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10+: null imputation — constant fill / LOCF forward-fill / group-mean fill
+# ---------------------------------------------------------------------------
+
+
+def impute_nulls(ds, key_col: str, order_cols: list[str], value_col: str,
+                 num_buckets: int = 32, const: float = 0.0,
+                 sentinel: float = -1.0):
+    """Three imputation channels for a nullable float column in one pass:
+    ``v_const`` (COALESCE with ``const``), ``v_locf`` (last-observation-
+    carried-forward per key in ``order_cols`` order — ``sentinel`` when a
+    key has no prior observation) and ``v_mean`` (per-key mean of the
+    observed values — ``sentinel`` for all-null keys). Non-null rows pass
+    through bit-exactly on every channel (copies).
+
+    The mean is computed as ONE float expression over exact int64 cents
+    (``(float(sum_cents) / count) / 100``) so it hash-matches the SQL
+    oracle's ``CAST(SUM(BIGINT) AS DOUBLE) / cnt / 100`` bit-for-bit —
+    the 2-decimal fixed-point contract the money columns already use.
+
+    ONE key-bucketed exchange (a key's rows co-locate, so per-bucket LOCF
+    runs and per-key moments ARE global); per bucket a vectorized sorted
+    pass — LOCF is a maximum.accumulate over observed row indices, with
+    carries from a previous key rejected by comparing against the
+    partition start (keys are contiguous after the sort)."""
+    from pie_ray.util import hash64_ints
+
+    out_cols = order_cols + [key_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            hash64_ints(t.column(key_col).to_numpy(zero_copy_only=False), salt=37)
+            % num_buckets
+        ).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        order = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending")] + [(c, "ascending") for c in order_cols]
+        )
+        g = g.take(order)
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        vcol = g.column(value_col)
+        valid = ~np.asarray(pc.is_null(vcol).combine_chunks().to_numpy(
+            zero_copy_only=False))
+        vals = np.asarray(vcol.to_numpy(zero_copy_only=False), np.float64)
+        n = len(keys)
+        if n == 0:
+            return pa.table(
+                {c: g.column(c) for c in out_cols}
+                | {
+                    "v_const": pa.array([], pa.float64()),
+                    "v_locf": pa.array([], pa.float64()),
+                    "v_mean": pa.array([], pa.float64()),
+                }
+            )
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        base = np.zeros(n, np.int64)
+        base[starts] = starts
+        np.maximum.accumulate(base, out=base)  # per-row partition start
+        # constant fill
+        v_const = np.where(valid, vals, const)
+        # LOCF: index of the latest observed row at-or-before each row;
+        # an index carried across a key boundary is < the partition start
+        # and rejected (keys are contiguous)
+        idx = np.arange(n, dtype=np.int64)
+        carry = np.where(valid, idx, -1)
+        np.maximum.accumulate(carry, out=carry)
+        in_key = carry >= base
+        v_locf = np.full(n, sentinel, np.float64)
+        v_locf[in_key] = vals[carry[in_key]]
+        # group mean over observed values from exact integer cents
+        c = np.zeros(n, np.int64)
+        c[valid] = np.rint(vals[valid] * 100.0).astype(np.int64)
+        run_id = np.cumsum(new) - 1
+        sum_c = np.add.reduceat(c, starts)
+        cnt = np.add.reduceat(valid.astype(np.int64), starts)
+        mean = np.full(len(starts), sentinel, np.float64)
+        obs = cnt > 0
+        mean[obs] = (sum_c[obs].astype(np.float64) / cnt[obs]) / 100.0
+        v_mean = np.where(valid, vals, mean[run_id])
+        return pa.table(
+            {c2: g.column(c2) for c2 in out_cols}
+            | {
+                "v_const": pa.array(v_const, pa.float64()),
+                "v_locf": pa.array(v_locf, pa.float64()),
+                "v_mean": pa.array(v_mean, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def q_impute_nulls(sf_dir: str):
+    """Driver entry: impute a deterministically-nulled copy of
+    ``events.value`` (NULL when event_id % 7 == 0 — the parquet tables
+    carry no nulls, so the entry plants them identically on both sides)."""
+    from pie_ray.util import bucket_count
+
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            t.column("event_id").to_numpy(zero_copy_only=False) % 7 != 0
+        )
+        return t.set_column(
+            t.schema.get_field_index("value"),
+            "value",
+            pc.if_else(keep, t.column("value"), pa.scalar(None, pa.float64())),
+        )
+
+    out = impute_nulls(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        num_buckets=bucket_count(ds.size_bytes(), floor=32),
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["ts"]), batch_format="pyarrow"
+    )
