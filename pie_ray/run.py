@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write per-entity profiles (fact/predicate/provenance "
         "breadth, first/last seen) to <output>/profiles",
     )
+    p.add_argument(
+        "--linkgraph",
+        action="store_true",
+        help="also extract the host-level link graph from the input pages "
+        "and write <output>/linkgraph (src_host, dst_host, n_links) plus "
+        "<output>/hostrank (host, rank_scaled — integer-exact weighted "
+        "PageRank, the domain-quality prior)",
+    )
     return p
 
 
@@ -105,6 +113,30 @@ def _write_profiles(triples_path: str, out_root: str) -> dict:
     flat = prof.map_batches(flatten, batch_format="pyarrow").materialize()
     flat.write_parquet(out)
     return {"profiles_path": out, "n_entities": flat.count()}
+
+
+def _write_linkgraph(pages_ds, out_root: str) -> dict:
+    """Host link graph + host PageRank next to the KG output (one extra
+    pass over the input pages; the html column never leaves the map)."""
+    import shutil
+
+    import ray.data
+
+    from pie_ray.stages.links import host_edges, host_pagerank
+
+    edges = host_edges(pages_ds).materialize()
+    out_e = f"{out_root}/linkgraph"
+    shutil.rmtree(out_e, ignore_errors=True)
+    edges.write_parquet(out_e)
+    n_edges = edges.count()
+    report = {"linkgraph_path": out_e, "n_host_edges": n_edges}
+    if n_edges:
+        ranks = host_pagerank(edges)  # pa.Table on either id path
+        out_r = f"{out_root}/hostrank"
+        shutil.rmtree(out_r, ignore_errors=True)
+        ray.data.from_arrow(ranks).write_parquet(out_r)
+        report.update({"hostrank_path": out_r, "n_hosts": ranks.num_rows})
+    return report
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -255,6 +287,8 @@ def main(argv: list[str] | None = None) -> int:
             report = incremental_build(factory(None), args.output, cfg)
         if args.profiles:
             report.update(_write_profiles(report["triples_path"], args.output))
+        if args.linkgraph:
+            report.update(_write_linkgraph(factory(None), args.output))
         report["wall_s"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(report, indent=1))
         ray.shutdown()
@@ -273,6 +307,8 @@ def main(argv: list[str] | None = None) -> int:
     report = run_resumable(factory, args.output, cfg, num_parts=args.num_parts, corpus_id=corpus_id)
     if args.profiles:
         report.update(_write_profiles(report["triples_path"], args.output))
+    if args.linkgraph:
+        report.update(_write_linkgraph(factory(None), args.output))
     report["wall_s"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(report, indent=1))
     ray.shutdown()
