@@ -194,3 +194,26 @@ def test_host_pagerank_driver_vs_join_path_bit_equal(ray_session):
     hub = m1["hub.com"]
     assert hub > m1["s2.com"] and hub > m1["s3.com"]
     assert "leaf.com" in m1  # dangling host still present (self-loop)
+
+
+def test_write_linkgraph_cli_helper(ray_session, tmp_path):
+    """CLI --linkgraph helper: writes linkgraph/ + hostrank/ parquet and
+    reports counts; ranks agree with host_pagerank on the same edges."""
+    import pyarrow.parquet as pq
+
+    from pie_ray.run import _write_linkgraph
+    from pie_ray.stages.links import host_pagerank
+
+    pages = ray.data.from_arrow(_link_corpus())
+    report = _write_linkgraph(pages, str(tmp_path))
+    assert report["n_host_edges"] > 0 and report["n_hosts"] > 0
+    edges = pq.read_table(report["linkgraph_path"])
+    assert set(edges.column_names) == {"src_host", "dst_host", "n_links"}
+    assert edges.num_rows == report["n_host_edges"]
+    ranks = pq.read_table(report["hostrank_path"])
+    want = host_pagerank(host_edges(pages))
+    got = dict(zip(ranks.column("host").to_pylist(),
+                   ranks.column("rank_scaled").to_pylist()))
+    exp = dict(zip(want.column("host").to_pylist(),
+                   want.column("rank_scaled").to_pylist()))
+    assert got == exp and len(got) == report["n_hosts"]
