@@ -128,7 +128,7 @@ def main() -> dict:
     return out
 
 
-SCALING_PAGES = 1_000_000
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", 1_000_000))
 
 
 def run_scaling() -> dict:
