@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "window_first_last": relational.q_window_first_last,
         "impute_nulls": relational.q_impute_nulls,
+        "host_linkgraph": _lazy("pie_ray.pipelines.curation", "q_host_linkgraph"),
+        "curate_pages": _lazy("pie_ray.pipelines.curation", "q_curate_pages"),
     }.items()}
 
 

@@ -247,3 +247,167 @@ def q_curate_corpus_v3(sf_dir: str):
     )
     chunks, _report = curate_corpus_v3(docs, emb)
     return chunks
+
+
+# ---------------------------------------------------------------------------
+# curate_pages — CCNet/RefinedWeb-style DOMAIN-PRIOR gate over T0 pages
+# ---------------------------------------------------------------------------
+
+CURATE_HOST_BROADCAST_LIMIT = 2_000_000
+
+
+def curate_pages(pages_ds, min_rank_scaled: int | None = None,
+                 keep_path: str = "auto", ranks: "pa.Table | None" = None):
+    """Gate T0 pages on the standing of their HOST in the web link graph
+    (the other half of the curation recipe: curate_corpus* scores the
+    TEXT, this scores the SOURCE — CCNet buckets by LM quality, RefinedWeb
+    gates on URL/domain signals; host PageRank over the corpus's own link
+    graph is the classic self-contained domain prior).
+
+    Pipeline: host_edges (one pair-bucketed exchange over the pages) →
+    host_pagerank (integer-exact, deterministic) → keep pages whose host
+    rank is >= ``min_rank_scaled``. The default threshold is
+    ``teleport base + 1``: a host with NO inbound mass converges to
+    exactly ``scale*15//100``, so the default keeps precisely the hosts
+    at least one other host links to — source-only link farms fall out.
+
+    Keep-set application is size-adaptive (``keep_path``: auto | broadcast
+    | join): under CURATE_HOST_BROADCAST_LIMIT kept hosts, a frozenset
+    ships once via ``ray.put`` and a stateless task map filters (the html
+    payload never moves); above it, pages pick up their host in a map and
+    an inner hash join against the kept-host table co-locates by host —
+    the join moves the page payload, which the broadcast path avoids, so
+    the limit is deliberately generous.
+
+    Returns (kept_pages_ds, report) — report counts hosts/pages kept and
+    dropped (no-silent-drops rule)."""
+    import ray
+    import ray.data
+
+    from pie_ray.functions.graphops import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+    from pie_ray.stages.links import host_edges, host_of, host_pagerank
+    from pie_ray.util import drop_empty_blocks, join_num_partitions
+
+    if min_rank_scaled is None:
+        min_rank_scaled = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN + 1
+
+    pages_ds = pages_ds.materialize()
+    if ranks is None:
+        ranks = host_pagerank(host_edges(pages_ds))  # (host, rank_scaled)
+    rs = ranks.column("rank_scaled")
+    kept_mask = pc.greater_equal(rs, pa.scalar(min_rank_scaled, pa.int64()))
+    kept_hosts_tbl = ranks.filter(kept_mask)
+    n_hosts, n_kept_hosts = ranks.num_rows, kept_hosts_tbl.num_rows
+    n_pages = pages_ds.count()
+
+    use_broadcast = keep_path == "broadcast" or (
+        keep_path == "auto" and n_kept_hosts <= CURATE_HOST_BROADCAST_LIMIT
+    )
+    if use_broadcast:
+        keep_ref = ray.put(frozenset(kept_hosts_tbl.column("host").to_pylist()))
+
+        def keep_batch(t: pa.Table) -> pa.Table:
+            keep = ray.get(keep_ref)
+            mask = [host_of(u or "") in keep for u in t.column("url").to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        kept = pages_ds.map_batches(keep_batch, batch_format="pyarrow")
+    else:
+        def add_host(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__host",
+                pa.array([host_of(u or "") for u in t.column("url").to_pylist()],
+                         pa.string()),
+            )
+
+        hosts_ds = ray.data.from_arrow(
+            pa.table({"__khost": kept_hosts_tbl.column("host")})
+        )
+        joined = drop_empty_blocks(
+            pages_ds.map_batches(add_host, batch_format="pyarrow")
+            .join(
+                hosts_ds,
+                join_type="inner",
+                num_partitions=join_num_partitions(pages_ds.size_bytes()),
+                on=("__host",),
+                right_on=("__khost",),
+            )
+            .materialize()
+        )
+        kept = joined.map_batches(
+            lambda t: t.drop_columns(["__host"]), batch_format="pyarrow"
+        )
+
+    kept = kept.materialize()
+    n_kept_pages = kept.count()
+    report = {
+        "n_hosts": n_hosts,
+        "n_hosts_kept": n_kept_hosts,
+        "n_hosts_dropped": n_hosts - n_kept_hosts,
+        "n_pages": n_pages,
+        "n_pages_kept": n_kept_pages,
+        "n_pages_dropped": n_pages - n_kept_pages,
+        "min_rank_scaled": min_rank_scaled,
+        "keep_path": "broadcast" if use_broadcast else "join",
+    }
+    return kept, report
+
+
+def q_curate_pages(sf_dir: str):
+    """Driver entry (rows-only — link topology is not SQL-expressible over
+    HTML): domain-prior curation over the deterministic linked corpus.
+    Returns the per-host summary (host, rank_scaled, kept, n_pages)."""
+    import numpy as np
+
+    from pie_ray.sources.linksynth import synth_link_pages
+    from pie_ray.stages.links import host_edges, host_of, host_pagerank
+
+    pages = synth_link_pages(1200).materialize()
+    ranks = host_pagerank(host_edges(pages))
+    kept_ds, report = curate_pages(pages, ranks=ranks)
+
+    def host_counts(ds):
+        import collections
+
+        counts: collections.Counter = collections.Counter()
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            for u in batch.column("url").to_pylist():
+                counts[host_of(u or "")] += 1
+        return counts
+
+    per_host = host_counts(pages)
+    hosts = ranks.column("host").to_pylist()
+    rs = ranks.column("rank_scaled").to_pylist()
+    kept_flag = [r >= report["min_rank_scaled"] for r in rs]
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "rank_scaled": pa.array(rs, pa.int64()),
+            "kept": pa.array(kept_flag, pa.bool_()),
+            "n_pages": pa.array(
+                np.array([per_host.get(h, 0) for h in hosts], np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def q_host_linkgraph(sf_dir: str):
+    """Driver entry (rows-only — link extraction over HTML is not
+    SQL-expressible): the weighted host link graph of the deterministic
+    linked corpus, sorted for a stable row order."""
+    from pie_ray.sources.linksynth import synth_link_pages
+    from pie_ray.stages.links import host_edges
+    from pie_ray.util import gather_table
+
+    edges = host_edges(synth_link_pages(1200))
+    tbl = gather_table(
+        edges,
+        schema=pa.schema(
+            [
+                ("src_host", pa.string()),
+                ("dst_host", pa.string()),
+                ("n_links", pa.int64()),
+            ]
+        ),
+    )
+    return tbl.sort_by([("src_host", "ascending"), ("dst_host", "ascending")])

@@ -1,0 +1,84 @@
+"""Deterministic cross-host linked-page corpus for the link-graph stack.
+
+The frozen KG corpus (sources/synth.py) only carries relative nav links —
+every host self-loops, which exercises extraction but not ranking. This
+generator plants a Common-Crawl-shaped host topology instead, as a pure
+function of the row index (partition-independent, house invariant):
+
+- ``n_hosts = max(8, n // pages_per_host)`` hosts, ``h{j}.example``;
+- the first ``auth_frac`` of hosts are AUTHORITIES: every page links to
+  three of them (index-hashed picks), so they accumulate inbound mass;
+- the last ``spam_frac`` of hosts are SOURCE-ONLY: pages on them link out
+  but no page ever links TO them — their host PageRank stays exactly at
+  the teleport base ``scale * 15 // 100`` (no inbound mass), which is the
+  signal the domain-prior gate (pipelines/curation.curate_pages) cuts on;
+- middle hosts receive one deterministic mid-tier link per 3rd page.
+
+Only (url, html) matter to the link stack; text/lang ride along with the
+T0 schema so the table is a valid pages input anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pie_ray.util import hash64_ints
+
+AUTH_FRAC = 0.1
+SPAM_FRAC = 0.2
+PAGES_PER_HOST = 20
+
+
+def link_plan(i: int, n_hosts: int) -> tuple[str, list[str]]:
+    """(src_host, [dst_host, ...]) for page ``i`` — pure function of i."""
+    n_auth = max(2, int(n_hosts * AUTH_FRAC))
+    n_spam = max(2, int(n_hosts * SPAM_FRAC))
+    host = f"h{i % n_hosts}.example"
+    picks = hash64_ints(np.array([3 * i, 3 * i + 1, 3 * i + 2], np.int64), salt=0x11D)
+    dsts = [f"h{int(p % n_auth)}.example" for p in picks]
+    if i % 3 == 0:
+        # one mid-tier link so middle hosts sit between base and authority
+        mid_lo, mid_hi = n_auth, n_hosts - n_spam
+        if mid_hi > mid_lo:
+            m = int(hash64_ints(np.array([i], np.int64), salt=0x9B)[0])
+            dsts.append(f"h{mid_lo + m % (mid_hi - mid_lo)}.example")
+    return host, dsts
+
+
+def link_pages_table(indices, n_hosts: int) -> pa.Table:
+    """T0-shaped Arrow table for the given row indices."""
+    urls, htmls = [], []
+    for i in indices:
+        i = int(i)
+        host, dsts = link_plan(i, n_hosts)
+        body = " ".join(f'<a href="https://{d}/x{k}">l</a>' for k, d in enumerate(dsts))
+        urls.append(f"https://{host}/p{i}")
+        htmls.append(f"<html><body>{body} page {i}</body></html>".encode())
+    n = len(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+
+
+def n_hosts_for(n: int, pages_per_host: int = PAGES_PER_HOST) -> int:
+    return max(8, n // pages_per_host)
+
+
+def synth_link_pages(n: int, *, override_num_blocks: int | None = None):
+    """Linked T0 corpus as a Ray Dataset: range(n) -> map_batches(gen)."""
+    import ray.data
+
+    n_hosts = n_hosts_for(n)
+
+    def gen_batch(batch: dict[str, np.ndarray]) -> pa.Table:
+        return link_pages_table(batch["id"], n_hosts)
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen_batch, batch_format="numpy", batch_size=256)

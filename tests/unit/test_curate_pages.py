@@ -1,0 +1,96 @@
+"""Domain-prior page curation (curate_pages) + the linked synth corpus:
+partition independence of the generator, the spam-host-at-teleport-base
+invariant the gate cuts on, broadcast ≡ join keep-path equivalence, and
+report accounting (no silent drops)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pie_ray.pipelines.curation import (
+    curate_pages,
+    q_curate_pages,
+    q_host_linkgraph,
+)
+from pie_ray.sources.linksynth import (
+    AUTH_FRAC,
+    SPAM_FRAC,
+    n_hosts_for,
+    synth_link_pages,
+)
+from pie_ray.stages.links import host_edges, host_of, host_pagerank
+
+
+def _rows(ds, cols):
+    out = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        out.extend(zip(*(b.column(c).to_pylist() for c in cols)))
+    return sorted(out)
+
+
+def test_linksynth_partition_independent(ray_session):
+    a = _rows(synth_link_pages(300, override_num_blocks=2), ["url", "html"])
+    b = _rows(synth_link_pages(300, override_num_blocks=11), ["url", "html"])
+    assert a == b and len(a) == 300
+
+
+def test_spam_hosts_sit_at_teleport_base(ray_session):
+    from pie_ray.functions.graphops import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    n = 600
+    n_hosts = n_hosts_for(n)
+    n_auth = max(2, int(n_hosts * AUTH_FRAC))
+    n_spam = max(2, int(n_hosts * SPAM_FRAC))
+    ranks = host_pagerank(host_edges(synth_link_pages(n)))
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    by_host = dict(
+        zip(ranks.column("host").to_pylist(), ranks.column("rank_scaled").to_pylist())
+    )
+    spam = [f"h{j}.example" for j in range(n_hosts - n_spam, n_hosts)]
+    auth = [f"h{j}.example" for j in range(n_auth)]
+    assert all(by_host[h] == base for h in spam)  # no inbound mass, exactly base
+    assert all(by_host[h] > base for h in auth)
+    # authorities outrank every spam host by a wide margin
+    assert min(by_host[h] for h in auth) > 10 * base
+
+
+def test_curate_pages_paths_agree_and_report_adds_up(ray_session):
+    pages = synth_link_pages(400).materialize()
+    ranks = host_pagerank(host_edges(pages))
+    k_b, r_b = curate_pages(pages, ranks=ranks, keep_path="broadcast")
+    k_j, r_j = curate_pages(pages, ranks=ranks, keep_path="join")
+    urls_b = _rows(k_b, ["url"])
+    urls_j = _rows(k_j, ["url"])
+    assert urls_b == urls_j and 0 < len(urls_b) < 400
+    for r in (r_b, r_j):
+        assert r["n_pages_kept"] + r["n_pages_dropped"] == r["n_pages"] == 400
+        assert r["n_hosts_kept"] + r["n_hosts_dropped"] == r["n_hosts"]
+    assert r_b["keep_path"] == "broadcast" and r_j["keep_path"] == "join"
+    # kept pages are exactly the pages whose host cleared the threshold
+    kept_hosts = {
+        h
+        for h, rs in zip(
+            ranks.column("host").to_pylist(),
+            ranks.column("rank_scaled").to_pylist(),
+        )
+        if rs >= r_b["min_rank_scaled"]
+    }
+    assert {host_of(u) for (u,) in urls_b} == kept_hosts
+
+
+def test_q_entries_nonempty_and_consistent(ray_session):
+    t = q_curate_pages("unused")
+    assert t.num_rows > 0
+    assert t.schema.names == ["host", "rank_scaled", "kept", "n_pages"]
+    kept = t.column("kept").to_pylist()
+    assert 0 < sum(kept) < t.num_rows  # gate keeps some, drops some
+    assert sum(t.column("n_pages").to_pylist()) == 1200
+
+    g = q_host_linkgraph("unused")
+    assert g.num_rows > 0
+    assert g.schema.names == ["src_host", "dst_host", "n_links"]
+    keys = list(
+        zip(g.column("src_host").to_pylist(), g.column("dst_host").to_pylist())
+    )
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    assert pa.types.is_int64(g.schema.field("n_links").type)
