@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _lazy("pie_ray.functions.graphops", "q_graph_components"),
         "graph_communities": _lazy("pie_ray.functions.graphops", "q_graph_communities"),
         "graph_pagerank": _lazy("pie_ray.functions.graphops", "q_graph_pagerank"),
+        "graph_trustrank": _lazy("pie_ray.functions.graphops", "q_graph_trustrank"),
         "grouped_mode": relational.q_grouped_mode,
         "kg_entity_profiles": _kg_entity_profiles,
         "graph_centrality": _lazy(
@@ -331,7 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pie_ray.functions.graphops import pagerank_oracle_sql
+    from pie_ray.functions.graphops import pagerank_oracle_sql, trustrank_oracle_sql
     from pie_ray.functions.quality_clf import QUALITY_CLF_ORACLE_SQL
     from pie_ray.functions.validate import validate_oracle_sql
 
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact PageRank: the fixed-point update is all-int64, so
         # the nested-CTE unrolled power iteration hash-matches bit-for-bit
         "graph_pagerank": pagerank_oracle_sql(),
+        "graph_trustrank": trustrank_oracle_sql(),
         "regr_by_flag": """
             -- per-flag least-squares regression of price-in-cents on
             -- quantity, from EXACT integer moments (HUGEINT sums), each

@@ -786,6 +786,7 @@ def pagerank_directed_distributed(
     iters: int = PR_ITERS,
     scale: int = PR_SCALE,
     add_dangling_self_loops: bool = True,
+    seed_pred=None,
 ):
     """Generic distributed integer PageRank core over a directed weighted
     edge Dataset (columns src, dst, w — int64). Per iteration: one hash
@@ -799,7 +800,17 @@ def pagerank_directed_distributed(
     ``add_dangling_self_loops``: append a weight-1 self-loop for every
     node with zero out-weight (general directed graphs — matches the
     driver twin bit-for-bit). Symmetrized callers skip the extra pass.
-    Returns a Dataset (node, rank_scaled)."""
+
+    ``seed_pred`` turns the uniform teleport into a SEEDED one (TrustRank,
+    Gyongyi et al. 2004): a vectorized numpy predicate (int64 ids -> bool
+    mask) marking trusted nodes. Seeds start at and keep the teleport base;
+    every other node starts at 0 and only earns rank through in-links from
+    seed-reachable mass — link farms with no trusted in-path stay at
+    exactly 0. A PREDICATE (not a node list) keeps the distributed path
+    stateless: seed membership is recomputed per batch, no driver-held or
+    broadcast seed set, so rule-defined seeds cost nothing at any scale
+    (curated seed LISTS are small by TrustRank's premise — wrap them in
+    ``np.isin`` to use here). Returns a Dataset (node, rank_scaled)."""
     from pie_ray.util import drop_empty_blocks
 
     directed = directed.materialize()
@@ -866,21 +877,25 @@ def pagerank_directed_distributed(
             batch_format="pyarrow",
         ).materialize()
 
-    # state carried per node: (node, r, deg) — avoids a deg re-join on the
-    # contribution side; only the new-rank side joins deg each round
-    state = deg_ds.map_batches(
-        lambda t: pa.table(
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+
+    def init_r(t: pa.Table) -> pa.Table:
+        if seed_pred is None:
+            r0 = np.full(t.num_rows, scale, np.int64)
+        else:
+            ids = t.column("node").to_numpy(zero_copy_only=False)
+            r0 = np.where(seed_pred(ids), base, 0).astype(np.int64)
+        return pa.table(
             {
                 "node": t.column("node"),
-                "r": pa.array(
-                    np.full(t.num_rows, scale, np.int64), pa.int64()
-                ),
+                "r": pa.array(r0, pa.int64()),
                 "deg": t.column("deg"),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+        )
+
+    # state carried per node: (node, r, deg) — avoids a deg re-join on the
+    # contribution side; only the new-rank side joins deg each round
+    state = deg_ds.map_batches(init_r, batch_format="pyarrow").materialize()
     _ACC_SCHEMA = pa.schema([("node", pa.int64()), ("acc", pa.int64())])
 
     def contrib_tag(t: pa.Table) -> pa.Table:
@@ -907,6 +922,30 @@ def pagerank_directed_distributed(
 
         gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("acc", "sum")])
         return rename_grouped(gb, ["node"], ["node", "acc"])
+
+    def rank_update(t: pa.Table) -> pa.Table:
+        # int64-only arithmetic end to end (truncating int64 division =
+        # floor on non-negatives) — a float path would drift past 2^53 and
+        # break the bit-exact driver==distributed==oracle contract
+        acc = pc.fill_null(
+            pc.cast(t.column("acc"), pa.int64()), pa.scalar(0, pa.int64())
+        )
+        if seed_pred is None:
+            r = pc.add(
+                pa.scalar(base, pa.int64()),
+                pc.divide(
+                    pc.multiply(acc, pa.scalar(PR_DAMP_NUM, pa.int64())),
+                    pa.scalar(PR_DAMP_DEN, pa.int64()),
+                ),
+            )
+        else:
+            ids = t.column("node").to_numpy(zero_copy_only=False)
+            b = np.where(seed_pred(ids), base, 0).astype(np.int64)
+            accn = acc.to_numpy(zero_copy_only=False)
+            r = pa.array(b + PR_DAMP_NUM * accn // PR_DAMP_DEN, pa.int64())
+        return pa.table(
+            {"node": t.column("node"), "r": r, "deg": t.column("deg")}
+        )
 
     for _ in range(iters):
         j = directed.join(
@@ -939,32 +978,7 @@ def pagerank_directed_distributed(
                 on=("node",),
                 right_on=("node2",),
             )
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": t.column("node"),
-                        # int64-only arithmetic end to end (pc.divide on
-                        # int64 truncates = floor on non-negatives) — a
-                        # float path would drift past 2^53 and break the
-                        # bit-exact driver==distributed==oracle contract
-                        "r": pc.add(
-                            pa.scalar(base, pa.int64()),
-                            pc.divide(
-                                pc.multiply(
-                                    pc.fill_null(
-                                        pc.cast(t.column("acc"), pa.int64()),
-                                        pa.scalar(0, pa.int64()),
-                                    ),
-                                    pa.scalar(PR_DAMP_NUM, pa.int64()),
-                                ),
-                                pa.scalar(PR_DAMP_DEN, pa.int64()),
-                            ),
-                        ),
-                        "deg": t.column("deg"),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            .map_batches(rank_update, batch_format="pyarrow")
             .materialize()
         )
 
@@ -1018,6 +1032,167 @@ def pagerank_oracle_sql(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
             f""", it{i} AS (
           SELECT deg.node,
                  {base} + {PR_DAMP_NUM} * s.acc // {PR_DAMP_DEN} AS r
+          FROM deg JOIN (
+            SELECT e.dst AS node, SUM(p.r // deg2.d) AS acc
+            FROM it{i - 1} p
+            JOIN deg deg2 ON deg2.node = p.node
+            JOIN e ON e.src = p.node
+            GROUP BY e.dst
+          ) s ON s.node = deg.node
+        )"""
+        )
+    parts.append(
+        f"\n        SELECT node AS s_suppkey, r AS rank_scaled FROM it{iters}"
+    )
+    return "".join(parts)
+
+
+# ------------------------------------------- TrustRank (seeded teleport)
+
+TRUST_SEED_MOD = 5  # oracle seed rule: node % TRUST_SEED_MOD == 0
+
+
+def trustrank_integer_directed_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seed_pred,
+    w: np.ndarray | None = None,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> pa.Table:
+    """Driver twin of the seeded distributed core (TrustRank, Gyongyi et
+    al. 2004): integer-exact personalized PageRank where the teleport mass
+    lands ONLY on trusted seeds. Update: r'(v) = (v seed ? base : 0) +
+    floor(85 * sum w*floor(r(u)/W(u)) / 100), init r = base on seeds / 0
+    elsewhere — so rank measures proximity to trust, and nodes with no
+    in-path from a seed sit at exactly 0 (the spam-demotion signal the
+    uniform prior can't give: a link farm inflates PageRank by linking to
+    itself, but cannot manufacture trust in-links). ``seed_pred`` is a
+    vectorized numpy predicate over int64 node ids, same contract as the
+    distributed path. All-integer → bit-identical across summation order,
+    SQL-oracle-able like the uniform core."""
+    src = src.astype(np.int64)
+    dst = dst.astype(np.int64)
+    w = np.ones(len(src), np.int64) if w is None else w.astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src) :]
+    n = len(nodes)
+    outw = np.zeros(n, np.int64)
+    np.add.at(outw, si, w)
+    dangling = np.flatnonzero(outw == 0)
+    if len(dangling):
+        si = np.concatenate([si, dangling])
+        di = np.concatenate([di, dangling])
+        w = np.concatenate([w, np.ones(len(dangling), np.int64)])
+        outw[dangling] = 1
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    seed_base = np.where(seed_pred(nodes), base, 0).astype(np.int64)
+    r = seed_base.copy()
+    for _ in range(iters):
+        contrib = w * (r // outw)[si]
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, di, contrib)
+        r = seed_base + PR_DAMP_NUM * acc // PR_DAMP_DEN
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "rank_scaled": pa.array(r, pa.int64()),
+        }
+    )
+
+
+def trustrank_integer_distributed(
+    edges: "ray.data.Dataset",
+    seed_pred,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+):
+    """Distributed TrustRank over packed undirected edges (column ``e``):
+    symmetrize, then the seeded generic directed core — bit-equal to the
+    driver twin (equivalence-tested)."""
+
+    def split_both(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        a = (e // PACK).astype(np.int64)
+        b = (e % PACK).astype(np.int64)
+        n2 = 2 * len(e)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "w": pa.array(np.ones(n2, np.int64), pa.int64()),
+            }
+        )
+
+    directed = edges.map_batches(split_both, batch_format="pyarrow").materialize()
+    out = pagerank_directed_distributed(
+        directed,
+        iters=iters,
+        scale=scale,
+        add_dangling_self_loops=False,
+        seed_pred=seed_pred,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("node"), "rank_scaled": t.column("rank_scaled")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _trust_seed_pred(ids: np.ndarray) -> np.ndarray:
+    return ids % TRUST_SEED_MOD == 0
+
+
+def q_graph_trustrank(sf_dir: str):
+    """TrustRank over the co-supplier graph, seeds = suppkeys divisible by
+    TRUST_SEED_MOD (a rule, so the seed set is SQL-expressible and costs
+    the distributed path nothing). SQL-oracled bit-for-bit like
+    ``q_graph_pagerank`` — same size-adaptive driver/distributed split."""
+    edges = cooccurrence_edges(sf_dir).materialize()
+    if edges.count() <= DRIVER_EDGE_LIMIT:
+        tbl = gather_table(edges, schema=EDGE_SCHEMA)
+        e = tbl.column("e").to_numpy(zero_copy_only=False)
+        a = (e // PACK).astype(np.int64)
+        b = (e % PACK).astype(np.int64)
+        out = trustrank_integer_directed_driver(
+            np.concatenate([a, b]), np.concatenate([b, a]), _trust_seed_pred
+        )
+        return pa.table(
+            {
+                "s_suppkey": out.column("node"),
+                "rank_scaled": out.column("rank_scaled"),
+            }
+        )
+    return trustrank_integer_distributed(edges, _trust_seed_pred)
+
+
+def trustrank_oracle_sql(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """DuckDB oracle for ``q_graph_trustrank``: the pagerank unroll with
+    the teleport term gated on the seed rule (CASE WHEN node % mod = 0)."""
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    seed = f"CASE WHEN {{n}} % {TRUST_SEED_MOD} = 0 THEN {base} ELSE 0 END"
+    parts = [
+        f"""
+        WITH su AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_quantity > {TRI_QTY_THRESHOLD}
+        ), e AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM su a JOIN su b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        ), deg AS (
+          SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src
+        ), it0 AS (
+          SELECT node, CAST({seed.format(n="node")} AS BIGINT) AS r FROM deg
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", it{i} AS (
+          SELECT deg.node,
+                 {seed.format(n="deg.node")}
+                   + {PR_DAMP_NUM} * s.acc // {PR_DAMP_DEN} AS r
           FROM deg JOIN (
             SELECT e.dst AS node, SUM(p.r // deg2.d) AS acc
             FROM it{i - 1} p

@@ -575,3 +575,112 @@ def test_link_predict_driver_vs_distributed(ray_session):
         for r in t.to_pylist()
     )
     assert key(drv) == key(dist) and drv.num_rows > 0
+
+
+# ---------------------------------------------- TrustRank (seeded teleport)
+
+
+def _trust_reference(pairs, seed_pred, iters=G.PR_ITERS, scale=G.PR_SCALE):
+    """Pure-python replica of the seeded integer update (undirected input)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(ms) for n, ms in adj.items()}
+    base = scale * (G.PR_DAMP_DEN - G.PR_DAMP_NUM) // G.PR_DAMP_DEN
+    sb = {n: (base if seed_pred(np.array([n], np.int64))[0] else 0) for n in adj}
+    r = dict(sb)
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            acc = sum(r[u] // deg[u] for u in adj[v])
+            new[v] = sb[v] + G.PR_DAMP_NUM * acc // G.PR_DAMP_DEN
+        r = new
+    return r
+
+
+def test_trustrank_matches_reference():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, 150).astype(np.int64)
+    b = rng.integers(0, 60, 150).astype(np.int64)
+    keep = a != b
+    # distinct undirected edges — the driver treats duplicates as weights,
+    # the dict reference as sets, so feed it the deduped pair list
+    packed = np.unique(G._pack(np.minimum(a, b)[keep], np.maximum(a, b)[keep]))
+    ua = (packed // G.PACK).astype(np.int64)
+    ub = (packed % G.PACK).astype(np.int64)
+    pairs = list(zip(ua.tolist(), ub.tolist()))
+    src = np.concatenate([ua, ub])
+    dst = np.concatenate([ub, ua])
+    out = G.trustrank_integer_directed_driver(src, dst, G._trust_seed_pred)
+    got = dict(
+        zip(out.column("node").to_pylist(), out.column("rank_scaled").to_pylist())
+    )
+    assert got == _trust_reference(pairs, G._trust_seed_pred) and len(got) > 0
+
+
+def test_trustrank_driver_vs_distributed_bit_equal(ray_session):
+    from pie_ray.util import gather_table
+
+    edges = G.cooccurrence_edges(SF).materialize()
+    packed = (
+        gather_table(edges, schema=G.EDGE_SCHEMA)
+        .column("e")
+        .to_numpy(zero_copy_only=False)
+    )
+    aa = (packed // G.PACK).astype(np.int64)
+    bb = (packed % G.PACK).astype(np.int64)
+    drv = G.trustrank_integer_directed_driver(
+        np.concatenate([aa, bb]), np.concatenate([bb, aa]), G._trust_seed_pred
+    )
+    drv_map = table_to_dict(
+        pa.table(
+            {"s_suppkey": drv.column("node"), "rank_scaled": drv.column("rank_scaled")}
+        ),
+        "s_suppkey",
+        "rank_scaled",
+    )
+    dist = table_to_dict(
+        pa.Table.from_pylist(
+            G.trustrank_integer_distributed(edges, G._trust_seed_pred).take_all()
+        ),
+        "s_suppkey",
+        "rank_scaled",
+    )
+    assert drv_map == dist and len(drv_map) > 0
+
+
+def test_trustrank_partition_independent(ray_session):
+    runs = []
+    for blocks in (1, 5):
+        runs.append(
+            table_to_dict(
+                pa.Table.from_pylist(
+                    G.trustrank_integer_distributed(
+                        G.cooccurrence_edges(
+                            SF, override_num_blocks=blocks
+                        ).materialize(),
+                        G._trust_seed_pred,
+                    ).take_all()
+                ),
+                "s_suppkey",
+                "rank_scaled",
+            )
+        )
+    assert runs[0] == runs[1] and len(runs[0]) > 0
+
+
+def test_trustrank_seedless_component_ranks_zero():
+    # component {1,2,3} holds no seed (nothing % 5 == 0); {5,6,7} holds 5
+    pairs = [(1, 2), (2, 3), (5, 6), (6, 7)]
+    src = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    out = G.trustrank_integer_directed_driver(src, dst, G._trust_seed_pred)
+    got = dict(
+        zip(out.column("node").to_pylist(), out.column("rank_scaled").to_pylist())
+    )
+    assert got[1] == got[2] == got[3] == 0  # no in-path from any seed
+    assert got[5] > 0 and got[6] > 0 and got[7] > 0  # trust propagates
+    assert got[5] > got[7]  # and decays with distance from the seed
