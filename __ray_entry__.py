@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_nulls": relational.q_impute_nulls,
         "host_linkgraph": _lazy("pie_ray.pipelines.curation", "q_host_linkgraph"),
         "curate_pages": _lazy("pie_ray.pipelines.curation", "q_curate_pages"),
+        "anchor_terms": _lazy("pie_ray.pipelines.curation", "q_anchor_terms"),
     }.items()}
 
 

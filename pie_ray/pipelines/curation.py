@@ -391,6 +391,24 @@ def q_curate_pages(sf_dir: str):
     )
 
 
+def q_anchor_terms(sf_dir: str):
+    """Driver entry (rows-only — anchor extraction over HTML is not
+    SQL-expressible): top-3 anchor-text terms per destination host over
+    the deterministic linked corpus — how the corpus names each site."""
+    from pie_ray.sources.linksynth import synth_link_pages
+    from pie_ray.stages.links import host_anchor_terms
+    from pie_ray.util import gather_table
+
+    tbl = gather_table(
+        host_anchor_terms(synth_link_pages(1200), k=3),
+        schema=pa.schema(
+            [("host", pa.string()), ("term", pa.string()), ("n_links", pa.int64())]
+        ),
+    )
+    return tbl.sort_by([("host", "ascending"), ("n_links", "descending"),
+                        ("term", "ascending")])
+
+
 def q_host_linkgraph(sf_dir: str):
     """Driver entry (rows-only — link extraction over HTML is not
     SQL-expressible): the weighted host link graph of the deterministic

@@ -52,7 +52,13 @@ def link_pages_table(indices, n_hosts: int) -> pa.Table:
     for i in indices:
         i = int(i)
         host, dsts = link_plan(i, n_hosts)
-        body = " ".join(f'<a href="https://{d}/x{k}">l</a>' for k, d in enumerate(dsts))
+        # anchor text names the destination (label + common words) so the
+        # anchor-term aggregate has signal: per dst host the label ties
+        # with "official"/"site" on count and wins the term-asc tie-break
+        body = " ".join(
+            f'<a href="https://{d}/x{k}">{d.split(".")[0]} official site</a>'
+            for k, d in enumerate(dsts)
+        )
         urls.append(f"https://{host}/p{i}")
         htmls.append(f"<html><body>{body} page {i}</body></html>".encode())
     n = len(urls)

@@ -37,6 +37,14 @@ from pie_ray.util import bucket_count, bucket_hash_strings, rename_grouped
 # href value up to a quote/space/fragment; bytes-level so the html binary
 # column is scanned without a decode pass
 _HREF_RE = re.compile(rb"<a\s[^>]*?href\s*=\s*[\"']([^\"'#\s>]+)", re.IGNORECASE)
+# href + the anchor's inner markup up to the closing </a> (anchor TEXT —
+# how the web names the destination; feeds entity-name candidates)
+_ANCHOR_RE = re.compile(
+    rb"<a\s[^>]*?href\s*=\s*[\"']([^\"'#\s>]+)[^>]*>(.*?)</a\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WORD_RE = re.compile(r"[a-z0-9]+")
 _HOST_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]+)")
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
 PAIR_SEP = "\x1f"
@@ -84,6 +92,114 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
             "src_host": pa.array(src_out, pa.string()),
             "dst_host": pa.array(dst_out, pa.string()),
         }
+    )
+
+
+def extract_anchors_batch(batch: pa.Table) -> pa.Table:
+    """T0 (url, html) -> one row per link WITH visible anchor text:
+    (dst_host, anchor). Inner markup is stripped (tags removed, whitespace
+    collapsed, lowercased — deterministic spec, same philosophy as the
+    frozen stripper); links whose anchor collapses to nothing and
+    non-navigational hrefs are dropped."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    dst_out: list[str] = []
+    anchor_out: list[str] = []
+    for url, html in zip(urls, htmls):
+        if html is None:
+            continue
+        src = host_of(url or "")
+        for raw_href, raw_inner in _ANCHOR_RE.findall(html):
+            href = raw_href.decode("utf-8", errors="replace").strip()
+            dst = resolve_link_host(href, src)
+            if not dst:
+                continue
+            text = _TAG_RE.sub(b" ", raw_inner).decode("utf-8", errors="replace")
+            text = " ".join(text.lower().split())
+            if text:
+                dst_out.append(dst)
+                anchor_out.append(text)
+    return pa.table(
+        {
+            "dst_host": pa.array(dst_out, pa.string()),
+            "anchor": pa.array(anchor_out, pa.string()),
+        }
+    )
+
+
+def host_anchor_terms(pages_ds, k: int = 3, num_buckets: int | None = None):
+    """Top-``k`` anchor-text TERMS per destination host — how the rest of
+    the corpus names each site (the classic web-graph entity-naming
+    signal: anchor words pointing AT a page describe it better than the
+    page itself; Brin & Page 1998 §2.2). Terms are ``[a-z0-9]+`` tokens of
+    the stripped anchor text; ranking is by count desc, term asc — fully
+    deterministic, independent of partitioning.
+
+    One host-bucketed exchange: per-batch (host, term) count partials,
+    per-bucket exact sums + vectorized per-host top-k (sort by host/count
+    desc/term, boundary arange — no Python loop over rows). Per-bucket
+    state is term-pairs/num_buckets. Returns (host, term, n_links) rows."""
+    nb = num_buckets or bucket_count(pages_ds.size_bytes(), floor=32)
+    _OUT = pa.schema(
+        [("host", pa.string()), ("term", pa.string()), ("n_links", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        anchors = extract_anchors_batch(t)
+        hosts_out: list[str] = []
+        terms_out: list[str] = []
+        for h, a in zip(
+            anchors.column("dst_host").to_pylist(),
+            anchors.column("anchor").to_pylist(),
+        ):
+            for w in _WORD_RE.findall(a):
+                hosts_out.append(h)
+                terms_out.append(w)
+        if not hosts_out:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "n_links": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        pairs = pa.table(
+            {
+                "host": pa.array(hosts_out, pa.string()),
+                "term": pa.array(terms_out, pa.string()),
+                "n_links": pa.array(np.ones(len(hosts_out), np.int64)),
+            }
+        )
+        gb = pairs.group_by(["host", "term"]).aggregate([("n_links", "sum")])
+        gb = rename_grouped(gb, ["host", "term"], ["host", "term", "n_links"])
+        b = (bucket_hash_strings(gb.column("host"), salt=0x5A0C) % nb).astype(
+            "int32"
+        )
+        return gb.append_column("bucket", pa.array(b, pa.int32()))
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        gb = (
+            g.drop_columns(["bucket"])
+            .group_by(["host", "term"])
+            .aggregate([("n_links", "sum")])
+        )
+        gb = rename_grouped(gb, ["host", "term"], ["host", "term", "n_links"])
+        gb = gb.sort_by(
+            [("host", "ascending"), ("n_links", "descending"), ("term", "ascending")]
+        )
+        hosts = np.asarray(gb.column("host").to_pylist())
+        # rank within host = position - start of the host's run
+        _, starts, counts = np.unique(hosts, return_index=True, return_counts=True)
+        rank = np.arange(len(hosts)) - np.repeat(starts, counts)
+        return gb.filter(pa.array(rank < k, pa.bool_()))
+
+    return (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
