@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_linkgraph": _lazy("pie_ray.pipelines.curation", "q_host_linkgraph"),
         "curate_pages": _lazy("pie_ray.pipelines.curation", "q_curate_pages"),
         "anchor_terms": _lazy("pie_ray.pipelines.curation", "q_anchor_terms"),
+        "host_trustrank": _lazy("pie_ray.pipelines.curation", "q_host_trustrank"),
     }.items()}
 
 

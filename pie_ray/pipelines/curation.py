@@ -391,6 +391,42 @@ def q_curate_pages(sf_dir: str):
     )
 
 
+def q_host_trustrank(sf_dir: str):
+    """Driver entry (rows-only): PageRank vs TrustRank over the
+    LINK-FARM variant of the linked corpus — interlinked spam hosts clear
+    the inbound-mass PageRank gate but hold exactly 0 TrustRank (no
+    in-path from the trusted seeds, the authority hosts). One row per
+    host: both ranks and both gate decisions."""
+    from pie_ray.functions.graphops import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+    from pie_ray.sources.linksynth import AUTH_FRAC, n_hosts_for, synth_link_pages
+    from pie_ray.stages.links import host_edges, host_pagerank, host_trustrank
+
+    n = 1200
+    n_hosts = n_hosts_for(n)
+    seeds = [f"h{j}.example" for j in range(max(2, int(n_hosts * AUTH_FRAC)))]
+    edges = host_edges(
+        synth_link_pages(n, spam_interlink=True).materialize()
+    ).materialize()
+    pr = host_pagerank(edges)
+    tr = host_trustrank(edges, seeds)
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    tr_map = dict(
+        zip(tr.column("host").to_pylist(), tr.column("rank_scaled").to_pylist())
+    )
+    hosts = pr.column("host").to_pylist()
+    prs = pr.column("rank_scaled").to_pylist()
+    trs = [tr_map[h] for h in hosts]
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "pagerank_scaled": pa.array(prs, pa.int64()),
+            "trustrank_scaled": pa.array(trs, pa.int64()),
+            "kept_pagerank_gate": pa.array([r >= base + 1 for r in prs], pa.bool_()),
+            "kept_trustrank_gate": pa.array([r >= 1 for r in trs], pa.bool_()),
+        }
+    )
+
+
 def q_anchor_terms(sf_dir: str):
     """Driver entry (rows-only — anchor extraction over HTML is not
     SQL-expressible): top-3 anchor-text terms per destination host over

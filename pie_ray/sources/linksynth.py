@@ -30,11 +30,28 @@ SPAM_FRAC = 0.2
 PAGES_PER_HOST = 20
 
 
-def link_plan(i: int, n_hosts: int) -> tuple[str, list[str]]:
-    """(src_host, [dst_host, ...]) for page ``i`` — pure function of i."""
+def link_plan(
+    i: int, n_hosts: int, spam_interlink: bool = False
+) -> tuple[str, list[str]]:
+    """(src_host, [dst_host, ...]) for page ``i`` — pure function of i.
+
+    ``spam_interlink`` plants a LINK FARM instead of source-only spam:
+    every spam page links to two other spam hosts, so the cluster has
+    inbound links (it clears any inbound-mass PageRank gate) yet has no
+    in-path from the trusted side — the exact topology TrustRank exists
+    to demote (its rank there is exactly 0)."""
     n_auth = max(2, int(n_hosts * AUTH_FRAC))
     n_spam = max(2, int(n_hosts * SPAM_FRAC))
-    host = f"h{i % n_hosts}.example"
+    j = i % n_hosts
+    host = f"h{j}.example"
+    if spam_interlink and j >= n_hosts - n_spam:
+        spam_lo = n_hosts - n_spam
+        picks = hash64_ints(np.array([2 * i, 2 * i + 1], np.int64), salt=0x2F7)
+        dsts = [
+            f"h{spam_lo + int((p % (n_spam - 1) + j - spam_lo + 1) % n_spam)}.example"
+            for p in picks
+        ]
+        return host, dsts
     picks = hash64_ints(np.array([3 * i, 3 * i + 1, 3 * i + 2], np.int64), salt=0x11D)
     dsts = [f"h{int(p % n_auth)}.example" for p in picks]
     if i % 3 == 0:
@@ -46,12 +63,12 @@ def link_plan(i: int, n_hosts: int) -> tuple[str, list[str]]:
     return host, dsts
 
 
-def link_pages_table(indices, n_hosts: int) -> pa.Table:
+def link_pages_table(indices, n_hosts: int, spam_interlink: bool = False) -> pa.Table:
     """T0-shaped Arrow table for the given row indices."""
     urls, htmls = [], []
     for i in indices:
         i = int(i)
-        host, dsts = link_plan(i, n_hosts)
+        host, dsts = link_plan(i, n_hosts, spam_interlink=spam_interlink)
         # anchor text names the destination (label + common words) so the
         # anchor-term aggregate has signal: per dst host the label ties
         # with "official"/"site" on count and wins the term-asc tie-break
@@ -77,14 +94,19 @@ def n_hosts_for(n: int, pages_per_host: int = PAGES_PER_HOST) -> int:
     return max(8, n // pages_per_host)
 
 
-def synth_link_pages(n: int, *, override_num_blocks: int | None = None):
+def synth_link_pages(
+    n: int,
+    *,
+    override_num_blocks: int | None = None,
+    spam_interlink: bool = False,
+):
     """Linked T0 corpus as a Ray Dataset: range(n) -> map_batches(gen)."""
     import ray.data
 
     n_hosts = n_hosts_for(n)
 
     def gen_batch(batch: dict[str, np.ndarray]) -> pa.Table:
-        return link_pages_table(batch["id"], n_hosts)
+        return link_pages_table(batch["id"], n_hosts, spam_interlink=spam_interlink)
 
     ds = ray.data.range(n, override_num_blocks=override_num_blocks)
     return ds.map_batches(gen_batch, batch_format="numpy", batch_size=256)

@@ -261,8 +261,25 @@ def host_edges(pages_ds, num_buckets: int | None = None):
 HOST_ID_DRIVER_LIMIT = 2_000_000
 
 
+def host_trustrank(edges_ds, seed_hosts, iters: int | None = None,
+                   scale: int | None = None, id_path: str = "auto",
+                   num_buckets: int | None = None):
+    """Host-level TrustRank: integer-exact seeded PageRank over the host
+    link graph, teleport mass landing only on ``seed_hosts`` (a curated
+    trusted list — small by TrustRank's premise). An interlinked LINK FARM
+    clears any inbound-mass PageRank gate (spam links to spam) but has no
+    in-path from a trusted host, so its TrustRank is exactly 0 — feed the
+    result to ``curate_pages(ranks=..., min_rank_scaled=1)`` to cut it.
+    Same size-adaptive id paths as ``host_pagerank`` (bit-equal,
+    equivalence-tested); on the join path only the |seeds| ids are ever
+    pulled to the driver."""
+    return host_pagerank(edges_ds, iters=iters, scale=scale, id_path=id_path,
+                         num_buckets=num_buckets, seed_hosts=seed_hosts)
+
+
 def host_pagerank(edges_ds, iters: int | None = None, scale: int | None = None,
-                  id_path: str = "auto", num_buckets: int | None = None):
+                  id_path: str = "auto", num_buckets: int | None = None,
+                  seed_hosts=None):
     """Integer-exact weighted directed PageRank over the host link graph
     (the domain-quality prior: CCNet/RefinedWeb-style pipelines gate or
     weight documents by the standing of their host). Input is
@@ -278,17 +295,25 @@ def host_pagerank(edges_ds, iters: int | None = None, scale: int | None = None,
     iteration runs; above it, hosts get ids from ``global_rank`` (the
     distributed total-order primitive — no driver pull), edges pick them
     up via two hash joins, the joins-based distributed iteration runs, and
-    ranks join back to host strings."""
+    ranks join back to host strings.
+
+    ``seed_hosts`` (used via the ``host_trustrank`` wrapper) switches the
+    teleport to TrustRank semantics: mass lands only on the listed hosts;
+    on the join path only the |seeds| ids are ever pulled to the driver."""
     from pie_ray.functions.graphops import (
         PR_ITERS,
         PR_SCALE,
         pagerank_directed_distributed,
         pagerank_integer_directed_driver,
+        trustrank_integer_directed_driver,
     )
     from pie_ray.util import drop_empty_blocks, gather_table, join_num_partitions
 
     iters = PR_ITERS if iters is None else iters
     scale = PR_SCALE if scale is None else scale
+    seed_sorted = (
+        None if seed_hosts is None else sorted(set(seed_hosts))
+    )
     edges_ds = edges_ds.materialize()
     use_driver = id_path == "driver" or (
         id_path == "auto" and edges_ds.count() <= HOST_ID_DRIVER_LIMIT
@@ -309,13 +334,24 @@ def host_pagerank(edges_ds, iters: int | None = None, scale: int | None = None,
         dst = np.asarray(tbl.column("dst_host").to_pylist())
         w = tbl.column("n_links").to_numpy(zero_copy_only=False)
         hosts = np.unique(np.concatenate([src, dst]))
-        ranks = pagerank_integer_directed_driver(
-            np.searchsorted(hosts, src),
-            np.searchsorted(hosts, dst),
-            w,
-            iters=iters,
-            scale=scale,
-        )
+        if seed_sorted is not None:
+            seed_mask = np.isin(hosts, np.asarray(seed_sorted, dtype=hosts.dtype))
+            ranks = trustrank_integer_directed_driver(
+                np.searchsorted(hosts, src),
+                np.searchsorted(hosts, dst),
+                lambda ids: seed_mask[ids],
+                w=w,
+                iters=iters,
+                scale=scale,
+            )
+        else:
+            ranks = pagerank_integer_directed_driver(
+                np.searchsorted(hosts, src),
+                np.searchsorted(hosts, dst),
+                w,
+                iters=iters,
+                scale=scale,
+            )
         nid = ranks.column("node").to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -387,9 +423,35 @@ def host_pagerank(edges_ds, iters: int | None = None, scale: int | None = None,
         ),
         batch_format="pyarrow",
     ).materialize()
+    seed_pred = None
+    if seed_sorted is not None:
+        # only the |seeds| ids ever reach the driver (TrustRank's premise:
+        # the curated trusted list is small)
+        seed_set = pa.array(seed_sorted, pa.string())
+        seed_ids_tbl = gather_table(
+            ids.map_batches(
+                lambda t: pa.table(
+                    {
+                        "nid": pc.cast(
+                            t.filter(
+                                pc.is_in(t.column("host"), value_set=seed_set)
+                            ).column("nid"),
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            schema=pa.schema([("nid", pa.int64())]),
+        )
+        seed_nids = np.sort(
+            seed_ids_tbl.column("nid").to_numpy(zero_copy_only=False)
+        )
+        seed_pred = lambda a: np.isin(a, seed_nids)  # noqa: E731
     ranks = drop_empty_blocks(
         pagerank_directed_distributed(
-            directed, iters=iters, scale=scale, add_dangling_self_loops=True
+            directed, iters=iters, scale=scale, add_dangling_self_loops=True,
+            seed_pred=seed_pred,
         ).materialize(),
         schema=pa.schema([("node", pa.int64()), ("rank_scaled", pa.int64())]),
     )

@@ -94,3 +94,87 @@ def test_q_entries_nonempty_and_consistent(ray_session):
     )
     assert keys == sorted(keys) and len(set(keys)) == len(keys)
     assert pa.types.is_int64(g.schema.field("n_links").type)
+
+
+# ------------------------------------------------- host TrustRank (link farm)
+
+
+def _farm_setup(n=400):
+    from pie_ray.sources.linksynth import AUTH_FRAC, SPAM_FRAC
+
+    n_hosts = n_hosts_for(n)
+    n_auth = max(2, int(n_hosts * AUTH_FRAC))
+    n_spam = max(2, int(n_hosts * SPAM_FRAC))
+    seeds = [f"h{j}.example" for j in range(n_auth)]
+    spam = [f"h{j}.example" for j in range(n_hosts - n_spam, n_hosts)]
+    pages = synth_link_pages(n, spam_interlink=True).materialize()
+    return pages, seeds, spam
+
+
+def test_link_farm_beats_pagerank_gate_but_not_trustrank(ray_session):
+    from pie_ray.functions.graphops import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+    from pie_ray.stages.links import host_edges, host_trustrank
+
+    pages, seeds, spam = _farm_setup()
+    edges = host_edges(pages).materialize()
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    pr = host_pagerank(edges)
+    pr_map = dict(
+        zip(pr.column("host").to_pylist(), pr.column("rank_scaled").to_pylist())
+    )
+    tr = host_trustrank(edges, seeds)
+    tr_map = dict(
+        zip(tr.column("host").to_pylist(), tr.column("rank_scaled").to_pylist())
+    )
+    # the farm interlinks, so every spam host clears the inbound-mass gate…
+    assert all(pr_map[h] >= base + 1 for h in spam)
+    # …but has no in-path from a trusted seed: TrustRank exactly 0
+    assert all(tr_map[h] == 0 for h in spam)
+    assert all(tr_map[h] > 0 for h in seeds)
+
+
+def test_host_trustrank_driver_vs_join_path_bit_equal(ray_session):
+    from pie_ray.stages.links import host_edges, host_trustrank
+
+    pages, seeds, _spam = _farm_setup(300)
+    edges = host_edges(pages).materialize()
+    a = host_trustrank(edges, seeds, id_path="driver")
+    b = host_trustrank(edges, seeds, id_path="join")
+    to_map = lambda t: dict(
+        zip(t.column("host").to_pylist(), t.column("rank_scaled").to_pylist())
+    )
+    assert to_map(a) == to_map(b) and a.num_rows > 0
+
+
+def test_curate_pages_with_trustrank_prior_cuts_the_farm(ray_session):
+    from pie_ray.stages.links import host_edges, host_of, host_trustrank
+
+    pages, seeds, spam = _farm_setup()
+    ranks = host_trustrank(host_edges(pages), seeds)
+    kept, report = curate_pages(pages, ranks=ranks, min_rank_scaled=1)
+    kept_hosts = {
+        host_of(u)
+        for b in kept.iter_batches(batch_format="pyarrow", batch_size=4096)
+        for u in b.column("url").to_pylist()
+    }
+    assert kept_hosts.isdisjoint(spam) and set(seeds) <= kept_hosts
+    assert report["n_pages_dropped"] > 0
+
+
+def test_q_host_trustrank_shape(ray_session):
+    from pie_ray.pipelines.curation import q_host_trustrank
+
+    t = q_host_trustrank("unused")
+    assert t.num_rows > 0
+    assert t.schema.names == [
+        "host",
+        "pagerank_scaled",
+        "trustrank_scaled",
+        "kept_pagerank_gate",
+        "kept_trustrank_gate",
+    ]
+    kp = t.column("kept_pagerank_gate").to_pylist()
+    kt = t.column("kept_trustrank_gate").to_pylist()
+    # the two gates genuinely disagree on the farm: some hosts pass
+    # PageRank yet fail TrustRank
+    assert any(p and not q for p, q in zip(kp, kt))
