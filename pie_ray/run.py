@@ -81,7 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="also extract the host-level link graph from the input pages "
         "and write <output>/linkgraph (src_host, dst_host, n_links) plus "
         "<output>/hostrank (host, rank_scaled — integer-exact weighted "
-        "PageRank, the domain-quality prior)",
+        "PageRank, the domain-quality prior) plus <output>/anchors "
+        "(host, term, n_links — top anchor-text terms per destination)",
     )
     return p
 
@@ -116,14 +117,16 @@ def _write_profiles(triples_path: str, out_root: str) -> dict:
 
 
 def _write_linkgraph(pages_ds, out_root: str) -> dict:
-    """Host link graph + host PageRank next to the KG output (one extra
-    pass over the input pages; the html column never leaves the map)."""
+    """Host link graph + host PageRank + anchor-term top-k next to the KG
+    output (two extra passes over the input pages; the html column never
+    leaves either map)."""
     import shutil
 
     import ray.data
 
-    from pie_ray.stages.links import host_edges, host_pagerank
+    from pie_ray.stages.links import host_anchor_terms, host_edges, host_pagerank
 
+    pages_ds = pages_ds.materialize()
     edges = host_edges(pages_ds).materialize()
     out_e = f"{out_root}/linkgraph"
     shutil.rmtree(out_e, ignore_errors=True)
@@ -136,6 +139,13 @@ def _write_linkgraph(pages_ds, out_root: str) -> dict:
         shutil.rmtree(out_r, ignore_errors=True)
         ray.data.from_arrow(ranks).write_parquet(out_r)
         report.update({"hostrank_path": out_r, "n_hosts": ranks.num_rows})
+        anchors = host_anchor_terms(pages_ds).materialize()
+        out_a = f"{out_root}/anchors"
+        shutil.rmtree(out_a, ignore_errors=True)
+        anchors.write_parquet(out_a)
+        report.update(
+            {"anchors_path": out_a, "n_anchor_terms": anchors.count()}
+        )
     return report
 
 

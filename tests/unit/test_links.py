@@ -217,3 +217,6 @@ def test_write_linkgraph_cli_helper(ray_session, tmp_path):
     exp = dict(zip(want.column("host").to_pylist(),
                    want.column("rank_scaled").to_pylist()))
     assert got == exp and len(got) == report["n_hosts"]
+    anchors = pq.read_table(report["anchors_path"])
+    assert set(anchors.column_names) == {"host", "term", "n_links"}
+    assert anchors.num_rows == report["n_anchor_terms"]
