@@ -330,11 +330,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pages": _lazy("pie_ray.pipelines.curation", "q_curate_pages"),
         "anchor_terms": _lazy("pie_ray.pipelines.curation", "q_anchor_terms"),
         "host_trustrank": _lazy("pie_ray.pipelines.curation", "q_host_trustrank"),
+        "url_canonicalize": _lazy("pie_ray.functions.urlops", "q_url_canonicalize"),
+        "dedup_urls": _lazy("pie_ray.functions.urlops", "q_dedup_urls"),
     }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     from pie_ray.functions.graphops import pagerank_oracle_sql, trustrank_oracle_sql
+    from pie_ray.functions.urlops import (
+        DEDUP_URLS_ORACLE_SQL,
+        URL_CANONICALIZE_ORACLE_SQL,
+    )
     from pie_ray.functions.quality_clf import QUALITY_CLF_ORACLE_SQL
     from pie_ray.functions.validate import validate_oracle_sql
 
@@ -357,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
         # the nested-CTE unrolled power iteration hash-matches bit-for-bit
         "graph_pagerank": pagerank_oracle_sql(),
         "graph_trustrank": trustrank_oracle_sql(),
+        "url_canonicalize": URL_CANONICALIZE_ORACLE_SQL,
+        "dedup_urls": DEDUP_URLS_ORACLE_SQL,
         "regr_by_flag": """
             -- per-flag least-squares regression of price-in-cents on
             -- quantity, from EXACT integer moments (HUGEINT sums), each
