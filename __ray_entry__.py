@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_trustrank": _lazy("pie_ray.pipelines.curation", "q_host_trustrank"),
         "url_canonicalize": _lazy("pie_ray.functions.urlops", "q_url_canonicalize"),
         "dedup_urls": _lazy("pie_ray.functions.urlops", "q_dedup_urls"),
+        "page_features": _lazy("pie_ray.stages.pagequality", "q_page_features"),
     }.items()}
 
 

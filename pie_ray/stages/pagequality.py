@@ -1,0 +1,162 @@
+"""Page-STRUCTURE quality features over T0 pages — the third leg of the
+curation triad: curate_corpus* scores the extracted TEXT, curate_pages
+scores the SOURCE host (link-graph prior), this scores the PAGE MARKUP.
+RefinedWeb/C4-style structural gates live here: a page whose characters
+are mostly anchor text is navigation/boilerplate, a page with almost no
+text per HTML byte is markup soup — both are cut before any text-side
+compute is spent on them.
+
+All features are exact int64 (counts + millionths-scaled ratios), so
+results are bit-identical across partitionings and the gates are pure
+integer comparisons:
+
+- ``html_bytes``, ``text_chars``, ``n_links``, ``n_tags``,
+  ``anchor_chars`` (visible anchor-text chars, stripper-free);
+- ``text_to_html_q`` = text_chars * 1e6 // max(html_bytes, 1) — markup
+  soup scores low;
+- ``link_density_q`` = anchor_chars * 1e6 // max(text_chars, 1) —
+  navigation pages score high.
+
+Scale shape: one stateless ``map_batches`` pass, bytes-level compiled
+regexes per document (the repo's accepted doc-granular cost shape); the
+html payload never leaves the map. The gate is a fused filter — no
+shuffle anywhere."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from pie_ray.stages.links import _ANCHOR_RE, _TAG_RE
+
+_LT_RE = re.compile(rb"<[a-zA-Z/!]")
+
+RATIO_SCALE = 1_000_000
+
+
+def page_feature_batch(t: pa.Table) -> pa.Table:
+    """(url, html, text) -> per-page structural feature row."""
+    urls = t.column("url").to_pylist()
+    htmls = t.column("html").to_pylist()
+    texts = (
+        t.column("text").to_pylist() if "text" in t.column_names else [""] * len(urls)
+    )
+    n = len(urls)
+    html_bytes = np.zeros(n, np.int64)
+    text_chars = np.zeros(n, np.int64)
+    n_links = np.zeros(n, np.int64)
+    n_tags = np.zeros(n, np.int64)
+    anchor_chars = np.zeros(n, np.int64)
+    for i, (html, text) in enumerate(zip(htmls, texts)):
+        if html is None:
+            continue
+        html_bytes[i] = len(html)
+        text_chars[i] = len(text or "")
+        n_tags[i] = len(_LT_RE.findall(html))
+        anchors = _ANCHOR_RE.findall(html)
+        n_links[i] = len(anchors)
+        ac = 0
+        for _href, inner in anchors:
+            stripped = _TAG_RE.sub(b" ", inner).decode("utf-8", errors="replace")
+            ac += len(" ".join(stripped.split()))
+        anchor_chars[i] = ac
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html_bytes": pa.array(html_bytes, pa.int64()),
+            "text_chars": pa.array(text_chars, pa.int64()),
+            "n_links": pa.array(n_links, pa.int64()),
+            "n_tags": pa.array(n_tags, pa.int64()),
+            "anchor_chars": pa.array(anchor_chars, pa.int64()),
+            "text_to_html_q": pa.array(
+                text_chars * RATIO_SCALE // np.maximum(html_bytes, 1), pa.int64()
+            ),
+            "link_density_q": pa.array(
+                anchor_chars * RATIO_SCALE // np.maximum(text_chars, 1), pa.int64()
+            ),
+        }
+    )
+
+
+def page_features(pages_ds) -> "object":
+    """Feature Dataset over T0 pages (one stateless pass)."""
+    return pages_ds.map_batches(page_feature_batch, batch_format="pyarrow")
+
+
+def filter_by_page_quality(
+    pages_ds,
+    max_link_density_q: int = RATIO_SCALE // 2,
+    min_text_to_html_q: int = RATIO_SCALE // 100,
+):
+    """Structural gate over T0 pages: drop navigation-heavy pages
+    (anchor chars > ``max_link_density_q``/1e6 of text chars) and markup
+    soup (text chars < ``min_text_to_html_q``/1e6 of html bytes). Fused
+    stateless filter; the per-reason counts come from a features-only pass
+    (narrow rows — the html payload stays in the map). Returns
+    (kept_ds, report) with exact kept/dropped counts per reason
+    (no-silent-drops rule)."""
+    pages_ds = pages_ds.materialize()
+    feats = page_features(pages_ds).materialize()  # narrow rows, no html
+    n_pages = pages_ds.count()
+    nav = feats.filter(expr=f"link_density_q > {max_link_density_q}").count()
+    soup = feats.filter(expr=f"text_to_html_q < {min_text_to_html_q}").count()
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        f = page_feature_batch(t)
+        ld = f.column("link_density_q").to_numpy(zero_copy_only=False)
+        th = f.column("text_to_html_q").to_numpy(zero_copy_only=False)
+        keep = (ld <= max_link_density_q) & (th >= min_text_to_html_q)
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    kept = pages_ds.map_batches(keep_batch, batch_format="pyarrow").materialize()
+    n_kept = kept.count()
+    report = {
+        "n_pages": n_pages,
+        "n_kept": n_kept,
+        "n_dropped": n_pages - n_kept,
+        "n_nav_heavy": nav,
+        "n_markup_soup": soup,
+        "max_link_density_q": max_link_density_q,
+        "min_text_to_html_q": min_text_to_html_q,
+    }
+    return kept, report
+
+
+def q_page_features(sf_dir: str):
+    """Driver entry (rows-only — html structure is not SQL-expressible):
+    structural features of the extracted KG corpus, sorted by url."""
+    from pie_ray.sources.synth import synth_pages
+    from pie_ray.stages.extract import extract_batch
+    from pie_ray.util import gather_table
+
+    def with_text(t: pa.Table) -> pa.Table:
+        # extract_batch is row-aligned with langs=None and drops html —
+        # re-attach the raw markup so both sides of the ratios are real
+        ext = extract_batch(t)
+        return pa.table(
+            {
+                "url": ext.column("url"),
+                "html": t.column("html"),
+                "text": ext.column("text"),
+            }
+        )
+
+    pages = synth_pages(600).map_batches(with_text, batch_format="pyarrow")
+    tbl = gather_table(
+        page_features(pages),
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("html_bytes", pa.int64()),
+                ("text_chars", pa.int64()),
+                ("n_links", pa.int64()),
+                ("n_tags", pa.int64()),
+                ("anchor_chars", pa.int64()),
+                ("text_to_html_q", pa.int64()),
+                ("link_density_q", pa.int64()),
+            ]
+        ),
+    )
+    return tbl.sort_by([("url", "ascending")])
