@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _lazy("pie_ray.functions.urlops", "q_url_canonicalize"),
         "dedup_urls": _lazy("pie_ray.functions.urlops", "q_dedup_urls"),
         "page_features": _lazy("pie_ray.stages.pagequality", "q_page_features"),
+        "curate_web": _lazy("pie_ray.pipelines.curation", "q_curate_web"),
     }.items()}
 
 

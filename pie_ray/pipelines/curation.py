@@ -26,6 +26,7 @@ doc_id join — stateless beats a shuffle)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -387,6 +388,224 @@ def q_curate_pages(sf_dir: str):
             "n_pages": pa.array(
                 np.array([per_host.get(h, 0) for h in hosts], np.int64), pa.int64()
             ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate_web — the full SOURCE-side web-curation recipe in one pipeline
+# ---------------------------------------------------------------------------
+
+URL_LOSER_BROADCAST_LIMIT = 2_000_000
+
+
+def dedup_pages_by_url(pages_ds, order_col: str = "warc_ts",
+                       loser_path: str = "auto"):
+    """URL-level dedup for PAYLOAD rows: the winners are decided on a
+    NARROW (canon, order, url) projection — the html column never enters
+    the dedup exchange — and the LOSER url set is removed from the full
+    rows by anti-membership. Losers, not winners, are the broadcast:
+    duplicate crawls are a minority of a corpus, so the loser set is
+    proportional to the DUPLICATES (broadcast frozenset under
+    URL_LOSER_BROADCAST_LIMIT; one ``left_anti`` hash join above it — the
+    only path that shuffles payload). Returns (kept_ds, report)."""
+    import ray
+    import ray.data
+
+    from pie_ray.functions.urlops import canonicalize_batch
+    from pie_ray.util import (
+        bucket_count,
+        bucket_hash_strings,
+        drop_empty_blocks,
+        gather_table,
+        join_num_partitions,
+    )
+
+    pages_ds = pages_ds.materialize()
+    nb = bucket_count(pages_ds.size_bytes(), floor=32)
+
+    def tag(t: pa.Table) -> pa.Table:
+        proj = pa.table({"url": t.column("url"), "ord": t.column(order_col)})
+        proj = canonicalize_batch(proj, out_col="__canon")
+        b = (bucket_hash_strings(proj.column("__canon"), salt=0x10dE) % nb).astype(
+            "int32"
+        )
+        return proj.append_column("bucket", pa.array(b, pa.int32()))
+
+    def losers(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string())})
+        g = g.drop_columns(["bucket"]).sort_by(
+            [("__canon", "ascending"), ("ord", "ascending"), ("url", "ascending")]
+        )
+        canon = np.asarray(g.column("__canon").to_pylist())
+        _, starts = np.unique(canon, return_index=True)
+        keep = np.zeros(len(canon), bool)
+        keep[starts] = True
+        return pa.table({"url": g.column("url").filter(pa.array(~keep))})
+
+    losers_ds = drop_empty_blocks(
+        pages_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(losers, batch_format="pyarrow")
+        .materialize(),
+        schema=pa.schema([("url", pa.string())]),
+    ).materialize()
+    n_losers = losers_ds.count()
+    n_pages = pages_ds.count()
+
+    if n_losers == 0:
+        kept = pages_ds
+    elif loser_path == "broadcast" or (
+        loser_path == "auto" and n_losers <= URL_LOSER_BROADCAST_LIMIT
+    ):
+        loser_tbl = gather_table(losers_ds, schema=pa.schema([("url", pa.string())]))
+        loser_ref = ray.put(frozenset(loser_tbl.column("url").to_pylist()))
+
+        def drop_losers(t: pa.Table) -> pa.Table:
+            bad = ray.get(loser_ref)
+            mask = [u not in bad for u in t.column("url").to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        kept = pages_ds.map_batches(drop_losers, batch_format="pyarrow")
+    else:
+        kept = drop_empty_blocks(
+            pages_ds.join(
+                losers_ds.map_batches(
+                    lambda t: pa.table({"__lurl": t.column("url")}),
+                    batch_format="pyarrow",
+                ).materialize(),
+                join_type="left_anti",
+                num_partitions=join_num_partitions(pages_ds.size_bytes()),
+                on=("url",),
+                right_on=("__lurl",),
+            ).materialize()
+        )
+
+    kept = kept.materialize()
+    report = {
+        "n_pages": n_pages,
+        "n_url_dups_dropped": n_losers,
+        "n_kept": n_pages - n_losers,
+    }
+    return kept, report
+
+
+def curate_web_v1(pages_ds, seed_hosts=None,
+                  max_link_density_q: int | None = None,
+                  min_text_to_html_q: int | None = None):
+    """The SOURCE-side web-curation recipe end to end, each stage one of
+    this repo's operators (the text-side recipe is ``curate_corpus_v2/3``):
+
+        1. URL dedup      : canonical-url crawl variants collapse
+                            (narrow-projection winners, loser anti-set)
+        2. extract        : frozen stripper fills ``text`` (html kept for
+                            stage 3, dropped right after)
+        3. structure gate : nav-heavy / markup-soup pages cut on exact
+                            integer ratios
+        4. host prior     : host PageRank gate — or TrustRank when
+                            ``seed_hosts`` is given (link farms fall to 0)
+
+    Returns (docs_ds, report): docs carry (url, warc_ts, text, lang) and
+    the report chains every stage's exact in/out counts (no silent
+    drops)."""
+    from pie_ray.stages.extract import extract_batch
+    from pie_ray.stages.links import host_edges, host_pagerank, host_trustrank
+    from pie_ray.stages.pagequality import filter_by_page_quality
+
+    kept1, r1 = dedup_pages_by_url(pages_ds)
+
+    def with_text(t: pa.Table) -> pa.Table:
+        ext = extract_batch(t)
+        return pa.table(
+            {
+                "url": ext.column("url"),
+                "warc_ts": ext.column("warc_ts"),
+                "html": t.column("html"),
+                "text": ext.column("text"),
+                "lang": ext.column("lang"),
+            }
+        )
+
+    extracted = kept1.map_batches(with_text, batch_format="pyarrow").materialize()
+    gate_kwargs = {}
+    if max_link_density_q is not None:
+        gate_kwargs["max_link_density_q"] = max_link_density_q
+    if min_text_to_html_q is not None:
+        gate_kwargs["min_text_to_html_q"] = min_text_to_html_q
+    kept3, r3 = filter_by_page_quality(extracted, **gate_kwargs)
+
+    edges = host_edges(kept3).materialize()
+    if seed_hosts is not None:
+        ranks = host_trustrank(edges, seed_hosts)
+        min_rank = 1
+    else:
+        ranks = host_pagerank(edges)
+        min_rank = None  # curate_pages default: teleport base + 1
+    kept4, r4 = curate_pages(kept3, ranks=ranks, min_rank_scaled=min_rank)
+
+    docs = kept4.map_batches(
+        lambda t: t.drop_columns(["html"]), batch_format="pyarrow"
+    ).materialize()
+    report = {
+        "url_dedup": r1,
+        "structure_gate": r3,
+        "host_prior": {**r4, "prior": "trustrank" if seed_hosts else "pagerank"},
+        "n_docs_out": docs.count(),
+    }
+    return docs, report
+
+
+def q_curate_web(sf_dir: str):
+    """Driver entry (rows-only): the full source-side recipe over the
+    link-farm corpus with planted duplicate crawls — TrustRank seeds are
+    the authority hosts, so the farm is cut even though it interlinks.
+    Returns one summary row per stage (stage, rows_in, rows_out)."""
+    from pie_ray.sources.linksynth import AUTH_FRAC, n_hosts_for, synth_link_pages
+
+    n = 1200
+    n_hosts = n_hosts_for(n)
+    seeds = [f"h{j}.example" for j in range(max(2, int(n_hosts * AUTH_FRAC)))]
+    pages = synth_link_pages(n, spam_interlink=True)
+
+    def add_dup_variants(t: pa.Table) -> pa.Table:
+        # every 5th page also arrives as a tracking-param crawl variant
+        # with a LATER timestamp (the original must win)
+        keep = [i % 5 == 0 for i in range(t.num_rows)]
+        dups = t.filter(pa.array(keep, pa.bool_()))
+        if dups.num_rows:
+            urls = [f"{u}?utm_source=feed" for u in dups.column("url").to_pylist()]
+            ts = pc.add(dups.column("warc_ts").cast(pa.int64()), 1).cast(
+                pa.timestamp("us")
+            )
+            dups = (
+                dups.drop_columns(["url", "warc_ts"])
+                .append_column("url", pa.array(urls, pa.string()))
+                .append_column("warc_ts", ts)
+                .select(t.column_names)
+            )
+        return pa.concat_tables([t, dups]).combine_chunks()
+
+    corpus = pages.map_batches(add_dup_variants, batch_format="pyarrow")
+    _docs, report = curate_web_v1(corpus, seed_hosts=seeds)
+    rows = [
+        ("url_dedup", report["url_dedup"]["n_pages"], report["url_dedup"]["n_kept"]),
+        (
+            "structure_gate",
+            report["structure_gate"]["n_pages"],
+            report["structure_gate"]["n_kept"],
+        ),
+        (
+            "host_prior",
+            report["host_prior"]["n_pages"],
+            report["host_prior"]["n_pages_kept"],
+        ),
+    ]
+    return pa.table(
+        {
+            "stage": pa.array([r[0] for r in rows], pa.string()),
+            "rows_in": pa.array([r[1] for r in rows], pa.int64()),
+            "rows_out": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
 

@@ -72,12 +72,19 @@ def link_pages_table(indices, n_hosts: int, spam_interlink: bool = False) -> pa.
         # anchor text names the destination (label + common words) so the
         # anchor-term aggregate has signal: per dst host the label ties
         # with "official"/"site" on count and wins the term-asc tie-break
-        body = " ".join(
+        links = " ".join(
             f'<a href="https://{d}/x{k}">{d.split(".")[0]} official site</a>'
             for k, d in enumerate(dsts)
         )
+        # enough body copy that a real page clears structural gates
+        # (anchor chars stay a minority of text chars)
+        prose = (
+            f"page {i} carries a deterministic paragraph of body copy "
+            f"describing host {host} in plain prose with enough words "
+            f"that link text stays a minority of the visible characters"
+        )
         urls.append(f"https://{host}/p{i}")
-        htmls.append(f"<html><body>{body} page {i}</body></html>".encode())
+        htmls.append(f"<html><body>{links}<p>{prose}</p></body></html>".encode())
     n = len(urls)
     return pa.table(
         {

@@ -178,3 +178,85 @@ def test_q_host_trustrank_shape(ray_session):
     # the two gates genuinely disagree on the farm: some hosts pass
     # PageRank yet fail TrustRank
     assert any(p and not q for p, q in zip(kp, kt))
+
+
+# ----------------------------------------------- curate_web composite recipe
+
+
+def _dup_corpus(n=300):
+    import pyarrow.compute as pc
+
+    pages = synth_link_pages(n, spam_interlink=True)
+
+    def add_dups(t: pa.Table) -> pa.Table:
+        keep = [i % 5 == 0 for i in range(t.num_rows)]
+        dups = t.filter(pa.array(keep, pa.bool_()))
+        if dups.num_rows:
+            urls = [f"{u}?utm_source=feed" for u in dups.column("url").to_pylist()]
+            ts = pc.add(dups.column("warc_ts").cast(pa.int64()), 1).cast(
+                pa.timestamp("us")
+            )
+            dups = (
+                dups.drop_columns(["url", "warc_ts"])
+                .append_column("url", pa.array(urls, pa.string()))
+                .append_column("warc_ts", ts)
+                .select(t.column_names)
+            )
+        return pa.concat_tables([t, dups]).combine_chunks()
+
+    return pages.map_batches(add_dups, batch_format="pyarrow").materialize(), n
+
+
+def test_dedup_pages_by_url_paths_agree_and_original_wins(ray_session):
+    from pie_ray.pipelines.curation import dedup_pages_by_url
+
+    corpus, n = _dup_corpus()
+    k_b, r_b = dedup_pages_by_url(corpus, loser_path="broadcast")
+    k_j, r_j = dedup_pages_by_url(corpus, loser_path="join")
+    urls_b = _rows(k_b, ["url"])
+    urls_j = _rows(k_j, ["url"])
+    assert urls_b == urls_j and len(urls_b) == n
+    assert r_b["n_url_dups_dropped"] == r_j["n_url_dups_dropped"] > 0
+    # the earlier-ts ORIGINAL wins — no surviving url carries the tracker
+    assert all("utm_source" not in u for (u,) in urls_b)
+
+
+def test_curate_web_v1_stage_accounting(ray_session):
+    from pie_ray.pipelines.curation import curate_web_v1
+    from pie_ray.sources.linksynth import AUTH_FRAC, SPAM_FRAC
+
+    corpus, n = _dup_corpus()
+    n_hosts = n_hosts_for(n)
+    seeds = [f"h{j}.example" for j in range(max(2, int(n_hosts * AUTH_FRAC)))]
+    n_spam = max(2, int(n_hosts * SPAM_FRAC))
+    docs, report = curate_web_v1(corpus, seed_hosts=seeds)
+    assert report["url_dedup"]["n_kept"] == n  # every planted dup cut
+    assert report["structure_gate"]["n_kept"] == n  # real pages all pass
+    # the farm's pages all fall to the trust prior
+    spam_pages = sum(1 for i in range(n) if (i % n_hosts) >= n_hosts - n_spam)
+    assert report["host_prior"]["n_pages_dropped"] == spam_pages
+    assert report["host_prior"]["prior"] == "trustrank"
+    assert report["n_docs_out"] == n - spam_pages
+    schema = docs.schema()
+    assert set(schema.names) == {"url", "warc_ts", "text", "lang"}
+    # extracted text is real (frozen stripper ran)
+    sample = docs.take(3)
+    assert all(len(r["text"]) > 0 for r in sample)
+
+
+def test_q_curate_web_rows(ray_session):
+    from pie_ray.pipelines.curation import q_curate_web
+
+    t = q_curate_web("unused")
+    assert t.column("stage").to_pylist() == [
+        "url_dedup",
+        "structure_gate",
+        "host_prior",
+    ]
+    ri = t.column("rows_in").to_pylist()
+    ro = t.column("rows_out").to_pylist()
+    assert ri[0] > ro[0]  # dups cut
+    assert ro[1] == ri[1]  # real pages all structurally fine
+    assert ro[2] < ri[2]  # farm cut
+    # stages chain: output of one is input of the next
+    assert ri[1] == ro[0] and ri[2] == ro[1]
