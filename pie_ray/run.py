@@ -84,6 +84,22 @@ def build_parser() -> argparse.ArgumentParser:
         "PageRank, the domain-quality prior) plus <output>/anchors "
         "(host, term, n_links — top anchor-text terms per destination)",
     )
+    p.add_argument(
+        "--curate-web",
+        action="store_true",
+        help="run the SOURCE-side curation recipe instead of the KG "
+        "pipeline: URL dedup -> extract -> page-structure gate -> host "
+        "PageRank prior (TrustRank when --trust-seeds is given); writes "
+        "curated (url, warc_ts, text, lang) docs to <output>/curated and "
+        "prints the per-stage report",
+    )
+    p.add_argument(
+        "--trust-seeds",
+        type=str,
+        default=None,
+        help="comma-separated trusted hosts for the --curate-web prior "
+        "(switches host PageRank to TrustRank; link farms fall to 0)",
+    )
     return p
 
 
@@ -277,6 +293,31 @@ def main(argv: list[str] | None = None) -> int:
             if parts is None:
                 return read_pages(path, langs=cfg.langs)
             return read_pages_parts(path, parts, args.num_parts, langs=cfg.langs)
+
+    if args.curate_web:
+        if args.resume or args.ingest:
+            print("--curate-web runs standalone; drop --resume/--ingest",
+                  file=sys.stderr)
+            return 2
+        import shutil
+
+        from pie_ray.pipelines.curation import curate_web_v1
+
+        seeds = (
+            [h.strip() for h in args.trust_seeds.split(",") if h.strip()]
+            if args.trust_seeds
+            else None
+        )
+        t0 = time.perf_counter()
+        docs, report = curate_web_v1(factory(None), seed_hosts=seeds)
+        out = f"{args.output}/curated"
+        shutil.rmtree(out, ignore_errors=True)
+        docs.write_parquet(out)
+        report["curated_path"] = out
+        report["wall_s"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(report, indent=1))
+        ray.shutdown()
+        return 0
 
     if args.ingest:
         if args.resume:
