@@ -109,12 +109,37 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_web_curation(n_pages: int) -> dict:
+    """Source-side web curation recipe (url dedup -> extract -> structure
+    gate -> TrustRank prior) over the link-farm corpus. Reported as its
+    own section — NOT folded into the headline total, so `value` stays
+    comparable across rounds."""
+    from pie_ray.pipelines.curation import curate_web_v1
+    from pie_ray.sources.linksynth import AUTH_FRAC, n_hosts_for, synth_link_pages
+
+    n_hosts = n_hosts_for(n_pages)
+    seeds = [f"h{j}.example" for j in range(max(2, int(n_hosts * AUTH_FRAC)))]
+    t0 = time.perf_counter()
+    docs, report = curate_web_v1(
+        synth_link_pages(n_pages, spam_interlink=True), seed_hosts=seeds
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "n_pages": n_pages,
+        "n_docs_out": report["n_docs_out"],
+        "n_farm_pages_cut": report["host_prior"]["n_pages_dropped"],
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(n_pages / wall, 1),
+    }
+
+
 def main() -> dict:
     sf = _sf_of(SF_DIR)
     _init_ray(NUM_CPUS)
     n_pages = max(200, int(KG_PAGES_PER_SF * sf))
     kg = run_kg(n_pages, NUM_CPUS)
     qtimes = run_queries(SF_DIR)
+    web = run_web_curation(n_pages)
     total = kg["wall_s"] + sum(qtimes.values())
     out = {
         "metric": "e2e_wall_s",
@@ -124,6 +149,7 @@ def main() -> dict:
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "kg": kg,
+        "web": web,
     }
     return out
 
