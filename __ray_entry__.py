@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_urls": _lazy("pie_ray.functions.urlops", "q_dedup_urls"),
         "page_features": _lazy("pie_ray.stages.pagequality", "q_page_features"),
         "curate_web": _lazy("pie_ray.pipelines.curation", "q_curate_web"),
+        "mirror_hosts": _lazy("pie_ray.stages.mirrors", "q_mirror_hosts"),
+        "host_stats": _lazy("pie_ray.stages.mirrors", "q_host_stats"),
     }.items()}
 
 
