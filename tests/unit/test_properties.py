@@ -196,3 +196,39 @@ def test_group_starts_matches_itertools_groupby(groups):
         want.append(pos)
         pos += len(list(grp))
     assert starts == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(u=st.text(max_size=80))
+def test_canonical_url_total_and_idempotent(u):
+    """canonical_url is TOTAL (never raises on arbitrary input) and
+    idempotent — a canonical form re-canonicalizes to itself."""
+    from pie_ray.functions.urlops import canonical_url
+
+    c = canonical_url(u)
+    assert isinstance(c, str)
+    assert canonical_url(c) == c
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    host=st.from_regex(r"[a-z]{1,8}(\.[a-z]{1,6}){1,2}", fullmatch=True),
+    path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,3}", fullmatch=True),
+    params=st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True),
+            st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True),
+        ),
+        max_size=4,
+    ),
+)
+def test_canonical_url_param_order_invariant(host, path, params):
+    """Canonicalization is invariant to query-param ORDER (the property
+    that makes it a dedup key for crawl variants)."""
+    from pie_ray.functions.urlops import canonical_url
+
+    qs1 = "&".join(f"{k}={v}" for k, v in params)
+    qs2 = "&".join(f"{k}={v}" for k, v in reversed(params))
+    u1 = f"https://{host}{path}" + (f"?{qs1}" if qs1 else "")
+    u2 = f"https://{host}{path}" + (f"?{qs2}" if qs2 else "")
+    assert canonical_url(u1) == canonical_url(u2)
