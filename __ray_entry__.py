@@ -336,10 +336,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_web": _lazy("pie_ray.pipelines.curation", "q_curate_web"),
         "mirror_hosts": _lazy("pie_ray.stages.mirrors", "q_mirror_hosts"),
         "host_stats": _lazy("pie_ray.stages.mirrors", "q_host_stats"),
+        "exact_median_interp": relational.q_exact_median_interp,
     }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from pie_ray.functions import relational
     from pie_ray.functions.graphops import pagerank_oracle_sql, trustrank_oracle_sql
     from pie_ray.functions.urlops import (
         DEDUP_URLS_ORACLE_SQL,
@@ -369,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_trustrank": trustrank_oracle_sql(),
         "url_canonicalize": URL_CANONICALIZE_ORACLE_SQL,
         "dedup_urls": DEDUP_URLS_ORACLE_SQL,
+        "exact_median_interp": relational.EXACT_MEDIAN_INTERP_ORACLE_SQL,
         "regr_by_flag": """
             -- per-flag least-squares regression of price-in-cents on
             -- quantity, from EXACT integer moments (HUGEINT sums), each

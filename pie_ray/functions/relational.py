@@ -3171,7 +3171,8 @@ def _eq_member(v: np.ndarray, sels) -> np.ndarray:
 
 
 def exact_quantile_disc(ds, col: str, q: float,
-                        stats: tuple[int, float, float] | None = None) -> float:
+                        stats: tuple[int, float, float] | None = None,
+                        k: int | None = None) -> float:
     """The k-th smallest value (k = max(1, ceil(n*q)) — DuckDB
     quantile_disc semantics) of a column with UNBOUNDED distinct values,
     found WITHOUT a distributed sort: each round is one streaming map pass
@@ -3182,12 +3183,14 @@ def exact_quantile_disc(ds, col: str, q: float,
     round + one bounded pull — at 10^12 rows this replaces the full sort a
     naive exact quantile needs. Nulls/NaNs are excluded (SQL semantics).
     Pass ``stats`` = (n, min, max) to reuse one stats pass across several
-    quantiles of the same column."""
+    quantiles of the same column. Pass ``k`` to select an explicit
+    1-indexed ORDER STATISTIC instead of deriving it from ``q`` (the
+    interpolated-median caller needs both middle ranks)."""
 
     if stats is None:
         stats = _eq_stats(ds, col)
     n, lo, hi = stats
-    k = _eq_rank(n, q)
+    k = _eq_rank(n, q) if k is None else k
     sels: list[tuple[float, float, int]] = []
 
     for _ in range(24):
@@ -3323,6 +3326,37 @@ def q_exact_median(sf_dir: str):
             ),
         }
     )
+
+
+def q_exact_median_interp(sf_dir: str):
+    """Driver entry: INTERPOLATED exact median of l_extendedprice. Both
+    middle order statistics come from the histogram-narrowing selector
+    (ranks (n+1)//2 and n//2+1 — equal when n is odd), and the result is
+    the ONE float expression ``(a + b) / 2.0`` on both sides, so the
+    value hash-matches the oracle bit-for-bit without depending on any
+    engine's quantile_cont interpolation formula."""
+    ds = scan(sf_dir, "lineitem", columns=["l_extendedprice"])
+    stats = _eq_stats(ds, "l_extendedprice")
+    n = stats[0]
+    a = exact_quantile_disc(ds, "l_extendedprice", 0.5, stats=stats,
+                            k=(n + 1) // 2)
+    b = exact_quantile_disc(ds, "l_extendedprice", 0.5, stats=stats,
+                            k=n // 2 + 1)
+    return pa.table({"median_interp": pa.array([(a + b) / 2.0], pa.float64())})
+
+
+EXACT_MEDIAN_INTERP_ORACLE_SQL = """
+    -- both middle order statistics by VALUE rank, one shared float
+    -- expression (a + b) / 2.0 — no engine quantile_cont involved
+    WITH o AS (
+      SELECT l_extendedprice AS x,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), n AS (SELECT COUNT(*) AS c FROM o)
+    SELECT (a.x + b.x) / 2.0 AS median_interp
+    FROM o a, o b, n
+    WHERE a.rn = (n.c + 1) // 2 AND b.rn = n.c // 2 + 1
+"""
 
 
 def exact_quantile_disc_grouped(ds, col: str, q: float, key: str) -> pa.Table:

@@ -167,3 +167,23 @@ def test_grouped_bin_boundary_ulp_values(ray_session, monkeypatch):
     for g in ("a", "b"):
         expect = _disc(vals[keys == g], 0.5)
         assert got[g] == expect, g
+
+
+def test_explicit_rank_override_and_interp_median(ray_session, monkeypatch):
+    monkeypatch.setattr(rel, "EQ_PULL_LIMIT", 64)
+    rng = np.random.default_rng(77)
+    for n in (4_001, 4_000):  # odd AND even counts
+        vals = rng.normal(500, 200, size=n)
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(vals, pa.float64())})
+        ).repartition(5)
+        s = np.sort(vals)
+        stats = rel._eq_stats(ds, "x")
+        # explicit k selects the exact order statistic
+        for k in (1, n // 2, n):
+            assert rel.exact_quantile_disc(ds, "x", 0.5, stats=stats, k=k) == s[k - 1]
+        # interpolated median = (both middle ranks) / 2, one float expr
+        a = rel.exact_quantile_disc(ds, "x", 0.5, stats=stats, k=(n + 1) // 2)
+        b = rel.exact_quantile_disc(ds, "x", 0.5, stats=stats, k=n // 2 + 1)
+        want = (s[(n + 1) // 2 - 1] + s[n // 2]) / 2.0
+        assert (a + b) / 2.0 == want
