@@ -646,6 +646,39 @@ def q_host_trustrank(sf_dir: str):
     )
 
 
+def q_host_components(sf_dir: str):
+    """Driver entry (rows-only): connected components of the (undirected)
+    host link graph over the LINK-FARM corpus — the interlinked farm never
+    exchanges links with the real web, so it separates as its own
+    component, the community-level face of the TrustRank signal. Returns
+    (host, component, is_farm_component)."""
+    from pie_ray.functions.graphops import connected_components
+    from pie_ray.sources.linksynth import SPAM_FRAC, n_hosts_for, synth_link_pages
+    from pie_ray.stages.links import host_edges
+    from pie_ray.util import gather_table
+
+    n = 1200
+    n_hosts = n_hosts_for(n)
+    n_spam = max(2, int(n_hosts * SPAM_FRAC))
+    spam = {f"h{j}.example" for j in range(n_hosts - n_spam, n_hosts)}
+    edges = host_edges(
+        synth_link_pages(n, spam_interlink=True).materialize()
+    ).materialize()
+    labels = connected_components(edges, src="src_host", dst="dst_host")
+    tbl = gather_table(
+        labels.materialize(),
+        schema=pa.schema([("node", pa.string()), ("component", pa.string())]),
+    ).sort_by([("node", "ascending")])
+    hosts = tbl.column("node").to_pylist()
+    return pa.table(
+        {
+            "host": tbl.column("node"),
+            "component": tbl.column("component"),
+            "is_farm_component": pa.array([h in spam for h in hosts], pa.bool_()),
+        }
+    )
+
+
 def q_anchor_terms(sf_dir: str):
     """Driver entry (rows-only — anchor extraction over HTML is not
     SQL-expressible): top-3 anchor-text terms per destination host over

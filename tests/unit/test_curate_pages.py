@@ -260,3 +260,23 @@ def test_q_curate_web_rows(ray_session):
     assert ro[2] < ri[2]  # farm cut
     # stages chain: output of one is input of the next
     assert ri[1] == ro[0] and ri[2] == ro[1]
+
+
+def test_q_host_components_farm_separates(ray_session):
+    from pie_ray.pipelines.curation import q_host_components
+
+    t = q_host_components("unused")
+    comp = dict(zip(t.column("host").to_pylist(), t.column("component").to_pylist()))
+    farm = {
+        h
+        for h, f in zip(t.column("host").to_pylist(),
+                        t.column("is_farm_component").to_pylist())
+        if f
+    }
+    assert farm and farm != set(comp)
+    farm_comps = {comp[h] for h in farm}
+    real_comps = {comp[h] for h in comp if h not in farm}
+    # the farm's component(s) share nothing with the real web's
+    assert farm_comps.isdisjoint(real_comps)
+    # the real web is one connected component (authorities glue it)
+    assert len(real_comps) == 1
