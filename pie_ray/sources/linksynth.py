@@ -47,13 +47,16 @@ def link_plan(
     if spam_interlink and j >= n_hosts - n_spam:
         spam_lo = n_hosts - n_spam
         picks = hash64_ints(np.array([2 * i, 2 * i + 1], np.int64), salt=0x2F7)
+        # int(p) BEFORE %: numpy uint64 % python-int promotes to float64,
+        # which rounds huge hashes to multiples of powers of two and
+        # biases residues (only even picks for even moduli)
         dsts = [
-            f"h{spam_lo + int((p % (n_spam - 1) + j - spam_lo + 1) % n_spam)}.example"
+            f"h{spam_lo + (int(p) % (n_spam - 1) + j - spam_lo + 1) % n_spam}.example"
             for p in picks
         ]
         return host, dsts
     picks = hash64_ints(np.array([3 * i, 3 * i + 1, 3 * i + 2], np.int64), salt=0x11D)
-    dsts = [f"h{int(p % n_auth)}.example" for p in picks]
+    dsts = [f"h{int(p) % n_auth}.example" for p in picks]
     if i % 3 == 0:
         # one mid-tier link so middle hosts sit between base and authority
         mid_lo, mid_hi = n_auth, n_hosts - n_spam
