@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _lazy("pie_ray.stages.mirrors", "q_host_stats"),
         "exact_median_interp": relational.q_exact_median_interp,
         "host_components": _lazy("pie_ray.pipelines.curation", "q_host_components"),
+        "crawl_frontier": _lazy("pie_ray.stages.frontier", "q_frontier"),
     }.items()}
 
 
