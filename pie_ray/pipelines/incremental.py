@@ -317,13 +317,91 @@ def _rebuild(root: str, cfg) -> dict:
     }
 
 
-def incremental_build(pages_ds, root: str, cfg=None) -> dict:
-    """Fresh build that leaves incremental state behind (increment 0)."""
+def _write_link_delta(root: str, k: int, pages_ds) -> None:
+    """Host link-edge partials for increment ``k`` (the link-graph twin of
+    the raw-triple deltas). IDEMPOTENT PER SLOT: the slot dir is cleared
+    before writing — edge WEIGHTS are counts, so a crashed update's replay
+    must not double-count (unlike the url ledger, whose distinct semantics
+    tolerate duplicate rows). One extra streaming pass over the new pages
+    (bytes-regex; the html never materializes), cheap next to NER."""
+    import shutil
+
+    from pie_ray.stages.links import host_edges
+
+    d = os.path.join(root, "linkedges", f"delta_{k:06d}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    host_edges(pages_ds).write_parquet(d)
+
+
+def linkgraph_from_deltas(root: str):
+    """Current host link graph = ONE pair-bucketed re-aggregation of every
+    increment's edge partials — a pure function of the delta set, same
+    contract as the triple rebuild. Cost tracks edge-partial bytes (hosts²
+    worst case, sparse in practice), never pages: a daily delta updates
+    the web graph without touching the historical corpus. Returns a
+    Dataset (src_host, dst_host, n_links), or None when no link deltas
+    exist. (``compact_deltas`` leaves linkedges dirs as-is — they are
+    already tiny aggregates; correctness only needs the union.)"""
+    import numpy as np
+
+    import ray.data
+
+    from pie_ray.stages.links import PAIR_SEP
+    from pie_ray.util import bucket_count, bucket_hash_strings, rename_grouped
+
+    files = _delta_files(root, "linkedges")
+    if not files:
+        return None
+    ds = ray.data.read_parquet(files)
+    nb = bucket_count(ds.size_bytes(), floor=32)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            t.column("src_host"), t.column("dst_host"), PAIR_SEP
+        )
+        b = (bucket_hash_strings(key, salt=0x71A3) % nb).astype("int32")
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "src_host": pa.array([], pa.string()),
+                    "dst_host": pa.array([], pa.string()),
+                    "n_links": pa.array([], pa.int64()),
+                }
+            )
+        gb = (
+            g.drop_columns(["bucket"])
+            .group_by(["src_host", "dst_host"])
+            .aggregate([("n_links", "sum")])
+        )
+        return rename_grouped(
+            gb, ["src_host", "dst_host"], ["src_host", "dst_host", "n_links"]
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def incremental_build(pages_ds, root: str, cfg=None, link_deltas: bool = False) -> dict:
+    """Fresh build that leaves incremental state behind (increment 0).
+    ``link_deltas`` also records host link-edge partials per increment so
+    the web link graph stays maintainable by delta (CLI --ingest
+    --linkgraph)."""
     from pie_ray.pipelines.kg import KgConfig
 
     cfg = cfg or KgConfig()
     os.makedirs(root, exist_ok=True)
     n_urls = _write_increment(root, 0, pages_ds, cfg)
+    if link_deltas:
+        _write_link_delta(root, 0, pages_ds)
     res = _rebuild(root, cfg)
     _write_meta(
         root,
@@ -413,20 +491,26 @@ def _truly_new(pages_ds, root: str, meta: dict, fpp: float):
     return definitely_new.union(fp_pages)
 
 
-def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3) -> dict:
+def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
+                       link_deltas: bool = False) -> dict:
     """Ingest a new crawl: screen out every already-processed url, run
     extract/NER on the remainder only, append the increment, rebuild the
     derived triples + graph. No new pages -> no-op (caches untouched).
 
     ``fpp`` bounds the exact-recheck overhead (FP pages re-screened ~ fpp x
     new pages) AND the anti-join path's driver pull — at 10^12-page scale
-    pick fpp so fpp x crawl size fits the driver (1e-3 default)."""
+    pick fpp so fpp x crawl size fits the driver (1e-3 default).
+    ``link_deltas``: also record the new pages' host link edges (see
+    ``incremental_build``)."""
     from pie_ray.pipelines.kg import KgConfig
 
     cfg = cfg or KgConfig()
     meta = _read_meta(root)
     new_pages = _truly_new(pages_ds, root, meta, fpp)
     n_new = _write_increment(root, meta["n_updates"], new_pages, cfg)
+    if link_deltas and n_new:
+        # second streaming pass over the (filtered) new pages
+        _write_link_delta(root, meta["n_updates"], new_pages)
     if n_new == 0 and _delta_fingerprint(root) == meta.get("built_fp"):
         # nothing genuinely new AND the caches incorporate every durable
         # delta: true no-op (empty delta dirs are skipped on read, meta

@@ -165,6 +165,36 @@ def _write_linkgraph(pages_ds, out_root: str) -> dict:
     return report
 
 
+def _write_linkgraph_from_deltas(root: str) -> dict:
+    """--ingest twin of _write_linkgraph: the graph re-aggregates from the
+    per-increment edge partials (cost tracks deltas, never the corpus);
+    hostrank recomputes over the aggregated edges. Anchor terms need the
+    page payloads, so they are a full-mode-only output."""
+    import shutil
+
+    import ray.data
+
+    from pie_ray.pipelines.incremental import linkgraph_from_deltas
+    from pie_ray.stages.links import host_pagerank
+
+    edges = linkgraph_from_deltas(root)
+    if edges is None:
+        return {"n_host_edges": 0}
+    edges = edges.materialize()
+    out_e = f"{root}/linkgraph"
+    shutil.rmtree(out_e, ignore_errors=True)
+    edges.write_parquet(out_e)
+    n_edges = edges.count()
+    report = {"linkgraph_path": out_e, "n_host_edges": n_edges}
+    if n_edges:
+        ranks = host_pagerank(edges)
+        out_r = f"{root}/hostrank"
+        shutil.rmtree(out_r, ignore_errors=True)
+        ray.data.from_arrow(ranks).write_parquet(out_r)
+        report.update({"hostrank_path": out_r, "n_hosts": ranks.num_rows})
+    return report
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -333,13 +363,18 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.perf_counter()
         if os.path.exists(os.path.join(args.output, META_NAME)):
-            report = incremental_update(args.output, factory(None), cfg, fpp=args.fpp)
+            report = incremental_update(
+                args.output, factory(None), cfg, fpp=args.fpp,
+                link_deltas=args.linkgraph,
+            )
         else:
-            report = incremental_build(factory(None), args.output, cfg)
+            report = incremental_build(
+                factory(None), args.output, cfg, link_deltas=args.linkgraph
+            )
         if args.profiles:
             report.update(_write_profiles(report["triples_path"], args.output))
         if args.linkgraph:
-            report.update(_write_linkgraph(factory(None), args.output))
+            report.update(_write_linkgraph_from_deltas(args.output))
         report["wall_s"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(report, indent=1))
         ray.shutdown()
