@@ -44,14 +44,20 @@ TRACKING_EXACT = frozenset({"gclid", "fbclid", "msclkid", "ref"})
 
 
 def canonical_url(u: str) -> str:
-    """Spec-v1 canonical form of one URL (see module docstring)."""
+    """Spec-v1 canonical form of one URL (see module docstring). TOTAL:
+    inputs the parser rejects (out-of-range or non-numeric ports, broken
+    IPv6 brackets, …) come back stripped-but-unchanged — one malformed
+    URL in a crawl must never kill a batch."""
     u = (u or "").strip()
-    parts = urlsplit(u)
-    if not parts.scheme or not parts.netloc:
+    try:
+        parts = urlsplit(u)
+        if not parts.scheme or not parts.netloc:
+            return u
+        scheme = parts.scheme.lower()
+        host = parts.hostname.lower() if parts.hostname else ""
+        port = parts.port
+    except ValueError:
         return u
-    scheme = parts.scheme.lower()
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
     netloc = host
     if port is not None and not (
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)

@@ -423,6 +423,9 @@ def dedup_pages_by_url(pages_ds, order_col: str = "warc_ts",
 
     pages_ds = pages_ds.materialize()
     nb = bucket_count(pages_ds.size_bytes(), floor=32)
+    _sch = pages_ds.schema()
+    ord_type = _sch.types[_sch.names.index(order_col)]
+    _LOSER_SCHEMA = pa.schema([("url", pa.string()), ("ord", ord_type)])
 
     def tag(t: pa.Table) -> pa.Table:
         proj = pa.table({"url": t.column("url"), "ord": t.column(order_col)})
@@ -434,15 +437,29 @@ def dedup_pages_by_url(pages_ds, order_col: str = "warc_ts",
 
     def losers(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return pa.table({"url": pa.array([], pa.string())})
-        g = g.drop_columns(["bucket"]).sort_by(
+            return _LOSER_SCHEMA.empty_table()
+        # winner identity is the (url, ord) PAIR, not the url string: an
+        # exact-url recrawl (same url, two warc_ts) must lose only its
+        # non-winning timestamps — a url-keyed loser set would remove the
+        # winner too. Collapse identical (canon, url, ord) rows first so
+        # a byte-identical duplicate row never marks its twin a loser
+        # (identical full dups keep both copies — documented edge; they
+        # carry no distinguishing feature an anti-set could select on).
+        g = g.drop_columns(["bucket"]).group_by(["__canon", "url", "ord"]).aggregate([])
+        from pie_ray.util import rename_grouped
+
+        g = rename_grouped(g, ["__canon", "url", "ord"], ["__canon", "url", "ord"])
+        g = g.sort_by(
             [("__canon", "ascending"), ("ord", "ascending"), ("url", "ascending")]
         )
         canon = np.asarray(g.column("__canon").to_pylist())
         _, starts = np.unique(canon, return_index=True)
         keep = np.zeros(len(canon), bool)
         keep[starts] = True
-        return pa.table({"url": g.column("url").filter(pa.array(~keep))})
+        lose = pa.array(~keep)
+        return pa.table(
+            {"url": g.column("url").filter(lose), "ord": g.column("ord").filter(lose)}
+        )
 
     losers_ds = drop_empty_blocks(
         pages_ds.map_batches(tag, batch_format="pyarrow")
@@ -459,12 +476,24 @@ def dedup_pages_by_url(pages_ds, order_col: str = "warc_ts",
     elif loser_path == "broadcast" or (
         loser_path == "auto" and n_losers <= URL_LOSER_BROADCAST_LIMIT
     ):
-        loser_tbl = gather_table(losers_ds, schema=pa.schema([("url", pa.string())]))
-        loser_ref = ray.put(frozenset(loser_tbl.column("url").to_pylist()))
+        loser_tbl = gather_table(losers_ds, schema=_LOSER_SCHEMA)
+        loser_ref = ray.put(
+            frozenset(
+                zip(
+                    loser_tbl.column("url").to_pylist(),
+                    loser_tbl.column("ord").to_pylist(),
+                )
+            )
+        )
 
         def drop_losers(t: pa.Table) -> pa.Table:
             bad = ray.get(loser_ref)
-            mask = [u not in bad for u in t.column("url").to_pylist()]
+            mask = [
+                (u, o) not in bad
+                for u, o in zip(
+                    t.column("url").to_pylist(), t.column(order_col).to_pylist()
+                )
+            ]
             return t.filter(pa.array(mask, pa.bool_()))
 
         kept = pages_ds.map_batches(drop_losers, batch_format="pyarrow")
@@ -472,21 +501,24 @@ def dedup_pages_by_url(pages_ds, order_col: str = "warc_ts",
         kept = drop_empty_blocks(
             pages_ds.join(
                 losers_ds.map_batches(
-                    lambda t: pa.table({"__lurl": t.column("url")}),
+                    lambda t: pa.table(
+                        {"__lurl": t.column("url"), "__lord": t.column("ord")}
+                    ),
                     batch_format="pyarrow",
                 ).materialize(),
                 join_type="left_anti",
                 num_partitions=join_num_partitions(pages_ds.size_bytes()),
-                on=("url",),
-                right_on=("__lurl",),
+                on=("url", order_col),
+                right_on=("__lurl", "__lord"),
             ).materialize()
         )
 
     kept = kept.materialize()
+    n_kept = kept.count()  # MEASURED — never derived from the loser count
     report = {
         "n_pages": n_pages,
-        "n_url_dups_dropped": n_losers,
-        "n_kept": n_pages - n_losers,
+        "n_url_dups_dropped": n_pages - n_kept,
+        "n_kept": n_kept,
     }
     return kept, report
 
@@ -569,9 +601,14 @@ def q_curate_web(sf_dir: str):
     pages = synth_link_pages(n, spam_interlink=True)
 
     def add_dup_variants(t: pa.Table) -> pa.Table:
-        # every 5th page also arrives as a tracking-param crawl variant
-        # with a LATER timestamp (the original must win)
-        keep = [i % 5 == 0 for i in range(t.num_rows)]
+        # every 5th page (by PAGE INDEX parsed from the url — batch-local
+        # positions would make the dup set depend on block layout) also
+        # arrives as a tracking-param crawl variant with a LATER
+        # timestamp (the original must win)
+        keep = [
+            int(u.rsplit("/p", 1)[1]) % 5 == 0
+            for u in t.column("url").to_pylist()
+        ]
         dups = t.filter(pa.array(keep, pa.bool_()))
         if dups.num_rows:
             urls = [f"{u}?utm_source=feed" for u in dups.column("url").to_pylist()]

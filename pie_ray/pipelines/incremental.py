@@ -350,6 +350,13 @@ def linkgraph_from_deltas(root: str):
     from pie_ray.stages.links import PAIR_SEP
     from pie_ray.util import bucket_count, bucket_hash_strings, rename_grouped
 
+    meta_path = os.path.join(root, META_NAME)
+    if os.path.exists(meta_path) and not _read_meta(root).get("link_deltas", False):
+        raise ValueError(
+            "this root was built without link_deltas — the stored "
+            "linkedges (if any) cannot cover every increment; rebuild "
+            "with link_deltas=True for a complete graph"
+        )
     files = _delta_files(root, "linkedges")
     if not files:
         return None
@@ -399,9 +406,10 @@ def incremental_build(pages_ds, root: str, cfg=None, link_deltas: bool = False) 
 
     cfg = cfg or KgConfig()
     os.makedirs(root, exist_ok=True)
-    n_urls = _write_increment(root, 0, pages_ds, cfg)
     if link_deltas:
+        # before the ledger — see incremental_update's crash-ordering note
         _write_link_delta(root, 0, pages_ds)
+    n_urls = _write_increment(root, 0, pages_ds, cfg)
     res = _rebuild(root, cfg)
     _write_meta(
         root,
@@ -409,6 +417,7 @@ def incremental_build(pages_ds, root: str, cfg=None, link_deltas: bool = False) 
             "n_updates": 1,
             "n_urls": _ledger_rows(root),
             "built_fp": _delta_fingerprint(root),
+            "link_deltas": bool(link_deltas),
         },
     )
     return {**res, "n_new_pages": n_urls}
@@ -506,11 +515,21 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
 
     cfg = cfg or KgConfig()
     meta = _read_meta(root)
+    if link_deltas and not meta.get("link_deltas", False):
+        raise ValueError(
+            "link deltas were not enabled at build time — earlier "
+            "increments' pages are gone, so their edges cannot be "
+            "backfilled; rebuild with link_deltas=True"
+        )
     new_pages = _truly_new(pages_ds, root, meta, fpp)
-    n_new = _write_increment(root, meta["n_updates"], new_pages, cfg)
-    if link_deltas and n_new:
-        # second streaming pass over the (filtered) new pages
+    if meta.get("link_deltas", False):
+        # STICKY once enabled (a forgotten flag must not leave a silent
+        # hole in the graph), and written BEFORE the ledger: a crash
+        # between the two leaves pages unledgered, so the replay rewrites
+        # both (the slot clears first) — ledger-first ordering would
+        # instead lose the increment's edges forever
         _write_link_delta(root, meta["n_updates"], new_pages)
+    n_new = _write_increment(root, meta["n_updates"], new_pages, cfg)
     if n_new == 0 and _delta_fingerprint(root) == meta.get("built_fp"):
         # nothing genuinely new AND the caches incorporate every durable
         # delta: true no-op (empty delta dirs are skipped on read, meta
@@ -525,6 +544,7 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
             "n_updates": meta["n_updates"] + (1 if n_new else 0),
             "n_urls": _ledger_rows(root),
             "built_fp": _delta_fingerprint(root),
+            "link_deltas": meta.get("link_deltas", False),
         },
     )
     return {**res, "n_new_pages": n_new, "rebuilt": True}

@@ -142,7 +142,9 @@ def _write_linkgraph(pages_ds, out_root: str) -> dict:
 
     from pie_ray.stages.links import host_anchor_terms, host_edges, host_pagerank
 
-    pages_ds = pages_ds.materialize()
+    # NOT materialized: the input re-executes per pass, but pinning every
+    # html payload in the object store for the duration of two passes is
+    # the worse trade at corpus scale (the stream-html rule)
     edges = host_edges(pages_ds).materialize()
     out_e = f"{out_root}/linkgraph"
     shutil.rmtree(out_e, ignore_errors=True)

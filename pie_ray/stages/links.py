@@ -38,9 +38,14 @@ from pie_ray.util import bucket_count, bucket_hash_strings, rename_grouped
 # column is scanned without a decode pass
 _HREF_RE = re.compile(rb"<a\s[^>]*?href\s*=\s*[\"']([^\"'#\s>]+)", re.IGNORECASE)
 # href + the anchor's inner markup up to the closing </a> (anchor TEXT —
-# how the web names the destination; feeds entity-name candidates)
+# how the web names the destination; feeds entity-name candidates).
+# The inner body is BOUNDED ({0,4096}): real crawl pages carry unclosed
+# <a> tags, and an unbounded lazy (.*?) would scan to end-of-document for
+# each one — O(anchors x html_bytes) on broken markup. Anchors longer
+# than 4 KiB of markup are navigation chrome, not names; they are simply
+# not captured (deterministic spec).
 _ANCHOR_RE = re.compile(
-    rb"<a\s[^>]*?href\s*=\s*[\"']([^\"'#\s>]+)[^>]*>(.*?)</a\s*>",
+    rb"<a\s[^>]*?href\s*=\s*[\"']([^\"'#\s>]+)[^>]*>(.{0,4096}?)</a\s*>",
     re.IGNORECASE | re.DOTALL,
 )
 _TAG_RE = re.compile(rb"<[^>]*>")

@@ -34,6 +34,7 @@ from pie_ray.stages.links import _ANCHOR_RE, _TAG_RE
 _LT_RE = re.compile(rb"<[a-zA-Z/!]")
 
 RATIO_SCALE = 1_000_000
+PAGEQ_DROP_BROADCAST_LIMIT = 2_000_000
 
 
 def page_feature_batch(t: pa.Table) -> pa.Table:
@@ -93,22 +94,56 @@ def filter_by_page_quality(
     """Structural gate over T0 pages: drop navigation-heavy pages
     (anchor chars > ``max_link_density_q``/1e6 of text chars) and markup
     soup (text chars < ``min_text_to_html_q``/1e6 of html bytes). Fused
-    stateless filter; the per-reason counts come from a features-only pass
-    (narrow rows — the html payload stays in the map). Returns
-    (kept_ds, report) with exact kept/dropped counts per reason
-    (no-silent-drops rule)."""
-    pages_ds = pages_ds.materialize()
+    stateless filter; ONE regex sweep total on the common path — the
+    features pass (narrow rows, html stays in the map) yields both the
+    per-reason counts AND the drop-url set, which ships as a broadcast
+    anti-membership filter under ``PAGEQ_DROP_BROADCAST_LIMIT`` dropped
+    pages (drop sets are minority-sized by construction — a gate that
+    drops most of the corpus is misconfigured); past the limit the gate
+    falls back to recomputing features per batch (a second regex sweep,
+    no driver state). The url is the page identity here, as everywhere in
+    T0. Returns (kept_ds, report) with exact kept/dropped counts per
+    reason (no-silent-drops rule)."""
+    import ray
+
     feats = page_features(pages_ds).materialize()  # narrow rows, no html
-    n_pages = pages_ds.count()
+    n_pages = feats.count()
     nav = feats.filter(expr=f"link_density_q > {max_link_density_q}").count()
     soup = feats.filter(expr=f"text_to_html_q < {min_text_to_html_q}").count()
 
-    def keep_batch(t: pa.Table) -> pa.Table:
-        f = page_feature_batch(t)
-        ld = f.column("link_density_q").to_numpy(zero_copy_only=False)
-        th = f.column("text_to_html_q").to_numpy(zero_copy_only=False)
-        keep = (ld <= max_link_density_q) & (th >= min_text_to_html_q)
-        return t.filter(pa.array(keep, pa.bool_()))
+    def drop_urls(t: pa.Table) -> pa.Table:
+        ld = t.column("link_density_q").to_numpy(zero_copy_only=False)
+        th = t.column("text_to_html_q").to_numpy(zero_copy_only=False)
+        bad = (ld > max_link_density_q) | (th < min_text_to_html_q)
+        return pa.table({"url": t.column("url").filter(pa.array(bad))})
+
+    drop_ds = feats.map_batches(drop_urls, batch_format="pyarrow").materialize()
+    n_drop = drop_ds.count()
+
+    if n_drop <= PAGEQ_DROP_BROADCAST_LIMIT:
+        bad_ref = ray.put(
+            frozenset(
+                u
+                for b in drop_ds.iter_batches(
+                    batch_format="pyarrow", batch_size=65536
+                )
+                for u in b.column("url").to_pylist()
+            )
+        )
+
+        def keep_batch(t: pa.Table) -> pa.Table:
+            bad = ray.get(bad_ref)
+            mask = [u not in bad for u in t.column("url").to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+    else:  # fallback: recompute features per batch (second regex sweep)
+
+        def keep_batch(t: pa.Table) -> pa.Table:
+            f = page_feature_batch(t)
+            ld = f.column("link_density_q").to_numpy(zero_copy_only=False)
+            th = f.column("text_to_html_q").to_numpy(zero_copy_only=False)
+            keep = (ld <= max_link_density_q) & (th >= min_text_to_html_q)
+            return t.filter(pa.array(keep, pa.bool_()))
 
     kept = pages_ds.map_batches(keep_batch, batch_format="pyarrow").materialize()
     n_kept = kept.count()

@@ -73,3 +73,17 @@ def test_link_delta_slot_idempotent(ray_session, tmp_path):
     assert _edge_map(linkgraph_from_deltas(root)) == once == _edge_map(
         host_edges(pages)
     )
+
+
+def test_link_deltas_cannot_be_enabled_after_build(ray_session, tmp_path):
+    """A root built WITHOUT link deltas has lost its earlier pages, so a
+    later --linkgraph ingest must refuse instead of presenting a partial
+    graph; reading the graph from such a root refuses likewise."""
+    import pytest
+
+    root = str(tmp_path / "kg3")
+    incremental_build(_corpus(100), root, link_deltas=False)
+    with pytest.raises(ValueError, match="link_deltas"):
+        incremental_update(root, _corpus(200), link_deltas=True)
+    with pytest.raises(ValueError, match="link_deltas"):
+        linkgraph_from_deltas(root)

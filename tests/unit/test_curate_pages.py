@@ -189,7 +189,11 @@ def _dup_corpus(n=300):
     pages = synth_link_pages(n, spam_interlink=True)
 
     def add_dups(t: pa.Table) -> pa.Table:
-        keep = [i % 5 == 0 for i in range(t.num_rows)]
+        # keyed on the page index in the url — never batch-local position
+        keep = [
+            int(u.rsplit("/p", 1)[1]) % 5 == 0
+            for u in t.column("url").to_pylist()
+        ]
         dups = t.filter(pa.array(keep, pa.bool_()))
         if dups.num_rows:
             urls = [f"{u}?utm_source=feed" for u in dups.column("url").to_pylist()]
@@ -280,3 +284,31 @@ def test_q_host_components_farm_separates(ray_session):
     assert farm_comps.isdisjoint(real_comps)
     # the real web is one connected component (authorities glue it)
     assert len(real_comps) == 1
+
+
+def test_dedup_pages_exact_url_recrawl_keeps_winner(ray_session):
+    """Regression: the same RAW url recrawled at two timestamps must keep
+    the earliest copy — a url-keyed loser set removed the winner too."""
+    import ray.data
+    from pie_ray.pipelines.curation import dedup_pages_by_url
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["https://a.example/x", "https://a.example/x", "https://b.example/y"],
+                pa.string(),
+            ),
+            "warc_ts": pa.array([1, 2, 5], pa.timestamp("us")),
+            "html": pa.array([b"h1", b"h2", b"h3"], pa.binary()),
+        }
+    )
+    for path in ("broadcast", "join"):
+        kept, report = dedup_pages_by_url(
+            ray.data.from_arrow(t), loser_path=path
+        )
+        rows = sorted(
+            (r["url"], r["warc_ts"]) for r in kept.take_all()
+        )
+        assert [u for u, _ in rows] == ["https://a.example/x", "https://b.example/y"]
+        assert rows[0][1].microsecond == 1 or rows[0][1].timestamp() * 1e6 == 1
+        assert report["n_kept"] == 2 and report["n_url_dups_dropped"] == 1

@@ -42,6 +42,10 @@ def test_canonical_url_spec_cases():
     # non-absolute inputs pass through stripped
     assert canonical_url("  /rel/path ") == "/rel/path"
     assert canonical_url("") == ""
+    # parser-rejected inputs come back unchanged instead of raising
+    assert canonical_url("https://example.com:99999/x") == "https://example.com:99999/x"
+    assert canonical_url("http://example.com:abc/x") == "http://example.com:abc/x"
+    assert canonical_url("http://[::1/x") == "http://[::1/x"
 
 
 def test_canonical_url_idempotent():
