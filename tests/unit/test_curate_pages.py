@@ -312,3 +312,42 @@ def test_dedup_pages_exact_url_recrawl_keeps_winner(ray_session):
         assert [u for u, _ in rows] == ["https://a.example/x", "https://b.example/y"]
         assert rows[0][1].microsecond == 1 or rows[0][1].timestamp() * 1e6 == 1
         assert report["n_kept"] == 2 and report["n_url_dups_dropped"] == 1
+
+
+def test_dup_corpus_partition_independent(ray_session):
+    """Regression: the planted dup set must be a pure function of the
+    data — batch-local positions once made it depend on block layout."""
+    import ray.data
+
+    sets = []
+    for blocks in (2, 13):
+        pages = synth_link_pages(
+            200, spam_interlink=True, override_num_blocks=blocks
+        )
+
+        def add_dups(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = [
+                int(u.rsplit("/p", 1)[1]) % 5 == 0
+                for u in t.column("url").to_pylist()
+            ]
+            dups = t.filter(pa.array(keep, pa.bool_()))
+            if dups.num_rows:
+                urls = [
+                    f"{u}?utm_source=feed" for u in dups.column("url").to_pylist()
+                ]
+                ts = pc.add(dups.column("warc_ts").cast(pa.int64()), 1).cast(
+                    pa.timestamp("us")
+                )
+                dups = (
+                    dups.drop_columns(["url", "warc_ts"])
+                    .append_column("url", pa.array(urls, pa.string()))
+                    .append_column("warc_ts", ts)
+                    .select(t.column_names)
+                )
+            return pa.concat_tables([t, dups]).combine_chunks()
+
+        corpus = pages.map_batches(add_dups, batch_format="pyarrow")
+        sets.append(_rows(corpus, ["url"]))
+    assert sets[0] == sets[1] and len(sets[0]) == 240
