@@ -408,7 +408,13 @@ def dedup_pages_by_url(pages_ds, order_col: str = "warc_ts",
     duplicate crawls are a minority of a corpus, so the loser set is
     proportional to the DUPLICATES (broadcast frozenset under
     URL_LOSER_BROADCAST_LIMIT; one ``left_anti`` hash join above it — the
-    only path that shuffles payload). Returns (kept_ds, report)."""
+    only path that shuffles payload). Returns (kept_ds, report).
+
+    Known edge consumers must expect: BYTE-IDENTICAL rows (same url AND
+    same ``order_col``) both survive — an anti-membership set cannot say
+    "drop k-1 of k indistinguishable rows". Such exact re-ingests are
+    upstream artifacts; ``n_kept`` is MEASURED, so the report stays
+    truthful when they occur."""
     import ray
     import ray.data
 
@@ -466,7 +472,7 @@ def dedup_pages_by_url(pages_ds, order_col: str = "warc_ts",
         .groupby("bucket")
         .map_groups(losers, batch_format="pyarrow")
         .materialize(),
-        schema=pa.schema([("url", pa.string())]),
+        schema=_LOSER_SCHEMA,
     ).materialize()
     n_losers = losers_ds.count()
     n_pages = pages_ds.count()

@@ -319,11 +319,13 @@ def _rebuild(root: str, cfg) -> dict:
 
 def _write_link_delta(root: str, k: int, pages_ds) -> None:
     """Host link-edge partials for increment ``k`` (the link-graph twin of
-    the raw-triple deltas). IDEMPOTENT PER SLOT: the slot dir is cleared
-    before writing — edge WEIGHTS are counts, so a crashed update's replay
-    must not double-count (unlike the url ledger, whose distinct semantics
-    tolerate duplicate rows). One extra streaming pass over the new pages
-    (bytes-regex; the html never materializes), cheap next to NER."""
+    the raw-triple deltas). The slot is a PURE FUNCTION of the pages it is
+    given: it clears, rewrites, and finishes with a ``_DONE`` sentinel —
+    edge WEIGHTS are counts, so a replay must rewrite, never append
+    (appending would double-count; the distinct-semantics url ledger
+    tolerates replays, counted aggregates do not). Callers derive the
+    page set from the slot's DURABLE url ledger (``_slot_pages``), which
+    is what makes the rewrite idempotent across every crash window."""
     import shutil
 
     from pie_ray.stages.links import host_edges
@@ -332,6 +334,59 @@ def _write_link_delta(root: str, k: int, pages_ds) -> None:
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     host_edges(pages_ds).write_parquet(d)
+    with open(os.path.join(d, "_DONE"), "w") as f:
+        f.write("")
+
+
+def _link_delta_done(root: str, k: int) -> bool:
+    return os.path.exists(
+        os.path.join(root, "linkedges", f"delta_{k:06d}", "_DONE")
+    )
+
+
+def _link_deltas_enabled(root: str, meta: dict) -> bool:
+    """Resolved link-delta flag. Roots written before the flag existed
+    (meta lacks the key) fall back to the on-disk probe — a pre-upgrade
+    root that WAS maintaining linkedges must keep doing so (defaulting to
+    False would silently stop writing deltas and hole the graph)."""
+    v = meta.get("link_deltas")
+    if v is None:
+        return os.path.isdir(os.path.join(root, "linkedges"))
+    return bool(v)
+
+
+def _slot_pages(root: str, k: int, pages_ds):
+    """The crawl pages belonging to increment ``k``: the input filtered to
+    the slot's DURABLE url ledger (broadcast — bounded by the increment,
+    not the corpus). This is the recovery-safe page set for the link
+    delta: after ANY crash, the replayed crawl still contains these pages
+    even though the ledger already screens them out of ``_truly_new``."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    files = sorted(
+        _glob.glob(os.path.join(root, "urls", f"delta_{k:06d}", "*.parquet"))
+    )
+    urls: set[str] = set()
+    for f in files:
+        urls.update(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    if not urls:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
+        )
+    ref = ray.put(frozenset(urls))
+
+    def keep(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        mask = [u in want for u in t.column("url").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return pages_ds.map_batches(keep, batch_format="pyarrow")
 
 
 def linkgraph_from_deltas(root: str):
@@ -351,13 +406,19 @@ def linkgraph_from_deltas(root: str):
     from pie_ray.util import bucket_count, bucket_hash_strings, rename_grouped
 
     meta_path = os.path.join(root, META_NAME)
-    if os.path.exists(meta_path) and not _read_meta(root).get("link_deltas", False):
+    if os.path.exists(meta_path) and not _link_deltas_enabled(root, _read_meta(root)):
         raise ValueError(
             "this root was built without link_deltas — the stored "
             "linkedges (if any) cannot cover every increment; rebuild "
             "with link_deltas=True for a complete graph"
         )
-    files = _delta_files(root, "linkedges")
+    # only COMPLETED slots count: a dir without _DONE is a partial write
+    # whose increment never ledgered (its pages will re-land on replay)
+    files = [
+        f
+        for f in _delta_files(root, "linkedges")
+        if os.path.exists(os.path.join(os.path.dirname(f), "_DONE"))
+    ]
     if not files:
         return None
     ds = ray.data.read_parquet(files)
@@ -406,10 +467,11 @@ def incremental_build(pages_ds, root: str, cfg=None, link_deltas: bool = False) 
 
     cfg = cfg or KgConfig()
     os.makedirs(root, exist_ok=True)
-    if link_deltas:
-        # before the ledger — see incremental_update's crash-ordering note
-        _write_link_delta(root, 0, pages_ds)
     n_urls = _write_increment(root, 0, pages_ds, cfg)
+    if link_deltas:
+        # a build crash replays the WHOLE build (meta never landed), so
+        # slot 0 simply rewrites; no ledger-derived recovery needed here
+        _write_link_delta(root, 0, pages_ds)
     res = _rebuild(root, cfg)
     _write_meta(
         root,
@@ -515,21 +577,29 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
 
     cfg = cfg or KgConfig()
     meta = _read_meta(root)
-    if link_deltas and not meta.get("link_deltas", False):
+    ld_enabled = _link_deltas_enabled(root, meta)
+    if link_deltas and not ld_enabled:
         raise ValueError(
             "link deltas were not enabled at build time — earlier "
             "increments' pages are gone, so their edges cannot be "
             "backfilled; rebuild with link_deltas=True"
         )
     new_pages = _truly_new(pages_ds, root, meta, fpp)
-    if meta.get("link_deltas", False):
-        # STICKY once enabled (a forgotten flag must not leave a silent
-        # hole in the graph), and written BEFORE the ledger: a crash
-        # between the two leaves pages unledgered, so the replay rewrites
-        # both (the slot clears first) — ledger-first ordering would
-        # instead lose the increment's edges forever
-        _write_link_delta(root, meta["n_updates"], new_pages)
     n_new = _write_increment(root, meta["n_updates"], new_pages, cfg)
+    if ld_enabled and (n_new or not _link_delta_done(root, meta["n_updates"])):
+        # STICKY once enabled (a forgotten flag must not hole the graph).
+        # The slot rebuilds from its DURABLE url ledger ∩ the crawl, so
+        # every crash window replays to the same edges: crash before the
+        # ledger -> the replay re-screens the pages as new and re-lands
+        # both; crash after the ledger (n_new==0 on replay) -> the slot
+        # lacks _DONE and rebuilds from the ledgered urls, which the
+        # replayed crawl still carries; a later update reusing a stale
+        # slot number (crash before the meta write) -> n_new>0 forces a
+        # rewrite over the slot's ENLARGED ledger, old + new urls both
+        # covered. Cost: one bounded ledger read + one filtered pass.
+        _write_link_delta(
+            root, meta["n_updates"], _slot_pages(root, meta["n_updates"], pages_ds)
+        )
     if n_new == 0 and _delta_fingerprint(root) == meta.get("built_fp"):
         # nothing genuinely new AND the caches incorporate every durable
         # delta: true no-op (empty delta dirs are skipped on read, meta
@@ -544,7 +614,7 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
             "n_updates": meta["n_updates"] + (1 if n_new else 0),
             "n_urls": _ledger_rows(root),
             "built_fp": _delta_fingerprint(root),
-            "link_deltas": meta.get("link_deltas", False),
+            "link_deltas": ld_enabled,
         },
     )
     return {**res, "n_new_pages": n_new, "rebuilt": True}

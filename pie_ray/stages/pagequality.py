@@ -29,9 +29,38 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from pie_ray.stages.links import _ANCHOR_RE, _TAG_RE
+from pie_ray.stages.links import _HREF_RE, _TAG_RE
 
 _LT_RE = re.compile(rb"<[a-zA-Z/!]")
+_A_OPEN_RE = re.compile(rb"<a[\s>]", re.IGNORECASE)
+_A_CLOSE_RE = re.compile(rb"</a\s*>", re.IGNORECASE)
+
+
+def _anchor_stats(html: bytes) -> tuple[int, int]:
+    """(closed anchors, visible anchor chars) by a LINEAR two-pointer scan
+    over open/close tag positions — anchors of ANY inner length count
+    (links.py's bounded _ANCHOR_RE is for anchor NAMES; density must see
+    the full navigation chrome a >4 KiB anchor body wraps), and unclosed
+    <a> tags cost O(1) instead of a backtracking scan to end-of-doc (they
+    contribute no text; the href count below still sees them)."""
+    n = 0
+    chars = 0
+    closes = [m.start() for m in _A_CLOSE_RE.finditer(html)]
+    ci = 0
+    for m in _A_OPEN_RE.finditer(html):
+        gt = html.find(b">", m.start())
+        if gt == -1:
+            break
+        while ci < len(closes) and closes[ci] < gt:
+            ci += 1
+        if ci >= len(closes):
+            break
+        inner = html[gt + 1 : closes[ci]]
+        text = _TAG_RE.sub(b" ", inner).decode("utf-8", errors="replace")
+        chars += len(" ".join(text.split()))
+        n += 1
+        ci += 1
+    return n, chars
 
 RATIO_SCALE = 1_000_000
 PAGEQ_DROP_BROADCAST_LIMIT = 2_000_000
@@ -56,13 +85,10 @@ def page_feature_batch(t: pa.Table) -> pa.Table:
         html_bytes[i] = len(html)
         text_chars[i] = len(text or "")
         n_tags[i] = len(_LT_RE.findall(html))
-        anchors = _ANCHOR_RE.findall(html)
-        n_links[i] = len(anchors)
-        ac = 0
-        for _href, inner in anchors:
-            stripped = _TAG_RE.sub(b" ", inner).decode("utf-8", errors="replace")
-            ac += len(" ".join(stripped.split()))
-        anchor_chars[i] = ac
+        # links counted by href (sees unclosed anchors too); anchor text
+        # measured by the linear any-length scan
+        n_links[i] = len(_HREF_RE.findall(html))
+        _, anchor_chars[i] = _anchor_stats(html)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -114,8 +140,18 @@ def filter_by_page_quality(
     def drop_urls(t: pa.Table) -> pa.Table:
         ld = t.column("link_density_q").to_numpy(zero_copy_only=False)
         th = t.column("text_to_html_q").to_numpy(zero_copy_only=False)
-        bad = (ld > max_link_density_q) | (th < min_text_to_html_q)
-        return pa.table({"url": t.column("url").filter(pa.array(bad))})
+        bad = pa.array((ld > max_link_density_q) | (th < min_text_to_html_q))
+        # the drop KEY is (url, html_bytes, text_chars) — both extras are
+        # O(1) lengths recomputable in keep_batch without a regex sweep,
+        # and they distinguish same-url recrawls with different content
+        # so a bad copy never drags its good twin down
+        return pa.table(
+            {
+                "url": t.column("url").filter(bad),
+                "hb": t.column("html_bytes").filter(bad),
+                "tc": t.column("text_chars").filter(bad),
+            }
+        )
 
     drop_ds = feats.map_batches(drop_urls, batch_format="pyarrow").materialize()
     n_drop = drop_ds.count()
@@ -123,17 +159,33 @@ def filter_by_page_quality(
     if n_drop <= PAGEQ_DROP_BROADCAST_LIMIT:
         bad_ref = ray.put(
             frozenset(
-                u
+                (u, hb, tc)
                 for b in drop_ds.iter_batches(
                     batch_format="pyarrow", batch_size=65536
                 )
-                for u in b.column("url").to_pylist()
+                for u, hb, tc in zip(
+                    b.column("url").to_pylist(),
+                    b.column("hb").to_pylist(),
+                    b.column("tc").to_pylist(),
+                )
             )
         )
 
         def keep_batch(t: pa.Table) -> pa.Table:
             bad = ray.get(bad_ref)
-            mask = [u not in bad for u in t.column("url").to_pylist()]
+            urls = t.column("url").to_pylist()
+            htmls = t.column("html").to_pylist()
+            texts = (
+                t.column("text").to_pylist()
+                if "text" in t.column_names
+                else [""] * len(urls)
+            )
+            # mirror page_feature_batch exactly: a null-html row scores
+            # (0, 0) there (its text is never measured), so key it (0, 0)
+            mask = [
+                ((u, 0, 0) if h is None else (u, len(h), len(x or ""))) not in bad
+                for u, h, x in zip(urls, htmls, texts)
+            ]
             return t.filter(pa.array(mask, pa.bool_()))
 
     else:  # fallback: recompute features per batch (second regex sweep)

@@ -87,3 +87,31 @@ def test_link_deltas_cannot_be_enabled_after_build(ray_session, tmp_path):
         incremental_update(root, _corpus(200), link_deltas=True)
     with pytest.raises(ValueError, match="link_deltas"):
         linkgraph_from_deltas(root)
+
+
+def test_crash_after_ledger_recovers_slot_edges(ray_session, tmp_path):
+    """Regression: crash after the ledger lands but before the slot's
+    _DONE — the replay (which sees zero new pages) must rebuild the
+    slot's edges from its durable url ledger, not clobber them."""
+    import os
+    import shutil
+
+    from pie_ray.pipelines.incremental import _read_meta, _write_meta
+
+    root = str(tmp_path / "kg4")
+    incremental_build(_corpus(200), root, link_deltas=True)
+    meta_before = _read_meta(root)  # state a crash-before-meta would leave
+    incremental_update(root, _corpus(400), link_deltas=True)
+    want = _edge_map(linkgraph_from_deltas(root))
+
+    # simulate the crash window: ledger + raw landed for slot 1, but the
+    # meta write never happened and the slot's edges are gone/partial
+    shutil.rmtree(os.path.join(root, "linkedges", "delta_000001"))
+    _write_meta(root, meta_before)
+    # replay the same crawl — n_new == 0 (urls already ledgered), but the
+    # stale-slot recovery rebuilds the edges from the durable ledger
+    r = incremental_update(root, _corpus(400), link_deltas=True)
+    # (rebuilt may be False: link pages emit no triples, so the RAW
+    # fingerprint legitimately matches — the edge recovery runs earlier)
+    assert r["n_new_pages"] == 0
+    assert _edge_map(linkgraph_from_deltas(root)) == want

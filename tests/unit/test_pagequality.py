@@ -85,3 +85,55 @@ def test_q_page_features_shape(ray_session):
     # extracted corpus pages all carry real text and markup
     assert all(v > 0 for v in t.column("html_bytes").to_pylist())
     assert all(v >= 0 for v in t.column("link_density_q").to_pylist())
+
+
+def test_huge_anchor_still_counts_toward_density():
+    # a nav page whose single anchor wraps >4 KiB of inner markup must
+    # still register its anchor text in the density signal
+    inner = b"<b>x</b> " * 1000  # ~9 KiB of markup, ~2000 visible chars
+    html = b'<html><body><a href="/a">' + inner + b"</a> tail</body></html>"
+    t = pa.table(
+        {
+            "url": pa.array(["https://n.com/big"], pa.string()),
+            "html": pa.array([html], pa.binary()),
+            "text": pa.array(["x " * 1000 + " tail"], pa.string()),
+        }
+    )
+    f = page_feature_batch(t).to_pylist()[0]
+    assert f["n_links"] == 1
+    assert f["anchor_chars"] > 1500  # the full inner text, not 0
+    assert f["link_density_q"] > RATIO_SCALE // 2  # still gated as nav
+
+
+def test_unclosed_anchors_cost_linear_and_zero_text():
+    html = b"<html><body>" + b'<a href="/x">' * 500 + b"tail</body></html>"
+    t = pa.table(
+        {
+            "url": pa.array(["https://u.com/p"], pa.string()),
+            "html": pa.array([html], pa.binary()),
+            "text": pa.array(["tail"], pa.string()),
+        }
+    )
+    f = page_feature_batch(t).to_pylist()[0]
+    assert f["n_links"] == 500  # hrefs seen even without closing tags
+    assert f["anchor_chars"] == 0  # no closed anchor -> no measured text
+
+
+def test_same_url_different_content_gated_independently(ray_session):
+    # recrawl: one copy is markup soup, the other is clean — the clean
+    # copy must survive even though they share a url
+    soup = b"<html>" + b"<div>" * 300 + b"t" + b"</div>" * 300 + b"</html>"
+    clean = b"<html><body><p>plenty of good body text to keep here</p></body></html>"
+    t = pa.table(
+        {
+            "url": pa.array(["https://r.com/p", "https://r.com/p"], pa.string()),
+            "html": pa.array([soup, clean], pa.binary()),
+            "text": pa.array(["t", "plenty of good body text to keep here"], pa.string()),
+        }
+    )
+    import ray.data
+
+    kept, report = filter_by_page_quality(ray.data.from_arrow(t))
+    rows = kept.take_all()
+    assert len(rows) == 1 and rows[0]["html"] == clean
+    assert report["n_kept"] == 1 and report["n_markup_soup"] == 1
