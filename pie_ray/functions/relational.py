@@ -3943,7 +3943,11 @@ def impute_nulls(ds, key_col: str, order_cols: list[str], value_col: str,
         v_locf[in_key] = vals[carry[in_key]]
         # group mean over observed values from exact integer cents
         c = np.zeros(n, np.int64)
-        c[valid] = np.rint(vals[valid] * 100.0).astype(np.int64)
+        # half-away-from-zero like the DuckDB oracle's round() and the
+        # repo's pc.round cents path — np.rint is half-to-even and would
+        # hash-mismatch on values landing exactly on .5 cents (money here
+        # is non-negative, so floor(v*100 + 0.5) is exactly that rule)
+        c[valid] = np.floor(vals[valid] * 100.0 + 0.5).astype(np.int64)
         run_id = np.cumsum(new) - 1
         sum_c = np.add.reduceat(c, starts)
         cnt = np.add.reduceat(valid.astype(np.int64), starts)

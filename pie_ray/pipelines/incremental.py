@@ -317,7 +317,9 @@ def _rebuild(root: str, cfg) -> dict:
     }
 
 
-def _write_link_delta(root: str, k: int, pages_ds) -> None:
+def _write_link_delta(
+    root: str, k: int, pages_ds, n_ledgered: int | None = None
+) -> dict:
     """Host link-edge partials for increment ``k`` (the link-graph twin of
     the raw-triple deltas). The slot is a PURE FUNCTION of the pages it is
     given: it clears, rewrites, and finishes with a ``_DONE`` sentinel —
@@ -325,7 +327,15 @@ def _write_link_delta(root: str, k: int, pages_ds) -> None:
     (appending would double-count; the distinct-semantics url ledger
     tolerates replays, counted aggregates do not). Callers derive the
     page set from the slot's DURABLE url ledger (``_slot_pages``), which
-    is what makes the rewrite idempotent across every crash window."""
+    is what makes the rewrite idempotent across every crash window —
+    PROVIDED the replayed crawl still carries the ledgered pages. A
+    DIFFERENT crawl replayed into a crashed window would silently hole
+    the graph (the urls stay ledgered, so no later replay restores their
+    edges), so when ``n_ledgered`` is given the slot counts the distinct
+    ledgered urls it actually received and surfaces a coverage warning
+    (durably, in the slot's ``_COVERAGE`` file, and in the returned
+    report) when the crawl is missing some."""
+    import logging
     import shutil
 
     from pie_ray.stages.links import host_edges
@@ -333,9 +343,36 @@ def _write_link_delta(root: str, k: int, pages_ds) -> None:
     d = os.path.join(root, "linkedges", f"delta_{k:06d}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
+    cov: dict = {}
+    if n_ledgered is not None:
+        # one filter pass total: materialize the slot (bounded by the
+        # increment, not the corpus; blocks spill if large), count the
+        # distinct urls that actually arrived, then feed the same blocks
+        # to host_edges
+        pages_ds = pages_ds.materialize()
+        found: set[str] = set()
+        for b in pages_ds.select_columns(["url"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            found.update(b.column("url").to_pylist())
+        cov = {"ledgered_urls": n_ledgered, "found_urls": len(found)}
+        if len(found) < n_ledgered:
+            logging.getLogger(__name__).warning(
+                "link delta %d: crawl covers only %d of %d ledgered urls — "
+                "this looks like a DIFFERENT crawl replayed into a crashed "
+                "ingest window; the missing pages' edges cannot be "
+                "recovered from this input (their urls are already "
+                "ledgered). Re-run with the original crawl.",
+                k,
+                len(found),
+                n_ledgered,
+            )
+        with open(os.path.join(d, "_COVERAGE"), "w") as f:
+            f.write(f"{len(found)}/{n_ledgered}\n")
     host_edges(pages_ds).write_parquet(d)
     with open(os.path.join(d, "_DONE"), "w") as f:
         f.write("")
+    return cov
 
 
 def _link_delta_done(root: str, k: int) -> bool:
@@ -358,9 +395,11 @@ def _link_deltas_enabled(root: str, meta: dict) -> bool:
 def _slot_pages(root: str, k: int, pages_ds):
     """The crawl pages belonging to increment ``k``: the input filtered to
     the slot's DURABLE url ledger (broadcast — bounded by the increment,
-    not the corpus). This is the recovery-safe page set for the link
-    delta: after ANY crash, the replayed crawl still contains these pages
-    even though the ledger already screens them out of ``_truly_new``."""
+    not the corpus), plus the ledgered-url count so the writer can verify
+    coverage. This is the recovery-safe page set for the link delta: after
+    ANY crash, the replayed crawl still contains these pages even though
+    the ledger already screens them out of ``_truly_new`` (a DIFFERENT
+    crawl may not — ``_write_link_delta`` warns on the shortfall)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -376,8 +415,13 @@ def _slot_pages(root: str, k: int, pages_ds):
     if not urls:
         import ray.data
 
-        return ray.data.from_arrow(
-            pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
+        return (
+            ray.data.from_arrow(
+                pa.table(
+                    {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}
+                )
+            ),
+            0,
         )
     ref = ray.put(frozenset(urls))
 
@@ -386,7 +430,7 @@ def _slot_pages(root: str, k: int, pages_ds):
         mask = [u in want for u in t.column("url").to_pylist()]
         return t.filter(pa.array(mask, pa.bool_()))
 
-    return pages_ds.map_batches(keep, batch_format="pyarrow")
+    return pages_ds.map_batches(keep, batch_format="pyarrow"), len(urls)
 
 
 def linkgraph_from_deltas(root: str):
@@ -586,6 +630,7 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
         )
     new_pages = _truly_new(pages_ds, root, meta, fpp)
     n_new = _write_increment(root, meta["n_updates"], new_pages, cfg)
+    link_cov: dict = {}
     if ld_enabled and (n_new or not _link_delta_done(root, meta["n_updates"])):
         # STICKY once enabled (a forgotten flag must not hole the graph).
         # The slot rebuilds from its DURABLE url ledger ∩ the crawl, so
@@ -597,14 +642,15 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
         # slot number (crash before the meta write) -> n_new>0 forces a
         # rewrite over the slot's ENLARGED ledger, old + new urls both
         # covered. Cost: one bounded ledger read + one filtered pass.
-        _write_link_delta(
-            root, meta["n_updates"], _slot_pages(root, meta["n_updates"], pages_ds)
+        slot_ds, n_ledgered = _slot_pages(root, meta["n_updates"], pages_ds)
+        link_cov = _write_link_delta(
+            root, meta["n_updates"], slot_ds, n_ledgered=n_ledgered
         )
     if n_new == 0 and _delta_fingerprint(root) == meta.get("built_fp"):
         # nothing genuinely new AND the caches incorporate every durable
         # delta: true no-op (empty delta dirs are skipped on read, meta
         # stays put — the slot is reused)
-        return {"n_new_pages": 0, "rebuilt": False}
+        return {"n_new_pages": 0, "rebuilt": False, **link_cov}
     # n_new == 0 with a fingerprint mismatch means a previous update
     # crashed between its increment landing and its rebuild — rebuild now
     res = _rebuild(root, cfg)
@@ -617,7 +663,7 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
             "link_deltas": ld_enabled,
         },
     )
-    return {**res, "n_new_pages": n_new, "rebuilt": True}
+    return {**res, "n_new_pages": n_new, "rebuilt": True, **link_cov}
 
 
 def compact_deltas(root: str) -> dict:

@@ -340,7 +340,12 @@ def host_pagerank(edges_ds, iters: int | None = None, scale: int | None = None,
         w = tbl.column("n_links").to_numpy(zero_copy_only=False)
         hosts = np.unique(np.concatenate([src, dst]))
         if seed_sorted is not None:
-            seed_mask = np.isin(hosts, np.asarray(seed_sorted, dtype=hosts.dtype))
+            # no dtype= here: casting to hosts.dtype would TRUNCATE any
+            # seed longer than the longest graph host, and a truncated
+            # seed can spuriously equal a real host (granting it trust);
+            # np.isin promotes mixed string widths correctly on its own,
+            # matching the join path's exact pc.is_in semantics
+            seed_mask = np.isin(hosts, np.asarray(seed_sorted))
             ranks = trustrank_integer_directed_driver(
                 np.searchsorted(hosts, src),
                 np.searchsorted(hosts, dst),

@@ -144,7 +144,13 @@ def filter_by_page_quality(
         # the drop KEY is (url, html_bytes, text_chars) — both extras are
         # O(1) lengths recomputable in keep_batch without a regex sweep,
         # and they distinguish same-url recrawls with different content
-        # so a bad copy never drags its good twin down
+        # so a bad copy never drags its good twin down. Known edge: the
+        # lengths are a proxy, not a content hash — a same-url recrawl
+        # whose content DIFFERS but whose html/text byte lengths both
+        # collide with a gated copy is dropped with it (conservative: a
+        # good page is lost, never a bad one kept); a full discriminator
+        # would need a content digest in the feature row, which the
+        # public page_features schema deliberately omits
         return pa.table(
             {
                 "url": t.column("url").filter(bad),

@@ -115,3 +115,39 @@ def test_crash_after_ledger_recovers_slot_edges(ray_session, tmp_path):
     # fingerprint legitimately matches — the edge recovery runs earlier)
     assert r["n_new_pages"] == 0
     assert _edge_map(linkgraph_from_deltas(root)) == want
+    # full coverage on the honest replay: every ledgered url arrived
+    assert r["found_urls"] == r["ledgered_urls"] > 0
+
+
+def test_wrong_crawl_replay_surfaces_coverage_shortfall(
+    ray_session, tmp_path, caplog
+):
+    """Crash after the ledger, then a DIFFERENT crawl replayed into the
+    window: the slot can only rebuild from ledger ∩ new crawl, so the
+    crashed pages' edges are unrecoverable from this input — the update
+    must SAY so (coverage counts in the report + a warning + a durable
+    _COVERAGE marker), never hole the graph silently."""
+    import logging
+    import os
+    import shutil
+
+    from pie_ray.pipelines.incremental import _read_meta, _write_meta
+
+    root = str(tmp_path / "kg5")
+    incremental_build(_corpus(200), root, link_deltas=True)
+    meta_before = _read_meta(root)
+    incremental_update(root, _corpus(400), link_deltas=True)
+
+    # crash window for slot 1: edges gone, meta rolled back
+    shutil.rmtree(os.path.join(root, "linkedges", "delta_000001"))
+    _write_meta(root, meta_before)
+    # replay a DIFFERENT, smaller crawl: slot 1's ledger holds the 200
+    # link pages of _corpus(400)'s upper half, none of which this crawl
+    # carries
+    with caplog.at_level(logging.WARNING, "pie_ray.pipelines.incremental"):
+        r = incremental_update(root, _corpus(200), link_deltas=True)
+    assert r["found_urls"] < r["ledgered_urls"]
+    assert any("covers only" in m for m in caplog.messages)
+    cov_file = os.path.join(root, "linkedges", "delta_000001", "_COVERAGE")
+    with open(cov_file) as f:
+        assert f.read().strip() == f"{r['found_urls']}/{r['ledgered_urls']}"

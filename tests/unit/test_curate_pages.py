@@ -146,6 +146,35 @@ def test_host_trustrank_driver_vs_join_path_bit_equal(ray_session):
     assert to_map(a) == to_map(b) and a.num_rows > 0
 
 
+def test_host_trustrank_long_seed_never_truncates(ray_session):
+    """A seed LONGER than the longest graph host must match nothing — a
+    width-truncating cast (np.asarray(seeds, dtype=hosts.dtype)) would
+    clip 'h1.example.phish' to 'h1.example' and spuriously grant it
+    trust. Both id paths must agree (bit-equal claim)."""
+    import ray.data
+
+    from pie_ray.stages.links import host_trustrank
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_host": pa.array(["h1.example", "h2.example"], pa.string()),
+                "dst_host": pa.array(["h2.example", "h1.example"], pa.string()),
+                "n_links": pa.array([3, 2], pa.int64()),
+            }
+        )
+    )
+    # longer than every graph host; its prefix IS a real host
+    seeds = ["h1.example.phish"]
+    for path in ("driver", "join"):
+        tr = host_trustrank(edges, seeds, id_path=path)
+        ranks = dict(
+            zip(tr.column("host").to_pylist(), tr.column("rank_scaled").to_pylist())
+        )
+        # no seed is in the graph -> zero trust everywhere, no spurious match
+        assert all(v == 0 for v in ranks.values()), (path, ranks)
+
+
 def test_curate_pages_with_trustrank_prior_cuts_the_farm(ray_session):
     from pie_ray.stages.links import host_edges, host_of, host_trustrank
 
