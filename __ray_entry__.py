@@ -33,20 +33,42 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 
+# Mentions are shared by the rows-only full-schema entry and its oracled
+# projection twin within a driver session (same rationale as the triples
+# cache below: deterministic output, avoid re-paying the NER pool).
+_MENTIONS_CACHE: dict[int, Any] = {}
+
+
+def _cached_mentions(n_pages: int):
+    if n_pages not in _MENTIONS_CACHE:
+        from pie_ray.pipelines.kg import KgConfig, extract_stage
+        from pie_ray.sources.synth import synth_pages
+        from pie_ray.stages.ner import NerTagger
+
+        cfg = KgConfig()
+        ext = extract_stage(synth_pages(n_pages), cfg)
+        _MENTIONS_CACHE[n_pages] = ext.map_batches(
+            NerTagger,
+            batch_format="pyarrow",
+            batch_size=cfg.ner_batch_size,
+            concurrency=cfg.ner_concurrency,
+        ).materialize()
+    return _MENTIONS_CACHE[n_pages]
+
+
 def _kg_mentions(sf_dir: str):
     """extract (A3/A5, byte-identity goldens in pytest) -> NER mentions;
     subsumes the former kg_extract entry (the extract stage runs inside)."""
-    from pie_ray.pipelines.kg import KgConfig, extract_stage
-    from pie_ray.sources.synth import synth_pages
-    from pie_ray.stages.ner import NerTagger
+    return _cached_mentions(ENTRY_N_PAGES)
 
-    cfg = KgConfig()
-    ext = extract_stage(synth_pages(ENTRY_N_PAGES), cfg)
-    return ext.map_batches(
-        NerTagger,
-        batch_format="pyarrow",
-        batch_size=cfg.ner_batch_size,
-        concurrency=cfg.ner_concurrency,
+
+def _kg_mentions_oracle(sf_dir: str):
+    """Hash-verified KG core: the NER mention multiset projected to its
+    generator-ground-truth columns. The DuckDB side (golden_mentions_sql)
+    states the injected mentions as a literal VALUES table — P=R=1.0 by
+    construction, so this is full oracle parity, not a rows-only check."""
+    return _cached_mentions(ENTRY_N_PAGES).select_columns(
+        ["url", "ent_type", "surface", "norm"]
     )
 
 
@@ -70,6 +92,14 @@ def _cached_triples(n_pages: int):
 
 def _kg_triples(sf_dir: str):
     return _cached_triples(ENTRY_N_PAGES)
+
+
+def _kg_triples_oracle(sf_dir: str):
+    """Hash-verified flagship output: the canonical (subj, pred, obj) set
+    against the generator's golden triples stated as a literal VALUES
+    table (pipeline == golden EXACTLY at this corpus size — the e2e P/R
+    gate's ≥ 0.95 is a floor, the oracle pins it at 1.0)."""
+    return _cached_triples(ENTRY_N_PAGES).select_columns(["subj", "pred", "obj"])
 
 
 def _kg_graph(sf_dir: str):
@@ -193,15 +223,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dup-line / top-2-gram fractions) and decontaminate (benchmark
     # 8-gram overlap flagging).
     return {k: _tuned(v) for k, v in {
-        # KG pipeline stages (non-SQL; pytest gates: P/R=1.0 e2e, goldens)
+        # KG pipeline stages: full-schema rows-only entries (provenance
+        # columns aren't SQL-derivable) PLUS hash-verified oracle twins —
+        # the mention multiset and the canonical triple set against the
+        # generator's ground truth as literal-VALUES DuckDB oracles
+        # (round-5 rotation: media_resize/media_frames move beyond the
+        # cap — rows-only, pytest-gated, media_features stays as the
+        # family's recorded representative)
         "kg_mentions": _kg_mentions,
+        "kg_mentions_oracle": _kg_mentions_oracle,
         "kg_triples": _kg_triples,
+        "kg_triples_oracle": _kg_triples_oracle,
         "kg_graph": _kg_graph,
         "kg_pagerank": _kg_pagerank,
-        # multimodal plumbing (deterministic fake decode)
+        # multimodal plumbing
         "media_features": q_media_features,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
         # similarity search: exact top-k (SQL-oracled) + the three
         # approximate variants (lsh/ivf/pq) op-tagged under one entry
         "knn_cosine": similarity.q_knn,
@@ -270,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rollup ⊂ cube, broadcast nation⋈region ⊂ regional_revenue's
         # join chain, tumbling windows stay covered by window_events +
         # conformance.)
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "outer_join": relational.q_outer_join,
         "broadcast_join_nation_region": relational.q_broadcast_join_nation_region,
         "rollup_revenue": relational.q_rollup_revenue,
@@ -351,8 +389,15 @@ def oracle_sql() -> dict[str, str]:
     )
     from pie_ray.functions.quality_clf import QUALITY_CLF_ORACLE_SQL
     from pie_ray.functions.validate import validate_oracle_sql
+    from pie_ray.golden import golden_mentions_sql, golden_triples_sql
 
     return {
+        # KG core, hash-verified: the generator's ground truth is a pure
+        # function of the seed, so the expected mention multiset and the
+        # expected canonical triple set are stated as literal VALUES
+        # tables (closed-form-oracle house pattern, cf. urlops)
+        "kg_mentions_oracle": golden_mentions_sql(ENTRY_N_PAGES),
+        "kg_triples_oracle": golden_triples_sql(ENTRY_N_PAGES),
         # NB-style quality classifier (CCNet/GPT-3 filter shape): integer
         # fixed-point weights -> every value bit-exact vs DuckDB
         "quality_classifier": QUALITY_CLF_ORACLE_SQL,

@@ -102,6 +102,45 @@ def golden_triples(
     return canonicalize_triples(raw, canon)
 
 
+def golden_mentions(n: int, seed: int = gz.SEED) -> list[tuple[str, str, str, str]]:
+    """Exact (url, ent_type, surface, norm) mention MULTISET from the
+    generator's injected ground truth — the NER stage must reproduce it
+    with multiplicity (P=R=1.0 on the synthetic corpus by construction)."""
+    rows: list[tuple[str, str, str, str]] = []
+    for i in range(n):
+        rec, gt = gen_page(i, seed)
+        for sent in gt:
+            for t, s in sent:
+                rows.append((rec["url"], t, s, normalize(t, s)))
+    return rows
+
+
+def _values_sql(rows, cols: list[str]) -> str:
+    """Literal-VALUES DuckDB query stating an expected result set directly
+    (the closed-form-oracle house pattern, cf. urlops): the generator's
+    ground truth is a pure function of the seed, so the expectation can be
+    SPELLED OUT rather than recomputed in SQL."""
+
+    def q(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    vals = ",\n".join("(" + ", ".join(q(v) for v in r) + ")" for r in rows)
+    cl = ", ".join(cols)
+    return f"SELECT {cl} FROM (VALUES\n{vals}\n) AS t({cl})"
+
+
+def golden_triples_sql(n: int, seed: int = gz.SEED) -> str:
+    """DuckDB oracle for the flagship canonical-triples projection."""
+    return _values_sql(sorted(golden_triples(n, seed)), ["subj", "pred", "obj"])
+
+
+def golden_mentions_sql(n: int, seed: int = gz.SEED) -> str:
+    """DuckDB oracle for the NER mention multiset."""
+    return _values_sql(
+        sorted(golden_mentions(n, seed)), ["url", "ent_type", "surface", "norm"]
+    )
+
+
 def precision_recall(
     produced: set[tuple[str, str, str]], golden: set[tuple[str, str, str]]
 ) -> tuple[float, float]:
