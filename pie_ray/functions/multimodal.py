@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-container — see `DecodeBackend`): `decode=\"fake\"` produces a deterministic
-fake decode (seeded from the payload hash) so the Ray-side plumbing —
-schema, batch sizing, actor signature, output layout — is real and tested;
-`decode=\"real\"` raises NotImplementedError until a codec library (PIL /
-soundfile / pyav) is provisioned on the cluster image.
+``decode="real"`` decodes GENUINE bytes via the pure-numpy codecs in
+:mod:`pie_ray.functions.codecs` — BMP, PPM/PGM, baseline JPEG, WAV-PCM,
+and MJPEG (concatenated-JPEG video) — with PIL / soundfile used as an
+extra fallback when a cluster image provides them; formats beyond that
+set (PNG without PIL, MP4, MP3, ...) raise NotImplementedError.
+``decode="fake"`` produces a deterministic pseudo-decode (seeded from the
+payload hash) for plumbing tests; ``decode="auto"`` tries real and falls
+back to fake on unrecognized payloads.
 
 Scale notes: binary payloads dominate block bytes, so stages here use small
 ``batch_size`` and drop the payload column as soon as features are
@@ -64,11 +66,13 @@ class DecodeBackend:
     never per batch):
 
     - 'fake' (default): deterministic pseudo-decode keyed on payload bytes
-      — keeps tests/benches reproducible even where codecs exist.
-    - 'real': decode with PIL / soundfile when importable; raises
-      NotImplementedError otherwise (this sandbox has neither).
-    - 'auto': 'real' per modality when its library is present, else 'fake'
-      — the self-upgrading mode for cluster images."""
+      — keeps plumbing tests/benches reproducible with arbitrary bytes.
+    - 'real': pure-numpy codecs (BMP / PPM / baseline JPEG / WAV / MJPEG,
+      see :mod:`pie_ray.functions.codecs`), then PIL / soundfile when a
+      cluster image provides them; raises NotImplementedError for formats
+      none of those cover.
+    - 'auto': 'real' when the payload is decodable, else 'fake' — the
+      self-upgrading mode for mixed/unknown corpora."""
 
     def __init__(self, mode: str = "fake"):
         if mode not in ("fake", "real", "auto"):
@@ -77,34 +81,88 @@ class DecodeBackend:
         self._pil = _probe_pil() if mode in ("real", "auto") else None
         self._sf = _probe_soundfile() if mode in ("real", "auto") else None
 
-    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if self._pil is not None:
-            import io
-
-            with self._pil.open(io.BytesIO(payload)) as im:
-                return np.asarray(im.convert("RGB"), dtype=np.uint8)
-        if self.mode == "real":
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv on the cluster image"
-            )
+    def _fake_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
         h = stable_hash64(payload or b"\x00")
         rng = np.random.default_rng(h & 0xFFFFFFFF)
         w = max(width, 1) if width > 0 else 32
         ht = max(height, 1) if height > 0 else 32
         return rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
 
-    def decode_audio(self, payload: bytes, duration_ms: int) -> np.ndarray:
-        if self._sf is not None:
-            import io
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.mode != "fake":
+            from pie_ray.functions import codecs
 
-            data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
-            return data if data.ndim == 1 else data.mean(axis=1).astype(np.float32)
-        if self.mode == "real":
-            raise NotImplementedError("real audio decode requires soundfile/pyav")
+            if codecs.sniff(payload or b"") in ("bmp", "ppm", "jpeg"):
+                return codecs.decode_image_bytes(payload)
+            if self._pil is not None:
+                import io
+
+                try:
+                    with self._pil.open(io.BytesIO(payload)) as im:
+                        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+                except Exception:
+                    if self.mode == "real":
+                        raise
+            if self.mode == "real":
+                raise NotImplementedError(
+                    "unsupported image format (numpy codecs cover BMP/PPM/"
+                    "baseline JPEG; provision PIL on the cluster image for more)"
+                )
+        return self._fake_image(payload, width, height)
+
+    def decode_audio(self, payload: bytes, duration_ms: int) -> np.ndarray:
+        if self.mode != "fake":
+            from pie_ray.functions import codecs
+
+            if codecs.sniff(payload or b"") == "wav":
+                return codecs.decode_wav(payload)[0]
+            if self._sf is not None:
+                import io
+
+                try:
+                    data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+                    return (
+                        data if data.ndim == 1 else data.mean(axis=1).astype(np.float32)
+                    )
+                except Exception:
+                    if self.mode == "real":
+                        raise
+            if self.mode == "real":
+                raise NotImplementedError(
+                    "unsupported audio format (numpy codec covers WAV-PCM; "
+                    "provision soundfile/pyav on the cluster image for more)"
+                )
         h = stable_hash64(payload or b"\x00")
         rng = np.random.default_rng(h & 0xFFFFFFFF)
         n = max(duration_ms, 1) * 16  # fake 16 kHz mono
         return rng.standard_normal(n).astype(np.float32)
+
+    def decode_frame(
+        self, payload: bytes, frame_idx: int, n_frames: int, width: int, height: int
+    ) -> np.ndarray:
+        """Video frame seek+decode. Real path: MJPEG stream -> pick the
+        frame at the proportional position among the available frames
+        (evenly spaced sampling over the stream, like a timestamp seek).
+        Fake path: seeded per (payload, frame_idx) so frames differ
+        deterministically — byte-identical to the historical behavior."""
+        if self.mode != "fake":
+            from pie_ray.functions import codecs
+
+            if codecs.sniff(payload or b"") == "jpeg":
+                frames = codecs.split_mjpeg(payload)
+                if frames:
+                    idx = min((frame_idx * len(frames)) // max(n_frames, 1), len(frames) - 1)
+                    return codecs.decode_jpeg(frames[idx])
+            if codecs.sniff(payload or b"") in ("bmp", "ppm"):
+                # still-image "video": every sampled frame is the image
+                return codecs.decode_image_bytes(payload)
+            if self.mode == "real":
+                raise NotImplementedError(
+                    "unsupported video container (numpy codec covers MJPEG)"
+                )
+        return self._fake_image(
+            (payload or b"") + int(frame_idx).to_bytes(4, "little"), width, height
+        )
 
 
 class MediaFeaturizer:
@@ -157,21 +215,82 @@ class MediaFeaturizer:
         )
 
 
-def synth_media(n: int = 64, seed: int = 11):
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+def _synth_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic structured test image: smooth gradients + seeded
+    texture (compresses like a photo, not like white noise)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = np.stack(
+        [
+            (yy * rng.integers(2, 9) + xx * rng.integers(1, 5)) % 256,
+            (xx * rng.integers(2, 9)) % 256,
+            ((yy + xx) * rng.integers(1, 6)) % 256,
+        ],
+        axis=-1,
+    )
+    tex = rng.integers(-12, 13, size=(h, w, 3))
+    return np.clip(base + tex, 0, 255).astype(np.uint8)
+
+
+def _synth_wave(rng: np.random.Generator, duration_ms: int, sr: int = 16000) -> np.ndarray:
+    n = max(duration_ms, 1) * sr // 1000
+    t = np.arange(n) / sr
+    f = float(rng.integers(110, 1760))
+    return (
+        0.6 * np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(n)
+    ).astype(np.float32)
+
+
+def _encode_payload(kind: str, i: int, rng, w: int, h: int, dur: int) -> tuple[bytes, str]:
+    """REAL container bytes for a synthetic media row, rotating formats so
+    every numpy codec path gets exercised (BMP, PPM, JPEG 4:4:4, JPEG
+    4:2:0 for images; WAV for audio; MJPEG for video)."""
+    from pie_ray.functions import codecs
+
+    if kind == "audio":
+        return codecs.encode_wav(_synth_wave(rng, dur)), "audio/wav"
+    img = _synth_image(rng, w, h)
+    if kind == "video":
+        frames = [
+            np.clip(img.astype(np.int32) + 10 * fi, 0, 255).astype(np.uint8)
+            for fi in range(4)
+        ]
+        return codecs.encode_mjpeg(frames, quality=90), "video/x-motion-jpeg"
+    fmt = i % 4
+    if fmt == 0:
+        return codecs.encode_bmp(img), "image/bmp"
+    if fmt == 1:
+        return codecs.encode_ppm(img), "image/x-portable-pixmap"
+    if fmt == 2:
+        return codecs.encode_jpeg(img, quality=90), "image/jpeg"
+    return codecs.encode_jpeg(img, quality=90, subsample=True), "image/jpeg"
+
+
+def synth_media(n: int = 64, seed: int = 11, real: bool = False):
+    """Deterministic media table for tests. ``real=False``: payload =
+    seeded opaque bytes (plumbing-only). ``real=True``: payload = GENUINE
+    encoded containers (BMP/PPM/JPEG/WAV/MJPEG via the numpy codecs) so the
+    whole stage stack runs with ``decode="real"`` end-to-end."""
     rows = {k: [] for k in ("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")}
     kinds = ["image", "audio", "video"]
     for i in range(n):
         h = stable_hash64(f"{seed}|media|{i}")
         rng = np.random.default_rng(h & 0xFFFFFFFF)
         kind = kinds[i % 3]
+        w = 16 + (i % 4) * 8 if kind != "audio" else -1
+        ht = 16 + (i % 3) * 8 if kind != "audio" else -1
+        dur = 250 * (1 + i % 4) if kind != "image" else -1
+        if real:
+            payload, mime = _encode_payload(kind, i, rng, w, ht, dur)
+        else:
+            payload = rng.integers(0, 256, size=128, dtype=np.uint8).tobytes()
+            mime = {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind]
         rows["media_id"].append(f"m{i:06d}")
         rows["kind"].append(kind)
-        rows["payload"].append(rng.integers(0, 256, size=128, dtype=np.uint8).tobytes())
-        rows["mime"].append({"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind])
-        rows["width"].append(16 + (i % 4) * 8 if kind != "audio" else -1)
-        rows["height"].append(16 + (i % 3) * 8 if kind != "audio" else -1)
-        rows["duration_ms"].append(250 * (1 + i % 4) if kind != "image" else -1)
+        rows["payload"].append(payload)
+        rows["mime"].append(mime)
+        rows["width"].append(w)
+        rows["height"].append(ht)
+        rows["duration_ms"].append(dur)
     tbl = pa.table(
         {name: pa.array(rows[name], type=MEDIA_SCHEMA.field(name).type) for name in MEDIA_SCHEMA.names},
         schema=MEDIA_SCHEMA,
@@ -192,8 +311,10 @@ def featurize_media(ds, mode: str = "fake", batch_size: int = 16, concurrency=(1
 
 def q_media_features(sf_dir: str):
     """Featurize a deterministic synthetic media table (sf_dir unused —
-    media payloads are generated, not part of the TPC-H-ish testdata)."""
-    return featurize_media(synth_media(64))
+    media payloads are generated, not part of the TPC-H-ish testdata).
+    Since round 5 the payloads are REAL containers (BMP/PPM/JPEG/WAV/
+    MJPEG) decoded by the pure-numpy codecs — decode="real" end-to-end."""
+    return featurize_media(synth_media(64, real=True), mode="real")
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -244,9 +365,10 @@ class MediaResizer:
 class FrameSampler:
     """Actor-pool stage: video rows -> k evenly spaced frames, one OUTPUT
     ROW PER FRAME (flat_map expansion; frame timestamps derived from
-    duration). Each frame decodes independently — with a real codec this is
-    a seek+decode per timestamp; the fake decode is seeded per
-    (payload, frame_index) so frames differ deterministically."""
+    duration). Each frame decodes independently — the real path seeks the
+    proportional frame of an MJPEG stream and decodes it; the fake decode
+    is seeded per (payload, frame_index) so frames differ
+    deterministically."""
 
     def __init__(self, n_frames: int = 4, mode: str = "fake"):
         self.backend = DecodeBackend(mode)
@@ -267,9 +389,7 @@ class FrameSampler:
             dur = max(dur, 1)
             for fi in range(self.n_frames):
                 ts = (fi * dur) // self.n_frames
-                frame = self.backend.decode_image(
-                    (p or b"") + fi.to_bytes(4, "little"), w, h
-                )
+                frame = self.backend.decode_frame(p, fi, self.n_frames, w, h)
                 out["media_id"].append(mid)
                 out["frame_idx"].append(fi)
                 out["ts_ms"].append(ts)
@@ -285,17 +405,27 @@ class FrameSampler:
 
 
 def q_media_resize(sf_dir: str):
-    """Resize pipeline over the synthetic media table (rows-only)."""
-    return synth_media(64).map_batches(
-        MediaResizer, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    """Resize pipeline over the synthetic media table (rows-only), real
+    decode: genuine BMP/PPM/JPEG stills and MJPEG poster frames in."""
+    return synth_media(64, real=True).map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"mode": "real"},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
     )
 
 
 def q_media_frames(sf_dir: str):
     """Frame-sampling pipeline over the synthetic media table (rows-only;
-    one row per sampled frame of each video)."""
-    return synth_media(64).map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    one row per sampled frame of each video), real decode: each frame is
+    seek+decoded from a genuine MJPEG stream."""
+    return synth_media(64, real=True).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"mode": "real"},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
     )
 
 
@@ -556,9 +686,10 @@ def media_near_dups(hashes_ds, max_hamming: int = 3, num_buckets: int = 64):
 def q_media_phash(sf_dir: str):
     """Driver entry: perceptual hashes + near-dup pairs over a synthetic
     media table with PLANTED exact duplicates (copies of existing payloads
-    under new ids — same payload => same fake decode => hamming 0). Returns
-    the pair table (rows-only; gated by brute-force-hamming parity tests)."""
-    base = synth_media(64)
+    under new ids — same payload => same decode => hamming 0). Real decode
+    since round 5 (payloads are genuine containers). Returns the pair
+    table (rows-only; gated by brute-force-hamming parity tests)."""
+    base = synth_media(64, real=True)
 
     def plant(t: pa.Table) -> pa.Table:
         imgs = t.filter(pa.compute.equal(t.column("kind"), "image"))
@@ -569,4 +700,4 @@ def q_media_phash(sf_dir: str):
         return pa.concat_tables([t, dup])
 
     planted = base.map_batches(plant, batch_format="pyarrow")
-    return media_near_dups(hash_media(planted))
+    return media_near_dups(hash_media(planted, mode="real"))

@@ -1,0 +1,351 @@
+"""Pure-numpy media codec tests: roundtrip properties, committed fixture
+decode, and the decode="real" path through the multimodal stages."""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from pie_ray.functions import codecs as C
+from pie_ray.functions.multimodal import (
+    DecodeBackend,
+    FrameSampler,
+    MediaFeaturizer,
+    MediaResizer,
+    featurize_media,
+    hash_media,
+    media_near_dups,
+    synth_media,
+)
+
+FIX = pathlib.Path(__file__).resolve().parents[1] / "fixtures" / "media"
+EXPECTED = np.load(FIX / "expected.npz")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse < 1e-9 else 10 * np.log10(255.0**2 / mse)
+
+
+# ---- core math ------------------------------------------------------------
+
+
+def test_dct_basis_orthogonal():
+    T = C._DCT_T
+    np.testing.assert_allclose(T @ T.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_permutation_and_standard_prefix():
+    assert sorted(C.ZIGZAG.tolist()) == list(range(64))
+    # first diagonal walk of the T.81 scan
+    assert C.ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    np.testing.assert_array_equal(C.ZIGZAG[C.UNZIGZAG], np.arange(64))
+
+
+def test_huffman_specs_valid():
+    for spec in (C.HUFF_DC_LUMA, C.HUFF_DC_CHROMA, C.HUFF_AC_LUMA, C.HUFF_AC_CHROMA):
+        codes = C._canonical_codes(*spec)  # asserts prefix-feasibility
+        assert len(codes) == len(spec[1])
+
+
+# ---- lossless roundtrips ---------------------------------------------------
+
+
+def test_bmp_roundtrip_exact_odd_stride():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 17, 3), np.uint8)  # 17*3 not 4-aligned
+    np.testing.assert_array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+
+
+def test_bmp_topdown_and_32bit():
+    img = EXPECTED["img"]
+    b = bytearray(C.encode_bmp(img))
+    # flip to top-down by negating height; re-flip rows to compensate
+    import struct
+
+    h = struct.unpack_from("<i", b, 22)[0]
+    struct.pack_into("<i", b, 22, -h)
+    flipped = C.decode_bmp(bytes(b))
+    np.testing.assert_array_equal(flipped, img[::-1])
+
+
+def test_ppm_pgm_roundtrip():
+    img = EXPECTED["img"]
+    np.testing.assert_array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+    pgm = b"P5\n# a comment\n4 2\n255\n" + bytes(range(8))
+    g = C.decode_ppm(pgm)
+    assert g.shape == (2, 4, 3)
+    np.testing.assert_array_equal(g[..., 0].ravel(), np.arange(8))
+
+
+def test_wav_roundtrip_pcm16_and_stereo_mix():
+    wav = EXPECTED["wav"]
+    back, sr = C.decode_wav(C.encode_wav(wav, 16000))
+    assert sr == 16000 and back.shape == wav.shape
+    assert np.abs(back - wav).max() < 2e-4  # 16-bit quantization bound
+    st = np.stack([wav, -wav], 1)
+    mono, _ = C.decode_wav(C.encode_wav(st, 8000))
+    assert np.abs(mono).max() < 2e-4  # opposite channels cancel
+
+
+def test_wav_float32_and_24bit_paths():
+    import struct
+
+    x = (np.sin(np.linspace(0, 20, 300)) * 0.7).astype(np.float32)
+    fmt = struct.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+    data = x.astype("<f4").tobytes()
+    raw = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    back, sr = C.decode_wav(raw)
+    assert sr == 44100
+    np.testing.assert_allclose(back, x, atol=1e-7)
+    # 24-bit PCM
+    v = np.round(x * (1 << 23) * 0.99).astype(np.int32)
+    b3 = np.zeros((len(v), 3), np.uint8)
+    b3[:, 0] = v & 0xFF
+    b3[:, 1] = (v >> 8) & 0xFF
+    b3[:, 2] = (v >> 16) & 0xFF
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * 3, 3, 24)
+    d24 = b3.tobytes()
+    raw24 = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt24) + 8 + len(d24))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt24))
+        + fmt24
+        + b"data"
+        + struct.pack("<I", len(d24))
+        + d24
+    )
+    back24, _ = C.decode_wav(raw24)
+    np.testing.assert_allclose(back24, x * 0.99, atol=1e-6)
+
+
+# ---- JPEG ------------------------------------------------------------------
+
+
+def test_jpeg_flat_image_decodes_flat():
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    out = C.decode_jpeg(C.encode_jpeg(flat, quality=90))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - 128).max() <= 1
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_roundtrip_psnr(subsample):
+    img = EXPECTED["img"]
+    dec = C.decode_jpeg(C.encode_jpeg(img, quality=92, subsample=subsample))
+    assert dec.shape == img.shape
+    assert psnr(dec, img) > (26 if subsample else 30)
+
+
+def test_jpeg_grayscale_single_component():
+    gray = EXPECTED["gray"]
+    dec = C.decode_jpeg(C.encode_jpeg(gray, quality=92))
+    assert dec.shape == (*gray.shape, 3)
+    np.testing.assert_array_equal(dec[..., 0], dec[..., 1])
+    assert psnr(dec[..., 0], gray) > 30
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn support: splice a restart interval into an encoded stream
+    by re-encoding MCU rows... simpler: encode, then verify the decoder
+    handles a DRI segment declaring interval 0 (no-op) and rejects
+    progressive SOF."""
+    img = EXPECTED["img"]
+    enc = C.encode_jpeg(img, quality=92)
+    # inject DRI(interval=0) right before SOS — decoder must ignore it
+    sos = enc.find(b"\xff\xda")
+    with_dri = enc[:sos] + b"\xff\xdd\x00\x04\x00\x00" + enc[sos:]
+    np.testing.assert_array_equal(C.decode_jpeg(with_dri), C.decode_jpeg(enc))
+    # progressive marker rejected
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(C.CodecError):
+        C.decode_jpeg(prog)
+
+
+def test_jpeg_quality_monotone():
+    img = EXPECTED["img"]
+    lo = C.decode_jpeg(C.encode_jpeg(img, quality=20))
+    hi = C.decode_jpeg(C.encode_jpeg(img, quality=95))
+    assert psnr(hi, img) > psnr(lo, img)
+    assert len(C.encode_jpeg(img, quality=20)) < len(C.encode_jpeg(img, quality=95))
+
+
+def test_mjpeg_split_and_frame_decode():
+    frames = EXPECTED["frames"]
+    stream = (FIX / "tiny.mjpeg").read_bytes()
+    parts = C.split_mjpeg(stream)
+    assert len(parts) == len(frames)
+    for p, f in zip(parts, frames):
+        assert psnr(C.decode_jpeg(p), f) > 30
+    # poster frame == first frame
+    assert psnr(C.decode_image_bytes(stream), frames[0]) > 30
+
+
+# ---- committed fixtures ------------------------------------------------------
+
+
+def test_fixture_files_decode():
+    img, gray, wav = EXPECTED["img"], EXPECTED["gray"], EXPECTED["wav"]
+    np.testing.assert_array_equal(C.decode_bmp((FIX / "tiny.bmp").read_bytes()), img)
+    np.testing.assert_array_equal(C.decode_ppm((FIX / "tiny.ppm").read_bytes()), img)
+    g = C.decode_ppm((FIX / "tiny.pgm").read_bytes())
+    np.testing.assert_array_equal(g[..., 0], gray)
+    assert psnr(C.decode_jpeg((FIX / "tiny_444.jpg").read_bytes()), img) > 30
+    assert psnr(C.decode_jpeg((FIX / "tiny_420.jpg").read_bytes()), img) > 26
+    jg = C.decode_jpeg((FIX / "tiny_gray.jpg").read_bytes())
+    assert psnr(jg[..., 0], gray) > 30
+    w, sr = C.decode_wav((FIX / "tiny.wav").read_bytes())
+    assert sr == 16000 and np.abs(w - wav).max() < 2e-4
+
+
+def test_fixtures_regenerate_byte_identical(tmp_path):
+    """The generator is deterministic: committed bytes == regenerated bytes
+    (guards against accidental fixture drift vs codec changes)."""
+    import subprocess
+    import sys
+
+    src = pathlib.Path(__file__).resolve().parents[2] / "scripts" / "gen_media_fixtures.py"
+    before = {p.name: p.read_bytes() for p in FIX.iterdir() if p.suffix != ".npz"}
+    subprocess.run([sys.executable, str(src)], check=True, capture_output=True)
+    after = {p.name: p.read_bytes() for p in FIX.iterdir() if p.suffix != ".npz"}
+    assert before == after
+
+
+# ---- DecodeBackend real mode -------------------------------------------------
+
+
+def test_backend_real_decodes_fixtures():
+    be = DecodeBackend("real")
+    img = EXPECTED["img"]
+    np.testing.assert_array_equal(be.decode_image((FIX / "tiny.bmp").read_bytes(), -1, -1), img)
+    assert psnr(be.decode_image((FIX / "tiny_444.jpg").read_bytes(), -1, -1), img) > 30
+    wav = be.decode_audio((FIX / "tiny.wav").read_bytes(), -1)
+    assert np.abs(wav - EXPECTED["wav"]).max() < 2e-4
+    # video: frame seek from MJPEG
+    stream = (FIX / "tiny.mjpeg").read_bytes()
+    f2 = be.decode_frame(stream, 2, 3, -1, -1)
+    assert psnr(f2, EXPECTED["frames"][2]) > 30
+
+
+def test_backend_real_still_raises_on_unknown():
+    be = DecodeBackend("real")
+    with pytest.raises(NotImplementedError):
+        be.decode_image(b"not-a-container", 4, 4)
+    with pytest.raises(NotImplementedError):
+        be.decode_audio(b"not-a-container", 100)
+    with pytest.raises(NotImplementedError):
+        be.decode_frame(b"not-a-container", 0, 4, 4, 4)
+
+
+def test_backend_auto_prefers_real_falls_back_fake():
+    be = DecodeBackend("auto")
+    img = EXPECTED["img"]
+    np.testing.assert_array_equal(be.decode_image((FIX / "tiny.ppm").read_bytes(), -1, -1), img)
+    fake = be.decode_image(b"opaque", 8, 8)
+    np.testing.assert_array_equal(fake, DecodeBackend("fake").decode_image(b"opaque", 8, 8))
+
+
+# ---- real decode through the Ray stages --------------------------------------
+
+
+def test_stages_run_real_decode_e2e(ray_session):
+    ds = synth_media(24, real=True)
+    feats = featurize_media(ds, mode="real").take_all()
+    assert len(feats) == 24
+    rs = ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"mode": "real", "target_w": 8, "target_h": 8},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 2),
+    ).take_all()
+    assert len(rs) == 16  # images + videos only
+    assert all(len(r["rgb"]) == 8 * 8 * 3 for r in rs)
+    fr = ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"mode": "real"},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 2),
+    ).take_all()
+    assert len(fr) == 8 * 4  # videos x n_frames
+
+
+def test_real_video_frames_differ_and_match_source(ray_session):
+    """MJPEG frames brighten by +10 per index in synth_media(real=True);
+    the sampled real frames must reflect that monotone brightness."""
+    ds = synth_media(6, real=True)
+    fr = ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"mode": "real"},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 1),
+    ).take_all()
+    by_media: dict[str, dict[int, float]] = {}
+    for r in fr:
+        mean = np.frombuffer(r["rgb"], np.uint8).astype(np.float64).mean()
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = mean
+    assert by_media
+    for mid, frames in by_media.items():
+        means = [frames[i] for i in sorted(frames)]
+        assert all(b >= a - 0.5 for a, b in zip(means, means[1:])), (mid, means)
+
+
+def test_planted_dups_hamming_zero_with_real_decode(ray_session):
+    base = synth_media(12, real=True)
+    import pyarrow as pa
+
+    def plant(t: pa.Table) -> pa.Table:
+        imgs = t.filter(pa.compute.equal(t.column("kind"), "image"))
+        dup = imgs.slice(0, 2)
+        ids = pa.array([f"dup{i}" for i in range(dup.num_rows)], pa.string())
+        dup = dup.set_column(dup.schema.get_field_index("media_id"), "media_id", ids)
+        return pa.concat_tables([t, dup])
+
+    pairs = media_near_dups(
+        hash_media(base.map_batches(plant, batch_format="pyarrow"), mode="real")
+    ).take_all()
+    zero = {(p["id_a"], p["id_b"]) for p in pairs if p["hamming"] == 0}
+    assert any("dup" in a or "dup" in b for a, b in zero), pairs
+
+
+def test_featurizer_real_image_stats_match_source():
+    """Features from a real BMP payload == features computed directly on
+    the source pixels (the decode is exact for lossless containers)."""
+    img = EXPECTED["img"]
+    import pyarrow as pa
+
+    from pie_ray.functions.multimodal import MEDIA_SCHEMA
+
+    t = pa.table(
+        {
+            "media_id": pa.array(["x"], pa.string()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([C.encode_bmp(img)], pa.binary()),
+            "mime": pa.array(["image/bmp"], pa.string()),
+            "width": pa.array([img.shape[1]], pa.int32()),
+            "height": pa.array([img.shape[0]], pa.int32()),
+            "duration_ms": pa.array([-1], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = MediaFeaturizer("real")(t)
+    feats = np.array(out.column("features").to_pylist()[0])
+    flat = img.reshape(-1, 3).astype(np.float64)
+    np.testing.assert_allclose(feats[:3], flat.mean(0), rtol=1e-12)
+    np.testing.assert_allclose(feats[3:6], flat.std(0), rtol=1e-12)

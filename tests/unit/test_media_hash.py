@@ -72,8 +72,19 @@ def test_near_dups_match_brute_force(ray_session):
 def test_planted_duplicates_found_e2e(ray_session):
     pairs = q_media_phash("unused").take_all()
     dup_pairs = [r for r in pairs if r["id_a"].startswith("dup") or r["id_b"].startswith("dup")]
-    assert len(dup_pairs) >= 8  # 8 planted copies, each hamming 0 vs source
-    assert all(r["hamming"] == 0 for r in dup_pairs)
+    # every planted copy pairs with its source at hamming 0 (real decode:
+    # same payload => identical pixels => identical dHash). Other near-dup
+    # pairs at hamming <= 3 are legitimate — the real synthetic images are
+    # smooth gradients, so unrelated pairs CAN be perceptually close.
+    zero_ids = {
+        i
+        for r in dup_pairs
+        if r["hamming"] == 0
+        for i in (r["id_a"], r["id_b"])
+        if i.startswith("dup")
+    }
+    assert len(zero_ids) >= 8, (zero_ids, dup_pairs)
+    assert all(r["hamming"] <= 3 for r in pairs)
 
 
 def test_audio_fingerprint_and_no_cross_space_pairs(ray_session):
