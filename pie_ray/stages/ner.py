@@ -29,10 +29,10 @@ from pie_ray.util import stable_hash64
 
 
 class NerTagger:
-    def __init__(self, emit: str = "mentions") -> None:
+    def __init__(self, emit: str = "mentions", weights_path: str | None = None) -> None:
         assert emit in ("mentions", "triples")
         self.emit = emit
-        self.model = nm.NerModel()
+        self.model = nm.NerModel(weights_path)
 
     # ---- per-document tagging ------------------------------------------
     def tag_document(self, text: str) -> list[dict]:

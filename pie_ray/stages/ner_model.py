@@ -69,10 +69,14 @@ CHANNEL_PATTERNS: list[tuple[str, str]] = [
 TYPE_PRIORITY = {"EMAIL": 0, "ID": 1, "PHONE": 2, "ADDR": 3, "PER": 4}
 
 # A7 deployment seam: learned weights ship as an .npz next to the module
-# (keys: emission_w, transitions, start). The committed fixture is generated
-# from the constants above by scripts/gen_ner_weights.py; swapping in a
-# trained file changes behavior without touching code. Constants remain the
-# in-code fallback so the engine still runs if the file is absent.
+# (keys: emission_w, transitions, start). Since round 5 the committed file
+# holds TRAINED weights — an averaged structured perceptron fit on the
+# seeded corpus by scripts/train_ner.py (gated: held-out span F1 >= 0.99
+# AND exact golden-mention reproduction over 2400 pages before the file is
+# written; metadata keys trained/heldout_f1/n_train_pages record the run).
+# The constants above remain the in-code fallback so the engine still runs
+# if the file is absent (scripts/gen_ner_weights.py regenerates that
+# fallback form only).
 DEFAULT_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "ner_weights.npz")
 
 

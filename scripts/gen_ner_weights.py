@@ -24,6 +24,14 @@ from pie_ray.stages.ner_model import (  # noqa: E402
 
 
 def main() -> None:
+    if os.path.exists(DEFAULT_WEIGHTS_PATH):
+        z = np.load(DEFAULT_WEIGHTS_PATH)
+        if "trained" in z and "--force" not in sys.argv:
+            raise SystemExit(
+                f"{DEFAULT_WEIGHTS_PATH} holds TRAINED weights "
+                "(scripts/train_ner.py); refusing to overwrite with the "
+                "hand-seeded constants. Pass --force to do it anyway."
+            )
     np.savez(
         DEFAULT_WEIGHTS_PATH,
         emission_w=EMISSION_W,

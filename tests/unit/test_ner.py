@@ -77,9 +77,10 @@ def test_corpus_mention_prf():
 
 
 def test_weights_load_from_npz(tmp_path):
-    """A7 seam: NerModel weights come from the committed .npz; a modified
-    file changes the model without touching code, and the fixture equals the
-    in-code constants."""
+    """A7 seam: NerModel weights come from the committed .npz (TRAINED by
+    scripts/train_ner.py since round 5, so they intentionally differ from
+    the in-code fallback constants); a modified file changes the model
+    without touching code; a missing file falls back to the constants."""
     import numpy as np
 
     from pie_ray.stages.ner_model import (
@@ -95,9 +96,15 @@ def test_weights_load_from_npz(tmp_path):
 
     assert os.path.exists(DEFAULT_WEIGHTS_PATH), "committed weight fixture missing"
     w, t, s = load_weights()
-    assert np.array_equal(w, EMISSION_W)
-    assert np.array_equal(t, TRANSITIONS)
-    assert np.array_equal(s, START)
+    assert w.shape == EMISSION_W.shape and t.shape == TRANSITIONS.shape
+    assert s.shape == START.shape
+    assert not np.array_equal(w, EMISSION_W), "fixture should be trained weights"
+
+    # missing file -> in-code fallback constants
+    w2, t2, s2 = load_weights(str(tmp_path / "absent.npz"))
+    assert np.array_equal(w2, EMISSION_W)
+    assert np.array_equal(t2, TRANSITIONS)
+    assert np.array_equal(s2, START)
 
     alt = tmp_path / "alt.npz"
     np.savez(alt, emission_w=EMISSION_W * 2, transitions=TRANSITIONS, start=START)
