@@ -66,7 +66,15 @@ def run_kg(n_pages: int, num_cpus: int) -> dict:
     # actors than there are NER batches to process (a 6k-page corpus has
     # ~24 batches; 30 actors would mostly pay spin-up for nothing)
     est_batches = max(1, n_pages // 256)
-    cfg = KgConfig(ner_concurrency=max(2, min(num_cpus - 2, est_batches // 2)))
+    # GRAFT_FORCE_DISTRIBUTED=1 drives the beyond-broadcast linking paths
+    # (hash-min distributed CC + join-based canonicalization) at bench
+    # scale — the scaling row for those paths lives in BASELINE.md
+    force_dist = os.environ.get("GRAFT_FORCE_DISTRIBUTED", "") == "1"
+    cfg = KgConfig(
+        ner_concurrency=max(2, min(num_cpus - 2, est_batches // 2)),
+        force_distributed_cc=force_dist,
+        force_canon_join=force_dist,
+    )
     t0 = time.perf_counter()
     pages = synth_pages(n_pages, override_num_blocks=max(16, num_cpus * 4))
     triples = build_triples(pages, cfg).materialize()
@@ -201,6 +209,8 @@ def run_scaling() -> dict:
         "hw_ceiling": hw,
         "eff_vs_hw_ceiling": round(eff / hw, 3) if hw else None,
         "sf": _sf_of(SF_DIR),
+        "n_pages": SCALING_PAGES,
+        "distributed_forced": os.environ.get("GRAFT_FORCE_DISTRIBUTED", "") == "1",
     }
 
 

@@ -15,8 +15,11 @@ graph is orders of magnitude smaller than the corpus that produced it —
 1e8 edges ≈ 1.6 GB, inside a worker heap), and pivot chunks fan out as a
 task map over a Dataset of pivot ids; each task returns one dense float
 partial per node chunk, summed on the driver (n floats per task, never
-edges). Past the broadcast budget the honest answer is a declared seam —
-the same stance as graphops.NODE_BROADCAST_LIMIT — not a silent fallback.
+edges). Past the broadcast budget the default is a declared seam — the
+same stance as graphops.NODE_BROADCAST_LIMIT — never a SILENT fallback;
+callers can opt into on_over_budget="sample", which estimates on a
+deterministic smallest-hash edge sample sized to the budget and logs the
+kept fraction (scores bias low for paths crossing dropped edges).
 
 Per-source work is fully vectorized: BFS levels, sigma path counts and the
 delta back-propagation are all full-edge-array masked ``np.add.at`` passes
@@ -33,9 +36,28 @@ from pie_ray.functions.graphops import PACK
 from pie_ray.util import hash64_ints
 
 # edge count beyond which the (src, dst, sigma buffers) broadcast stops
-# being safe on a 64-GiB worker; above it raise the declared seam
+# being safe on a 64-GiB worker; above it the seam either raises (default)
+# or, with on_over_budget="sample", estimates on a deterministic
+# smallest-hash edge sample trimmed to fit the budget (logged)
 EDGE_BROADCAST_LIMIT = 100_000_000
 PIVOT_CHUNK = 64
+EDGE_SAMPLE_SALT = 0xED6E
+
+
+def sample_packed_edges(
+    edges_packed: np.ndarray, max_edges: int, salt: int = EDGE_SAMPLE_SALT
+) -> tuple[np.ndarray, float]:
+    """Deterministic edge sample: keep the ``max_edges`` edges with the
+    smallest splitmix64 hash (partitioning-free — membership depends only
+    on edge identity, so any pre-filter that kept a superset composes to
+    the same final set). Returns (sampled edges sorted by value, kept
+    fraction)."""
+    m = len(edges_packed)
+    if m <= max_edges:
+        return edges_packed, 1.0
+    h = hash64_ints(np.asarray(edges_packed).astype(np.uint64), salt=salt)
+    sel = np.argpartition(h, max_edges - 1)[:max_edges]
+    return np.sort(np.asarray(edges_packed)[sel]), max_edges / m
 
 
 def _csr_arrays(edges_packed: np.ndarray):
@@ -177,7 +199,10 @@ def _pick_pivots(nodes: np.ndarray, n: int, k_pivots: int | None):
 
 
 def _centrality_distributed(
-    edges_packed: np.ndarray, kernels: list[str], k_pivots: int | None
+    edges_packed: np.ndarray,
+    kernels: list[str],
+    k_pivots: int | None,
+    on_over_budget: str = "raise",
 ) -> pa.Table:
     """Pivot fan-out shared by the centrality kernels: edge arrays
     broadcast once via ``ray.put``, pivot chunks run as a task map, each
@@ -192,11 +217,26 @@ def _centrality_distributed(
     from pie_ray.util import gather_table
 
     if 2 * len(edges_packed) > EDGE_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            f"{'/'.join(kernels)} beyond the edge-broadcast budget needs a "
-            "partitioned multi-source BFS (not implemented; see module "
-            "docstring for the declared seam)"
-        )
+        if on_over_budget == "sample":
+            import logging
+
+            edges_packed, frac = sample_packed_edges(
+                edges_packed, EDGE_BROADCAST_LIMIT // 2
+            )
+            logging.getLogger(__name__).warning(
+                "%s: edge set exceeds the broadcast budget; estimating on "
+                "a deterministic %.1f%% edge sample — scores are biased "
+                "low for paths crossing dropped edges (degraded mode).",
+                "/".join(kernels),
+                100.0 * frac,
+            )
+        else:
+            raise NotImplementedError(
+                f"{'/'.join(kernels)} beyond the edge-broadcast budget needs "
+                "a partitioned multi-source BFS (not implemented) — pass "
+                "on_over_budget='sample' to estimate on a deterministic "
+                "edge sample instead (logged accuracy note)"
+            )
     nodes, src, dst = _csr_arrays(edges_packed)
     n = len(nodes)
     if n == 0:
@@ -270,18 +310,28 @@ def _centrality_distributed(
 
 
 def betweenness_distributed(
-    edges_packed: np.ndarray, k_pivots: int | None = None
+    edges_packed: np.ndarray,
+    k_pivots: int | None = None,
+    on_over_budget: str = "raise",
 ) -> pa.Table:
-    return _centrality_distributed(edges_packed, ["betweenness"], k_pivots)
+    return _centrality_distributed(
+        edges_packed, ["betweenness"], k_pivots, on_over_budget=on_over_budget
+    )
 
 
 def harmonic_distributed(
-    edges_packed: np.ndarray, k_pivots: int | None = None
+    edges_packed: np.ndarray,
+    k_pivots: int | None = None,
+    on_over_budget: str = "raise",
 ) -> pa.Table:
-    return _centrality_distributed(edges_packed, ["harmonic"], k_pivots)
+    return _centrality_distributed(
+        edges_packed, ["harmonic"], k_pivots, on_over_budget=on_over_budget
+    )
 
 
-def q_graph_centrality(sf_dir: str, k_pivots: int | None = None):
+def q_graph_centrality(
+    sf_dir: str, k_pivots: int | None = None, on_over_budget: str = "raise"
+):
     """Driver entry: betweenness + harmonic centrality over the
     co-supplier graph in one row per node (rows-only — shortest-path
     dependency sums are floats and not SQL-hash-matchable; gated by
@@ -289,19 +339,45 @@ def q_graph_centrality(sf_dir: str, k_pivots: int | None = None):
     ONE pivot fan-out computes both kernels against one broadcast of the
     edge arrays (harmonic rides the Brandes BFS distances). The broadcast
     budget is gated BEFORE the driver pull — gather_table's contract says
-    the caller owns the size gate."""
+    the caller owns the size gate. With ``on_over_budget="sample"`` an
+    over-budget edge set is hash-THRESHOLD-filtered inside the scan tasks
+    (the driver pull itself stays bounded — a slightly generous cutoff
+    keeps a superset of the final sample w.o.p.) and then trimmed to
+    exactly the budget by ``sample_packed_edges``; smallest-hash
+    membership composes, so the two steps equal a pure driver-side sample
+    of the full edge set."""
     from pie_ray.functions.graphops import EDGE_SCHEMA, cooccurrence_edges
     from pie_ray.util import gather_table
 
     edges = cooccurrence_edges(sf_dir).materialize()
-    if 2 * edges.count() > EDGE_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "centrality beyond the edge-broadcast budget needs a "
-            "partitioned multi-source BFS (declared seam; see module "
-            "docstring)"
-        )
+    m = edges.count()
+    if 2 * m > EDGE_BROADCAST_LIMIT:
+        if on_over_budget != "sample":
+            raise NotImplementedError(
+                "centrality beyond the edge-broadcast budget needs a "
+                "partitioned multi-source BFS (declared seam) — pass "
+                "on_over_budget='sample' for a deterministic edge-sample "
+                "estimate (logged accuracy note)"
+            )
+        target = EDGE_BROADCAST_LIMIT // 2
+        # generous cutoff: P(kept < target) < 1e-8 at 6-sigma + 16 slack,
+        # so the driver-side exact trim sees a superset of the final set
+        frac = min(1.0, (target + 6.0 * np.sqrt(target) + 16.0) / m)
+        cutoff = np.uint64(min(int(frac * 2.0**64), 2**64 - 1))
+
+        def presample(t: pa.Table) -> pa.Table:
+            e = t.column("e").to_numpy(zero_copy_only=False)
+            keep = hash64_ints(e.astype(np.uint64), salt=EDGE_SAMPLE_SALT) < cutoff
+            return t.filter(pa.array(keep))
+
+        edges = edges.map_batches(presample, batch_format="pyarrow").materialize()
     tbl = gather_table(edges, schema=EDGE_SCHEMA)
     packed = tbl.column("e").to_numpy(zero_copy_only=False)
     return ray.data.from_arrow(
-        _centrality_distributed(packed, ["betweenness", "harmonic"], k_pivots)
+        _centrality_distributed(
+            packed,
+            ["betweenness", "harmonic"],
+            k_pivots,
+            on_over_budget=on_over_budget,
+        )
     )

@@ -495,6 +495,7 @@ def cosine_sim_join(
     threshold: float = SIM_JOIN_THRESHOLD,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    on_over_budget: str = "raise",
 ):
     """EXACT thresholded all-pairs cosine self-join -> (id_a < id_b, sim
     rounded to 6 dp): the oracled twin of the approximate LSH near-dup
@@ -503,8 +504,14 @@ def cosine_sim_join(
     the full matrix — O(n·dim) flops per row, vectorized, no shuffle; the
     id_a < id_b constraint halves emission. Past
     ``SIM_JOIN_BROADCAST_MAX`` vectors the exact quadratic join is the
-    wrong tool by construction — the declared answer at that scale is the
-    LSH/SemDeDup family, so this raises rather than degrades silently.
+    wrong tool by construction; ``on_over_budget`` picks the behavior
+    there: ``"raise"`` (default — exactness is this entry's contract) or
+    ``"lsh"`` to auto-degrade to the banded hyperplane-LSH candidate path
+    (``cosine_sim_join_lsh``): emitted sims stay EXACT (precision 1.0)
+    but pairs an LSH band never co-buckets are missed — the estimated
+    recall AT the threshold boundary is logged per call (recall rises
+    steeply above the boundary; the fallback is built for the high-
+    threshold near-dup regime).
 
     Rounding to 6 dp on BOTH the emitted value and the threshold compare
     mirrors the knn_cosine oracle contract (DuckDB's
@@ -517,10 +524,29 @@ def cosine_sim_join(
     ds = ds.materialize()
     n = ds.count()
     if n > SIM_JOIN_BROADCAST_MAX:
+        if on_over_budget == "lsh":
+            import logging
+
+            rb = _sim_lsh_boundary_recall(threshold)
+            logging.getLogger(__name__).warning(
+                "cosine_sim_join: %d vectors exceed the exact broadcast "
+                "budget (%d); degrading to banded hyperplane LSH (%d bands "
+                "x %d planes). Emitted sims stay exact; estimated recall "
+                "at sim == %.3f is %.3f (higher above the boundary).",
+                n,
+                SIM_JOIN_BROADCAST_MAX,
+                SIM_JOIN_LSH_BANDS,
+                SIM_JOIN_LSH_PLANES,
+                threshold,
+                rb,
+            )
+            return cosine_sim_join_lsh(ds, threshold, id_col, emb_col)
         raise NotImplementedError(
             "exact all-pairs similarity beyond the broadcast budget is "
-            "quadratic by definition — use dedup.embedding_near_dups "
-            "(LSH) or semdedup.semantic_dedup at that scale"
+            "quadratic by definition — pass on_over_budget='lsh' to "
+            "degrade to the banded-LSH candidate path (exact sims, "
+            "logged recall note), or use dedup.embedding_near_dups / "
+            "semdedup.semantic_dedup at that scale"
         )
     ids_parts: list[np.ndarray] = []
     mat_parts: list[np.ndarray] = []
@@ -572,3 +598,206 @@ def q_sim_join(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return cosine_sim_join(ds)
+
+
+# ---------------------------------------------------------------------------
+# LSH-degraded cosine self-join (the beyond-broadcast sibling)
+# ---------------------------------------------------------------------------
+
+SIM_JOIN_LSH_BANDS = 64
+SIM_JOIN_LSH_PLANES = 10  # per band: random data co-buckets ~n/2^10 per sig
+SIM_LSH_MAX_BUCKET = 512  # hot band-sig cap: chain instead of all-pairs
+
+
+def _sim_lsh_boundary_recall(
+    threshold: float,
+    bands: int = SIM_JOIN_LSH_BANDS,
+    planes: int = SIM_JOIN_LSH_PLANES,
+) -> float:
+    """P(candidate) for a pair at EXACTLY the threshold similarity under
+    banded hyperplane LSH: per-plane agreement p = 1 - theta/pi (Charikar
+    2002), a band fires iff all its planes agree, any of ``bands`` bands
+    suffices. Recall is monotone in sim, so this is the result set's
+    worst-case per-pair recall."""
+    theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    p = 1.0 - theta / np.pi
+    return float(1.0 - (1.0 - p**planes) ** bands)
+
+
+def _sim_lsh_planes(dim: int, bands: int, planes: int) -> np.ndarray:
+    rng = np.random.default_rng(90210)
+    return rng.standard_normal((bands * planes, dim))
+
+
+def cosine_sim_join_lsh(
+    ds,
+    threshold: float = SIM_JOIN_THRESHOLD,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bands: int = SIM_JOIN_LSH_BANDS,
+    planes: int = SIM_JOIN_LSH_PLANES,
+):
+    """Thresholded cosine self-join past the exact-broadcast budget:
+    banded hyperplane-LSH candidates, globally deduped, then EXACT cosine
+    verify via two hash joins against a unit-vector table — same output
+    schema and exact sims as ``cosine_sim_join`` (precision 1.0), recall
+    = the LSH candidate probability (see ``_sim_lsh_boundary_recall``;
+    the caller logs it). Scale shape: band rows are (bucket, band_key,
+    id) — 3 ints per band per row, never the vector; pair-gen is a
+    bucketed groupby with the same hot-bucket chain cap as the MinHash
+    path (a band-sig holding > SIM_LSH_MAX_BUCKET members chains instead
+    of exploding quadratically — those pairs are the recall cost of a
+    degraded mode, by declaration); the vectors travel only through the
+    candidate-filtered verify joins. Exchanges are barriered with
+    ``materialize()`` + empty-block normalization per the repo's
+    concurrent-exchange rule."""
+    import ray
+
+    from pie_ray.functions.dedup import _distinct_pairs
+    from pie_ray.util import (
+        bucket_count,
+        drop_empty_blocks,
+        hash64_ints,
+        join_num_partitions,
+    )
+
+    ds = ds.materialize()
+
+    planes_holder: dict[str, np.ndarray] = {}
+    num_buckets = bucket_count(ds.size_bytes(), floor=128)
+
+    def band_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                }
+            )
+        mat = list_to_matrix(t.column(emb_col))
+        if "p" not in planes_holder:
+            planes_holder["p"] = _sim_lsh_planes(mat.shape[1], bands, planes)
+        signs = (mat @ planes_holder["p"].T) > 0  # (n, bands*planes)
+        bits = signs.reshape(len(mat), bands, planes).astype(np.int64)
+        sigs = (bits << np.arange(planes, dtype=np.int64)).sum(axis=2)
+        band_key = (
+            np.arange(bands, dtype=np.int64)[None, :] * (1 << planes) + sigs
+        ).ravel()
+        ids = np.repeat(
+            t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64), bands
+        )
+        bucket = (hash64_ints(band_key, salt=0x51B) % num_buckets).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "band_key": pa.array(band_key, pa.int64()),
+                "id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        keys = g.column("band_key").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        a: list[int] = []
+        b: list[int] = []
+        seen: set[tuple[int, int]] = set()
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            members = np.unique(ids[lo:hi])
+            if len(members) < 2:
+                continue
+            if len(members) <= SIM_LSH_MAX_BUCKET:
+                pairs = (
+                    (int(members[i]), int(members[j]))
+                    for i in range(len(members))
+                    for j in range(i + 1, len(members))
+                )
+            else:  # hot sig: chain keeps O(n) emission (recall cost, declared)
+                pairs = zip(members[:-1].tolist(), members[1:].tolist())
+            for p in pairs:
+                if p not in seen:
+                    seen.add(p)
+                    a.append(p[0])
+                    b.append(p[1])
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    cand = (
+        ds.map_batches(band_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pairs = drop_empty_blocks(
+        _distinct_pairs(
+            cand, num_buckets=bucket_count(cand.size_bytes(), floor=64)
+        ).materialize(),
+        schema=pair_schema,
+    ).materialize()
+
+    # exact verify: unit vectors ride the joins as fixed-width blobs (list
+    # columns can't ride a Dataset.join; same trick as dedup's shingles)
+    def unit_blobs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"uid": pa.array([], pa.int64()), "uv": pa.array([], pa.binary())}
+            )
+        mat = list_to_matrix(t.column(emb_col))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        return pa.table(
+            {
+                "uid": t.column(id_col).cast(pa.int64()),
+                "uv": pa.array([r.tobytes() for r in unit], pa.binary()),
+            }
+        )
+
+    units = ds.map_batches(unit_blobs, batch_format="pyarrow")
+    n_parts = join_num_partitions(pairs.size_bytes())
+    j1 = pairs.join(
+        units, join_type="inner", num_partitions=n_parts, on=("a",), right_on=("uid",)
+    )
+
+    def _rename_uv_a(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["uv_a" if c == "uv" else c for c in t.column_names])
+        return t.drop_columns(["uid"]) if "uid" in t.column_names else t
+
+    j1 = drop_empty_blocks(
+        j1.map_batches(_rename_uv_a, batch_format="pyarrow").materialize(),
+        schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("uv_a", pa.binary())]
+        ),
+    ).materialize()
+    j2 = j1.join(
+        units, join_type="inner", num_partitions=n_parts, on=("b",), right_on=("uid",)
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        ua = np.stack([np.frombuffer(x, np.float64) for x in t.column("uv_a").to_pylist()])
+        ub = np.stack([np.frombuffer(x, np.float64) for x in t.column("uv").to_pylist()])
+        sims = np.round(np.einsum("ij,ij->i", ua, ub), 6)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "id_a": t.column("a").filter(pa.array(keep)),
+                "id_b": t.column("b").filter(pa.array(keep)),
+                "sim": pa.array(sims[keep], pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")

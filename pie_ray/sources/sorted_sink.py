@@ -26,6 +26,81 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 SORTED_META = "_SORTED_META.json"
+INSERT_JOURNAL = "_INSERT_JOURNAL.json"
+INSERT_TOKENS = "_INSERT_TOKENS.json"
+
+
+def _write_json_atomic(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.rename(tmp, path)
+
+
+def _applied_tokens(path: str) -> list[str]:
+    p = os.path.join(path, INSERT_TOKENS)
+    if not os.path.isfile(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_insert(path: str, journal: dict) -> None:
+    """Idempotent commit / roll-forward of a prepared insert: finish the
+    per-range swaps from whatever state each range is in (not started /
+    old-renamed / tmp-moved / done), record the journal's token, then
+    delete the journal LAST — the journal's presence is the single bit
+    that distinguishes "commit in progress" from "layout consistent", so
+    re-running this after any crash converges to the same final layout."""
+    import shutil
+
+    for r in journal["ranges"]:
+        rdir = os.path.join(path, f"range={r}")
+        tmp, old = rdir + ".tmp", rdir + ".old"
+        if os.path.isdir(tmp):
+            if os.path.isdir(rdir):
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(rdir, old)
+            os.rename(tmp, rdir)
+        shutil.rmtree(old, ignore_errors=True)
+    token = journal.get("token")
+    if token is not None:
+        toks = _applied_tokens(path)
+        if token not in toks:
+            _write_json_atomic(os.path.join(path, INSERT_TOKENS), toks + [token])
+    jp = os.path.join(path, INSERT_JOURNAL)
+    if os.path.isfile(jp):
+        os.remove(jp)
+
+
+def recover_sorted(path: str) -> dict:
+    """Recover a layout from a crashed ``insert_sorted``: a journal on
+    disk means every range's merged output was durable before the crash,
+    so the commit ROLLS FORWARD (the insert lands exactly once — its
+    token, if any, is recorded). No journal means any ``.tmp``/``.old``
+    directories are pre-commit garbage from a killed prepare phase and
+    are cleared (that insert never happened; re-run it). Single-writer
+    layout — never call concurrently with a live insert."""
+    import glob as _glob
+    import shutil
+
+    jp = os.path.join(path, INSERT_JOURNAL)
+    if os.path.isfile(jp):
+        with open(jp) as f:
+            journal = json.load(f)
+        _commit_insert(path, journal)
+        return {
+            "recovered": True,
+            "ranges": journal["ranges"],
+            "rows_inserted": journal["rows_inserted"],
+        }
+    cleared = sorted(
+        _glob.glob(os.path.join(path, "range=*.tmp"))
+        + _glob.glob(os.path.join(path, "range=*.old"))
+    )
+    for d in cleared:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"recovered": False, "cleared": cleared}
 
 
 def write_sorted_parquet(ds, path: str, key_col: str, tie_col: str,
@@ -100,6 +175,13 @@ def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
         raise FileNotFoundError(
             f"{SORTED_META} missing under {path} — not a sorted layout"
         )
+    if os.path.isfile(os.path.join(path, INSERT_JOURNAL)):
+        # a crashed insert left the ranges half old / half new — serving
+        # that mix would be silently inconsistent; recovery is one call
+        raise RuntimeError(
+            f"{path} has an unfinished insert (found {INSERT_JOURNAL}) — "
+            "run recover_sorted(path) to roll it forward before reading"
+        )
     with open(meta_path) as f:
         meta = json.load(f)
     b = np.asarray(meta["boundaries"])  # int64 or float64 as written
@@ -158,7 +240,7 @@ def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
     return ds.map_batches(residual, batch_format="pyarrow")
 
 
-def insert_sorted(path: str, delta_ds) -> dict:
+def insert_sorted(path: str, delta_ds, token: str | None = None) -> dict:
     """Merge new rows into an existing sorted layout while preserving the
     clustering contract: delta rows are tagged with the layout's RECORDED
     boundaries, and ONLY the range directories that actually receive rows
@@ -170,19 +252,32 @@ def insert_sorted(path: str, delta_ds) -> dict:
     semantics — key-level upserts compose as ``merge_upsert`` BEFORE the
     insert.
 
+    Crash-atomic across ranges (manifest-gated two-phase commit, the same
+    discipline as incremental's ``_swap_in``/``_DONE``): all merged range
+    outputs land in ``range=<r>.tmp`` first, then a journal records the
+    pending swap, then the renames run, then the journal is deleted. A
+    kill before the journal discards the whole insert (stale ``.tmp``
+    dirs are cleared on the next call); a kill after it rolls FORWARD on
+    the next ``insert_sorted``/``recover_sorted`` — either way the delta
+    lands exactly 0 or exactly 1 times, never partially.
+    ``read_sorted`` refuses a journaled (half-swapped) layout. Pass
+    ``token`` (e.g. an ingest id) to make blind re-runs idempotent: an
+    already-recorded token returns ``{"skipped": True}`` without touching
+    the layout.
+
     Returns {"ranges_rewritten": [...], "rows_inserted": n}. Boundaries
     stay fixed, so a long run of skewed deltas can bloat single ranges —
     re-cluster with write_sorted_parquet when a directory outgrows its
-    neighbors (the standard LSM-ish guidance). NOT crash-atomic across
-    ranges: a kill mid-swap leaves some ranges new and some old (rows are
-    never lost, but a blind re-run would duplicate the delta) — the
-    journaled pattern in pipelines/incremental.compact_deltas is the
-    crash-safe shape to graft on when that matters."""
+    neighbors (the standard LSM-ish guidance)."""
     import glob as _glob
 
     import ray
 
     from pie_ray.functions.relational import make_range_tagger
+
+    recover_sorted(path)  # roll forward / clear any crashed predecessor
+    if token is not None and token in _applied_tokens(path):
+        return {"skipped": True, "token": token}
 
     with open(os.path.join(path, SORTED_META)) as f:
         meta = json.load(f)
@@ -258,18 +353,17 @@ def insert_sorted(path: str, delta_ds) -> dict:
             os.path.join(tmp, "part-0.parquet"),
         )
     ray.get(list(futures.values()))
-    import shutil as _shutil
 
-    for r in sorted(delta_parts):
-        rdir = os.path.join(path, f"range={r}")
-        tmp = rdir + ".tmp"
-        if os.path.isdir(rdir):
-            trash = rdir + ".old"
-            os.rename(rdir, trash)
-            os.rename(tmp, rdir)
-            _shutil.rmtree(trash, ignore_errors=True)
-        else:
-            os.rename(tmp, rdir)
+    # phase 2: every merged output is durable under range=<r>.tmp — journal
+    # the pending swap (atomic write), then commit. The journal is the
+    # commit point: present = roll forward, absent = the insert never was.
+    journal = {
+        "ranges": sorted(delta_parts),
+        "rows_inserted": rows_inserted,
+        "token": token,
+    }
+    _write_json_atomic(os.path.join(path, INSERT_JOURNAL), journal)
+    _commit_insert(path, journal)
     return {
         "ranges_rewritten": sorted(delta_parts),
         "rows_inserted": rows_inserted,

@@ -128,3 +128,94 @@ def test_broadcast_budget_seam():
             betweenness_distributed(_pack(BRIDGE))
     finally:
         c.EDGE_BROADCAST_LIMIT = old
+
+
+def test_over_budget_sampling_degrade(ray_session):
+    """on_over_budget='sample': the estimate equals exact centrality on
+    the deterministic smallest-hash edge sample (mechanism equivalence),
+    and at ~92% retention the sole broker of a two-clique bridge graph
+    stays top-1 (quality)."""
+    import pie_ray.functions.centrality as c
+
+    cliq1 = [(i, j) for i in range(1, 9) for j in range(i + 1, 9)]
+    cliq2 = [(i, j) for i in range(21, 29) for j in range(i + 1, 29)]
+    bridge = [(i, 100) for i in (1, 2, 3, 4, 21, 22, 23, 24)]
+    packed = _pack(cliq1 + cliq2 + bridge)
+    m = len(packed)
+    old = c.EDGE_BROADCAST_LIMIT
+    c.EDGE_BROADCAST_LIMIT = 2 * m - 10  # over budget; sample keeps m - 5
+    try:
+        with pytest.raises(NotImplementedError):
+            betweenness_distributed(packed)
+        got = _bc_map(
+            c.betweenness_distributed(packed, on_over_budget="sample")
+        )
+        sampled, frac = c.sample_packed_edges(packed, c.EDGE_BROADCAST_LIMIT // 2)
+        assert 0.0 < frac < 1.0 and len(sampled) == c.EDGE_BROADCAST_LIMIT // 2
+        want = _bc_map(betweenness_driver(sampled))
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-9), k
+        assert max(got, key=got.get) == 100  # bridge node survives sampling
+    finally:
+        c.EDGE_BROADCAST_LIMIT = old
+
+
+def test_sample_packed_edges_deterministic_and_composable():
+    from pie_ray.functions.centrality import EDGE_SAMPLE_SALT, sample_packed_edges
+    from pie_ray.util import hash64_ints
+
+    rng = np.random.RandomState(3)
+    edges = np.unique(rng.randint(1, 10_000, 500).astype(np.int64))
+    s1, f1 = sample_packed_edges(edges, 100)
+    s2, _ = sample_packed_edges(np.random.RandomState(9).permutation(edges), 100)
+    assert np.array_equal(s1, s2)  # order-independent membership
+    assert f1 == 100 / len(edges)
+    # composition: pre-filtering to any hash-cutoff SUPERSET then trimming
+    # equals trimming the full set (the q_graph_centrality presample shape)
+    h = hash64_ints(edges.astype(np.uint64), salt=EDGE_SAMPLE_SALT)
+    cutoff = np.sort(h)[200]  # superset of the smallest-100 set
+    pre = edges[h < cutoff]
+    s3, _ = sample_packed_edges(pre, 100)
+    assert np.array_equal(s1, s3)
+
+
+def test_entry_over_budget_sample_matches_driver_sample(ray_session):
+    """q_graph_centrality's distributed presample + driver trim equals a
+    pure driver-side sample of the full edge set (bit-identical floats —
+    same edge set, same deterministic chunk combine)."""
+    import pie_ray.functions.centrality as c
+    from pie_ray.functions.graphops import EDGE_SCHEMA, cooccurrence_edges
+    from pie_ray.util import gather_table
+
+    sf = "/root/testdata/sf0.001"
+    packed = (
+        gather_table(cooccurrence_edges(sf).materialize(), schema=EDGE_SCHEMA)
+        .column("e")
+        .to_numpy(zero_copy_only=False)
+    )
+    m = len(packed)
+    assert m > 8
+    old = c.EDGE_BROADCAST_LIMIT
+    c.EDGE_BROADCAST_LIMIT = m  # 2m > m -> over budget; sample keeps m//2
+    try:
+        with pytest.raises(NotImplementedError):
+            q_graph_centrality(sf)
+        got = sorted(
+            (r["s_suppkey"], r["betweenness"], r["harmonic"])
+            for r in q_graph_centrality(sf, on_over_budget="sample").take_all()
+        )
+        sampled, _ = c.sample_packed_edges(packed, c.EDGE_BROADCAST_LIMIT // 2)
+        want_tbl = c._centrality_distributed(
+            sampled, ["betweenness", "harmonic"], None
+        )
+        want = sorted(
+            zip(
+                want_tbl.column("s_suppkey").to_pylist(),
+                want_tbl.column("betweenness").to_pylist(),
+                want_tbl.column("harmonic").to_pylist(),
+            )
+        )
+        assert got == want
+    finally:
+        c.EDGE_BROADCAST_LIMIT = old

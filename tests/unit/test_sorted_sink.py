@@ -246,3 +246,105 @@ def test_insert_sorted_rejects_schema_mismatch(ray_session):
             insert_sorted(out, ray.data.from_arrow(retyped))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _rows(path):
+    got = read_sorted(path).to_pandas()
+    return sorted(zip(got.id, np.round(got.k, 9), got.payload))
+
+
+def _delta50():
+    return pa.table(
+        {
+            "id": pa.array(np.arange(20_000, 20_050), pa.int64()),
+            "k": pa.array(np.linspace(-1.0, 1.0, 50)),
+            "payload": pa.array([f"x{i}" for i in range(50)]),
+        }
+    )
+
+
+def test_insert_sorted_crash_rolls_forward(ray_session, monkeypatch):
+    """A kill AFTER the journal write rolls FORWARD on recover_sorted —
+    the final rows equal an uncrashed insert's, read_sorted refuses the
+    half-swapped state in between, and a token-gated retry is a no-op
+    (the delta lands exactly once)."""
+    import json
+
+    from pie_ray.sources import sorted_sink as ss
+
+    t = _make(1500, seed=9)
+    ref = tempfile.mkdtemp(prefix="sortedref_")
+    out = tempfile.mkdtemp(prefix="sortedcrash_")
+    try:
+        for d in (ref, out):
+            write_sorted_parquet(
+                ray.data.from_arrow(t).repartition(4), d, "k", "id", num_ranges=8
+            )
+        ss.insert_sorted(ref, ray.data.from_arrow(_delta50()))
+        want = _rows(ref)
+
+        # crash at the commit point: journal durable, zero renames done
+        def boom(path, journal):
+            raise KeyboardInterrupt
+
+        monkeypatch.setattr(ss, "_commit_insert", boom)
+        with pytest.raises(KeyboardInterrupt):
+            ss.insert_sorted(out, ray.data.from_arrow(_delta50()), token="ing-1")
+        monkeypatch.undo()
+
+        assert os.path.isfile(os.path.join(out, ss.INSERT_JOURNAL))
+        with pytest.raises(RuntimeError, match="unfinished insert"):
+            read_sorted(out)
+
+        # deepen the crash: hand-advance one range into the mid-swap state
+        # (old renamed away, tmp not yet moved) before recovering
+        with open(os.path.join(out, ss.INSERT_JOURNAL)) as f:
+            j = json.load(f)
+        assert j["ranges"] and j["token"] == "ing-1"
+        r0 = j["ranges"][0]
+        rdir = os.path.join(out, f"range={r0}")
+        os.rename(rdir, rdir + ".old")
+
+        rec = ss.recover_sorted(out)
+        assert rec["recovered"] and rec["rows_inserted"] == 50
+        assert not os.path.isfile(os.path.join(out, ss.INSERT_JOURNAL))
+        assert not glob.glob(os.path.join(out, "range=*.tmp"))
+        assert not glob.glob(os.path.join(out, "range=*.old"))
+        assert _rows(out) == want
+
+        # blind re-run with the same token: skipped, nothing duplicated
+        rep = ss.insert_sorted(out, ray.data.from_arrow(_delta50()), token="ing-1")
+        assert rep == {"skipped": True, "token": "ing-1"}
+        assert _rows(out) == want
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_insert_sorted_crash_before_journal_discards(ray_session):
+    """A kill BEFORE the journal write means the insert never happened:
+    the next call clears the stale prepare-phase dirs and the original
+    rows are intact; the re-run then applies the delta exactly once."""
+    from pie_ray.sources import sorted_sink as ss
+
+    t = _make(800, seed=12)
+    out = tempfile.mkdtemp(prefix="sortedpre_")
+    try:
+        write_sorted_parquet(
+            ray.data.from_arrow(t).repartition(3), out, "k", "id", num_ranges=4
+        )
+        base = _rows(out)
+        # fake a killed prepare: a half-written tmp dir and no journal
+        stale = os.path.join(out, "range=2.tmp")
+        os.makedirs(stale)
+        with open(os.path.join(stale, "part-0.parquet"), "wb") as f:
+            f.write(b"partial garbage")
+        rec = ss.recover_sorted(out)
+        assert rec["recovered"] is False and stale in rec["cleared"]
+        assert not os.path.isdir(stale)
+        assert _rows(out) == base  # layout untouched
+        rep = ss.insert_sorted(out, ray.data.from_arrow(_delta50()), token="t2")
+        assert rep["rows_inserted"] == 50
+        assert len(_rows(out)) == 850
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
