@@ -216,17 +216,24 @@ def _centrality_distributed(
 
     from pie_ray.util import gather_table
 
+    full_nodes: np.ndarray | None = None
     if 2 * len(edges_packed) > EDGE_BROADCAST_LIMIT:
         if on_over_budget == "sample":
             import logging
 
+            # row-universe contract: every node of the FULL graph gets a
+            # row (nodes whose incident edges were all dropped score 0.0 —
+            # never silently vanish from a downstream join)
+            ep = np.asarray(edges_packed).astype(np.int64)
+            full_nodes = np.unique(np.concatenate([ep // PACK, ep % PACK]))
             edges_packed, frac = sample_packed_edges(
                 edges_packed, EDGE_BROADCAST_LIMIT // 2
             )
             logging.getLogger(__name__).warning(
                 "%s: edge set exceeds the broadcast budget; estimating on "
                 "a deterministic %.1f%% edge sample — scores are biased "
-                "low for paths crossing dropped edges (degraded mode).",
+                "low for paths crossing dropped edges, and nodes that lost "
+                "every incident edge score 0.0 (degraded mode).",
                 "/".join(kernels),
                 100.0 * frac,
             )
@@ -240,11 +247,16 @@ def _centrality_distributed(
     nodes, src, dst = _csr_arrays(edges_packed)
     n = len(nodes)
     if n == 0:
-        return pa.table(
+        empty = pa.table(
             {
                 "s_suppkey": pa.array([], pa.int64()),
                 **{k: pa.array([], pa.float64()) for k in kernels},
             }
+        )
+        return (
+            _zero_fill(empty, full_nodes, kernels)
+            if full_nodes is not None
+            else empty
         )
     sources, scale = _pick_pivots(nodes, n, k_pivots)
     graph_ref = ray.put((n, src, dst))
@@ -306,7 +318,29 @@ def _centrality_distributed(
         v = parts.column(k).to_numpy(zero_copy_only=False)[order]
         total = v.reshape(n_chunks, n).sum(axis=0) * (scale * _KERNEL_NORM[k])
         cols[k] = pa.array(total, pa.float64())
-    return pa.table({"s_suppkey": pa.array(nodes, pa.int64()), **cols})
+    out = pa.table({"s_suppkey": pa.array(nodes, pa.int64()), **cols})
+    return _zero_fill(out, full_nodes, kernels) if full_nodes is not None else out
+
+
+def _zero_fill(tbl: pa.Table, full_nodes: np.ndarray, kernels: list[str]) -> pa.Table:
+    """Reindex a centrality table onto the FULL node universe: nodes with
+    no row (every incident edge sampled out) get 0.0 for each kernel.
+    Both node arrays come from np.unique, so they are sorted."""
+    have = tbl.column("s_suppkey").to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(have, full_nodes)
+    safe = np.minimum(pos, max(len(have) - 1, 0))
+    present = (
+        (pos < len(have)) & (have[safe] == full_nodes)
+        if len(have)
+        else np.zeros(len(full_nodes), bool)
+    )
+    cols = {}
+    for k in kernels:
+        v = tbl.column(k).to_numpy(zero_copy_only=False)
+        out = np.zeros(len(full_nodes), np.float64)
+        out[present] = v[pos[present]]
+        cols[k] = pa.array(out, pa.float64())
+    return pa.table({"s_suppkey": pa.array(full_nodes, pa.int64()), **cols})
 
 
 def betweenness_distributed(
@@ -345,12 +379,15 @@ def q_graph_centrality(
     keeps a superset of the final sample w.o.p.) and then trimmed to
     exactly the budget by ``sample_packed_edges``; smallest-hash
     membership composes, so the two steps equal a pure driver-side sample
-    of the full edge set."""
+    of the full edge set. The row universe stays the FULL graph's nodes
+    (one distinct exchange + an output-sized pull); nodes that lost every
+    incident edge score 0.0."""
     from pie_ray.functions.graphops import EDGE_SCHEMA, cooccurrence_edges
     from pie_ray.util import gather_table
 
     edges = cooccurrence_edges(sf_dir).materialize()
     m = edges.count()
+    full_nodes = None
     if 2 * m > EDGE_BROADCAST_LIMIT:
         if on_over_budget != "sample":
             raise NotImplementedError(
@@ -359,7 +396,33 @@ def q_graph_centrality(
                 "on_over_budget='sample' for a deterministic edge-sample "
                 "estimate (logged accuracy note)"
             )
+        import logging
+
+        # full node universe before sampling (the result is node-sized
+        # anyway, so this pull is output-sized; per-batch unique first)
+        def node_ids(t: pa.Table) -> pa.Table:
+            e = t.column("e").to_numpy(zero_copy_only=False).astype(np.int64)
+            u = np.unique(np.concatenate([e // PACK, e % PACK]))
+            return pa.table({"node": pa.array(u, pa.int64())})
+
+        full_nodes = np.unique(
+            np.asarray(
+                edges.map_batches(node_ids, batch_format="pyarrow").unique("node"),
+                dtype=np.int64,
+            )
+        )
         target = EDGE_BROADCAST_LIMIT // 2
+        logging.getLogger(__name__).warning(
+            "betweenness/harmonic: %d edges exceed the broadcast budget; "
+            "estimating on a deterministic %.1f%% edge sample (%d of %d "
+            "edges) — scores bias low for paths crossing dropped edges; "
+            "nodes that lost every incident edge score 0.0 (degraded "
+            "mode).",
+            m,
+            100.0 * target / m,
+            target,
+            m,
+        )
         # generous cutoff: P(kept < target) < 1e-8 at 6-sigma + 16 slack,
         # so the driver-side exact trim sees a superset of the final set
         frac = min(1.0, (target + 6.0 * np.sqrt(target) + 16.0) / m)
@@ -373,11 +436,13 @@ def q_graph_centrality(
         edges = edges.map_batches(presample, batch_format="pyarrow").materialize()
     tbl = gather_table(edges, schema=EDGE_SCHEMA)
     packed = tbl.column("e").to_numpy(zero_copy_only=False)
-    return ray.data.from_arrow(
-        _centrality_distributed(
-            packed,
-            ["betweenness", "harmonic"],
-            k_pivots,
-            on_over_budget=on_over_budget,
-        )
+    if full_nodes is not None:
+        # trim to exactly the budget ON the driver (true fraction already
+        # logged above; the under-budget array keeps the inner gate quiet)
+        packed, _ = sample_packed_edges(packed, EDGE_BROADCAST_LIMIT // 2)
+    out = _centrality_distributed(
+        packed, ["betweenness", "harmonic"], k_pivots, on_over_budget=on_over_budget
     )
+    if full_nodes is not None:
+        out = _zero_fill(out, full_nodes, ["betweenness", "harmonic"])
+    return ray.data.from_arrow(out)

@@ -532,7 +532,11 @@ def cosine_sim_join(
                 "cosine_sim_join: %d vectors exceed the exact broadcast "
                 "budget (%d); degrading to banded hyperplane LSH (%d bands "
                 "x %d planes). Emitted sims stay exact; estimated recall "
-                "at sim == %.3f is %.3f (higher above the boundary).",
+                "at sim == %.3f is %.3f (higher above the boundary; the "
+                "estimate covers band co-bucketing only — signatures "
+                "holding > SIM_LSH_MAX_BUCKET members chain instead of "
+                "emitting all pairs, so heavily skewed corpora can sit "
+                "below it).",
                 n,
                 SIM_JOIN_BROADCAST_MAX,
                 SIM_JOIN_LSH_BANDS,

@@ -30,11 +30,26 @@ INSERT_JOURNAL = "_INSERT_JOURNAL.json"
 INSERT_TOKENS = "_INSERT_TOKENS.json"
 
 
+def _fsync_dir(d: str) -> None:
+    fd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _write_json_atomic(path: str, obj) -> None:
+    """Durable atomic JSON write: content fsynced BEFORE the rename and the
+    directory entry fsynced after — so the file is either absent or a
+    complete document even across power loss (a rename that lands without
+    its content would otherwise leave a torn journal)."""
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.rename(tmp, path)
+    _fsync_dir(os.path.dirname(path))
 
 
 def _applied_tokens(path: str) -> list[str]:
@@ -85,9 +100,18 @@ def recover_sorted(path: str) -> dict:
     import shutil
 
     jp = os.path.join(path, INSERT_JOURNAL)
+    journal = None
     if os.path.isfile(jp):
-        with open(jp) as f:
-            journal = json.load(f)
+        try:
+            with open(jp) as f:
+                journal = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a torn journal means the commit point was never durably
+            # reached (journal writes fsync-then-rename) — treat it as a
+            # pre-commit crash: discard the insert, don't roll forward
+            os.remove(jp)
+            journal = None
+    if journal is not None:
         _commit_insert(path, journal)
         return {
             "recovered": True,
@@ -326,6 +350,8 @@ def insert_sorted(path: str, delta_ds, token: str | None = None) -> dict:
 
     @ray.remote
     def _merge_range(old_files, delta_table, key_col, tie_col, tmp_file):
+        import os as _os
+
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -337,6 +363,18 @@ def insert_sorted(path: str, delta_ds, token: str | None = None) -> dict:
             t, sort_keys=[(key_col, "ascending"), (tie_col, "ascending")]
         )
         pq.write_table(t.take(order), tmp_file)
+        # the journal's roll-forward contract assumes this file is durable
+        # once the journal exists — fsync content + directory entry
+        fd = _os.open(tmp_file, _os.O_RDONLY)
+        try:
+            _os.fsync(fd)
+        finally:
+            _os.close(fd)
+        dfd = _os.open(_os.path.dirname(tmp_file), _os.O_RDONLY)
+        try:
+            _os.fsync(dfd)
+        finally:
+            _os.close(dfd)
         return t.num_rows
 
     futures = {}

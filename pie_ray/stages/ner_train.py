@@ -46,7 +46,10 @@ def _gold_spans_for_sentence(
     lo, hi = toks[0][1], toks[-1][2]
     taken = np.zeros(len(toks), bool)
     spans: list[tuple[int, int]] = []
-    for surf in sorted(set(gold_surfaces), key=len, reverse=True):
+    # total order (-len, surf): equal-length surfaces tie-break
+    # lexicographically, never by set/hash iteration order — training
+    # labels (and the committed weight bytes) must be run-independent
+    for surf in sorted(set(gold_surfaces), key=lambda s: (-len(s), s)):
         start = lo
         while True:
             p = text.find(surf, start, hi + len(surf))

@@ -64,10 +64,13 @@ def main() -> None:
 
     with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
         cand = f.name
-    np.savez(
-        cand, emission_w=weights[0], transitions=weights[1], start=weights[2]
-    )
-    got = full_tagger_mentions(cand, N_VALIDATE)
+    try:
+        np.savez(
+            cand, emission_w=weights[0], transitions=weights[1], start=weights[2]
+        )
+        got = full_tagger_mentions(cand, N_VALIDATE)
+    finally:
+        os.unlink(cand)
     want = collections.Counter(golden_mentions(N_VALIDATE))
     if got != want:
         miss = list((want - got).items())[:5]
@@ -76,10 +79,12 @@ def main() -> None:
             f"GATE 2 FAILED: mention multiset mismatch over {N_VALIDATE} pages\n"
             f"  missing: {miss}\n  extra: {extra}"
         )
-    os.unlink(cand)
 
+    # write-then-rename: a kill mid-write must never leave a torn fixture
+    # (every NerModel() load would crash until restored from git)
+    tmp_out = DEFAULT_WEIGHTS_PATH + ".tmp.npz"
     np.savez(
-        DEFAULT_WEIGHTS_PATH,
+        tmp_out,
         emission_w=weights[0],
         transitions=weights[1],
         start=weights[2],
@@ -89,6 +94,7 @@ def main() -> None:
         n_train_pages=np.array(N_TRAIN, np.int64),
         epochs=np.array(EPOCHS, np.int64),
     )
+    os.replace(tmp_out, DEFAULT_WEIGHTS_PATH)
     print(
         f"wrote TRAINED weights to {DEFAULT_WEIGHTS_PATH} "
         f"({os.path.getsize(DEFAULT_WEIGHTS_PATH)} bytes); "

@@ -153,10 +153,60 @@ def test_over_budget_sampling_degrade(ray_session):
         sampled, frac = c.sample_packed_edges(packed, c.EDGE_BROADCAST_LIMIT // 2)
         assert 0.0 < frac < 1.0 and len(sampled) == c.EDGE_BROADCAST_LIMIT // 2
         want = _bc_map(betweenness_driver(sampled))
-        assert set(got) == set(want)
+        # row universe = the FULL graph's nodes; sampled-out nodes get 0.0
+        full = {int(e) // int(PACK) for e in packed} | {
+            int(e) % int(PACK) for e in packed
+        }
+        assert set(got) == full
         for k in want:
             assert got[k] == pytest.approx(want[k], rel=1e-9), k
+        for k in set(got) - set(want):
+            assert got[k] == 0.0
         assert max(got, key=got.get) == 100  # bridge node survives sampling
+    finally:
+        c.EDGE_BROADCAST_LIMIT = old
+
+
+def test_sampled_out_pendant_node_keeps_a_zero_row(ray_session):
+    """A node whose ONLY edge is dropped by the sample must still appear
+    in the result with score 0.0 — never silently vanish from a join."""
+    import pie_ray.functions.centrality as c
+    from pie_ray.util import hash64_ints
+
+    base = [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]  # K6
+    base_packed = _pack(base)
+    base_max = hash64_ints(
+        base_packed.astype(np.uint64), salt=c.EDGE_SAMPLE_SALT
+    ).max()
+    # pick a pendant whose edge hashes ABOVE every base edge, so trimming
+    # by exactly one edge deterministically drops the pendant's edge
+    for p in range(200, 400):
+        e = np.array([1 * int(PACK) + p], np.int64)
+        if hash64_ints(e.astype(np.uint64), salt=c.EDGE_SAMPLE_SALT)[0] > base_max:
+            pendant = p
+            break
+    else:
+        pytest.fail("no pendant candidate hashed above the base edges")
+    packed = np.sort(np.concatenate([base_packed, _pack([(1, pendant)])]))
+    m = len(packed)
+    old = c.EDGE_BROADCAST_LIMIT
+    c.EDGE_BROADCAST_LIMIT = 2 * (m - 1)  # target = m - 1: drop exactly one
+    try:
+        tbl = c._centrality_distributed(
+            packed, ["betweenness", "harmonic"], None, on_over_budget="sample"
+        )
+        rows = dict(
+            zip(
+                tbl.column("s_suppkey").to_pylist(),
+                zip(
+                    tbl.column("betweenness").to_pylist(),
+                    tbl.column("harmonic").to_pylist(),
+                ),
+            )
+        )
+        assert pendant in rows, "sampled-out node vanished from the result"
+        assert rows[pendant] == (0.0, 0.0)
+        assert set(rows) == set(range(1, 7)) | {pendant}
     finally:
         c.EDGE_BROADCAST_LIMIT = old
 

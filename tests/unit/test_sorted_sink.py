@@ -348,3 +348,31 @@ def test_insert_sorted_crash_before_journal_discards(ray_session):
         assert len(_rows(out)) == 850
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_recover_sorted_torn_journal_discards(ray_session):
+    """A torn (unparseable) journal means the commit point was never
+    durably reached: recovery discards the insert instead of crashing or
+    rolling forward garbage, and the layout reads cleanly again."""
+    from pie_ray.sources import sorted_sink as ss
+
+    t = _make(400, seed=21)
+    out = tempfile.mkdtemp(prefix="sortedtorn_")
+    try:
+        write_sorted_parquet(
+            ray.data.from_arrow(t).repartition(2), out, "k", "id", num_ranges=4
+        )
+        base = _rows(out)
+        stale = os.path.join(out, "range=1.tmp")
+        os.makedirs(stale)
+        with open(os.path.join(out, ss.INSERT_JOURNAL), "w") as f:
+            f.write('{"ranges": [1], "rows_ins')  # torn mid-write
+        with pytest.raises(RuntimeError, match="unfinished insert"):
+            read_sorted(out)
+        rec = ss.recover_sorted(out)
+        assert rec["recovered"] is False
+        assert not os.path.isfile(os.path.join(out, ss.INSERT_JOURNAL))
+        assert not os.path.isdir(stale)
+        assert _rows(out) == base
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
