@@ -223,9 +223,12 @@ def _centrality_distributed(
 
             # row-universe contract: every node of the FULL graph gets a
             # row (nodes whose incident edges were all dropped score 0.0 —
-            # never silently vanish from a downstream join)
-            ep = np.asarray(edges_packed).astype(np.int64)
-            full_nodes = np.unique(np.concatenate([ep // PACK, ep % PACK]))
+            # never silently vanish from a downstream join). Memory-lean:
+            # no astype copy (packed edges are int64 by convention) and
+            # unique each endpoint half BEFORE the union — peak ~2x the
+            # over-budget array instead of ~5x
+            ep = np.asarray(edges_packed, dtype=np.int64)
+            full_nodes = np.union1d(np.unique(ep // PACK), np.unique(ep % PACK))
             edges_packed, frac = sample_packed_edges(
                 edges_packed, EDGE_BROADCAST_LIMIT // 2
             )

@@ -38,6 +38,14 @@ def _fsync_dir(d: str) -> None:
         os.close(fd)
 
 
+def _fsync_file(p: str) -> None:
+    fd = os.open(p, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _write_json_atomic(path: str, obj) -> None:
     """Durable atomic JSON write: content fsynced BEFORE the rename and the
     directory entry fsynced after — so the file is either absent or a
@@ -105,10 +113,20 @@ def recover_sorted(path: str) -> dict:
         try:
             with open(jp) as f:
                 journal = json.load(f)
-        except (json.JSONDecodeError, OSError):
+        except json.JSONDecodeError:
             # a torn journal means the commit point was never durably
-            # reached (journal writes fsync-then-rename) — treat it as a
-            # pre-commit crash: discard the insert, don't roll forward
+            # reached (journal writes fsync-then-rename) — discard the
+            # insert, UNLESS a swap already started (range=*.old present):
+            # then the journal was real and something exotic corrupted it,
+            # and auto-discard would freeze a half-applied commit. Read
+            # errors (OSError) propagate — never discard on a flaky read.
+            if _glob.glob(os.path.join(path, "range=*.old")):
+                raise RuntimeError(
+                    f"{path}: unreadable {INSERT_JOURNAL} next to "
+                    "range=*.old dirs — a commit may be half-applied; "
+                    "refusing automatic recovery (inspect the .old/.tmp "
+                    "dirs by hand)"
+                )
             os.remove(jp)
             journal = None
     if journal is not None:
@@ -365,16 +383,8 @@ def insert_sorted(path: str, delta_ds, token: str | None = None) -> dict:
         pq.write_table(t.take(order), tmp_file)
         # the journal's roll-forward contract assumes this file is durable
         # once the journal exists — fsync content + directory entry
-        fd = _os.open(tmp_file, _os.O_RDONLY)
-        try:
-            _os.fsync(fd)
-        finally:
-            _os.close(fd)
-        dfd = _os.open(_os.path.dirname(tmp_file), _os.O_RDONLY)
-        try:
-            _os.fsync(dfd)
-        finally:
-            _os.close(dfd)
+        _fsync_file(tmp_file)
+        _fsync_dir(_os.path.dirname(tmp_file))
         return t.num_rows
 
     futures = {}

@@ -376,3 +376,24 @@ def test_recover_sorted_torn_journal_discards(ray_session):
         assert _rows(out) == base
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_recover_sorted_torn_journal_with_started_swap_refuses(ray_session):
+    """An unreadable journal NEXT TO range=*.old evidence of a started
+    swap must refuse automatic recovery, never silently discard."""
+    from pie_ray.sources import sorted_sink as ss
+
+    t = _make(300, seed=30)
+    out = tempfile.mkdtemp(prefix="sortedrefuse_")
+    try:
+        write_sorted_parquet(
+            ray.data.from_arrow(t).repartition(2), out, "k", "id", num_ranges=4
+        )
+        os.makedirs(os.path.join(out, "range=0.old"))
+        with open(os.path.join(out, ss.INSERT_JOURNAL), "w") as f:
+            f.write("{torn")
+        with pytest.raises(RuntimeError, match="half-applied"):
+            ss.recover_sorted(out)
+        assert os.path.isfile(os.path.join(out, ss.INSERT_JOURNAL))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
