@@ -38,11 +38,48 @@ class NerTagger:
     def tag_document(self, text: str) -> list[dict]:
         """All PII mentions of one document: dicts with ent_type, surface,
         norm, begin, end, sent_id, score."""
-        model = self.model
-        sents = doc_tokens(text)
-        emissions = [model.emissions([t for t, _, _ in toks]) for toks in sents]
-        paths = nm.viterbi_batch(emissions, model.t, model.start)
+        return self.tag_documents([text])[0]
 
+    # Viterbi decodes per sentence independently (row-wise vectorized dp),
+    # so batching ALL sentences of ALL documents into few decode calls is
+    # byte-identical to per-document calls — it just amortizes the numpy
+    # per-call overhead (measured ~36% of tag time at 12 sentences/doc).
+    # Sentences are length-sorted and chunked so each call's padded dp loop
+    # runs only to ITS chunk's max length (one pathological long sentence
+    # can't stretch every row's decode).
+    _VITERBI_CHUNK = 1024
+
+    def tag_documents(self, texts: list[str]) -> list[list[dict]]:
+        """Mentions for every document of a batch: one length-chunked
+        Viterbi sweep over all sentences, then per-doc span assembly."""
+        model = self.model
+        doc_sents = [doc_tokens(t) for t in texts]
+        flat: list[tuple[int, int]] = []  # (doc_idx, sent_idx)
+        ems: list[np.ndarray] = []
+        for di, sents in enumerate(doc_sents):
+            for si, toks in enumerate(sents):
+                flat.append((di, si))
+                ems.append(model.emissions([t for t, _, _ in toks]))
+        paths: list[list[int] | None] = [None] * len(flat)
+        if flat:
+            order = sorted(range(len(flat)), key=lambda i: ems[i].shape[0])
+            for lo in range(0, len(order), self._VITERBI_CHUNK):
+                idxs = order[lo : lo + self._VITERBI_CHUNK]
+                got = nm.viterbi_batch([ems[i] for i in idxs], model.t, model.start)
+                for i, p in zip(idxs, got):
+                    paths[i] = p
+        per_doc: list[list] = [[None] * len(s) for s in doc_sents]
+        for (di, si), p in zip(flat, paths):
+            per_doc[di][si] = p
+        return [
+            self._assemble(text, sents, ps)
+            for text, sents, ps in zip(texts, doc_sents, per_doc)
+        ]
+
+    def _assemble(self, text: str, sents, paths) -> list[dict]:
+        """Channel merge + overlap resolution + mention rows for one doc,
+        given its tokenized sentences and decoded label paths."""
+        model = self.model
         spans: list[tuple[int, int, str, float]] = []  # (begin, end, type, score)
         for toks, path in zip(sents, paths):
             for b_idx, e_idx in nm.spans_from_path(path, toks):
@@ -91,8 +128,8 @@ class NerTagger:
         cols: dict[str, list] = {k: [] for k in (
             "url", "warc_ts", "mention_id", "ent_type", "surface", "norm",
             "begin", "end", "sent_id", "score")}
-        for url, ts, text in zip(urls, tss, texts):
-            for m in self.tag_document(text):
+        for url, ts, doc_mentions in zip(urls, tss, self.tag_documents(texts)):
+            for m in doc_mentions:
                 cols["url"].append(url)
                 cols["warc_ts"].append(ts)
                 cols["mention_id"].append(
@@ -111,8 +148,8 @@ class NerTagger:
         from pie_ray.stages.triples import _partial_dedup, triples_for_doc
 
         rows: dict[str, list] = {k: [] for k in schemas.TRIPLES.names}
-        for url, ts, text in zip(urls, tss, texts):
-            for s, p, o, sc in triples_for_doc(url_domain(url), self.tag_document(text)):
+        for url, ts, doc_mentions in zip(urls, tss, self.tag_documents(texts)):
+            for s, p, o, sc in triples_for_doc(url_domain(url), doc_mentions):
                 rows["subj"].append(s)
                 rows["pred"].append(p)
                 rows["obj"].append(o)
