@@ -16,11 +16,17 @@ DRIVER_CAP = 50
 
 
 def test_flagship_entries_inside_driver_cap():
+    # round-5 rotation: the hash-verified KG oracle twins take two recorded
+    # slots; media_resize/media_frames (rows-only, pytest-gated) moved
+    # beyond the cap with media_features staying as the family's recorded
+    # representative (see the queries() comment)
     names = list(entrymod.queries().keys())
     first = set(names[:DRIVER_CAP])
     for flagship in (
-        "kg_mentions", "kg_triples", "kg_graph", "kg_pagerank",
-        "media_features", "media_resize", "media_frames",
+        "kg_mentions", "kg_mentions_oracle",
+        "kg_triples", "kg_triples_oracle",
+        "kg_graph", "kg_pagerank",
+        "media_features",
         "knn_cosine", "knn_ann",
         "dedup_exact", "dedup_minhash", "corpus_curation",
     ):
