@@ -30,15 +30,8 @@ INSERT_JOURNAL = "_INSERT_JOURNAL.json"
 INSERT_TOKENS = "_INSERT_TOKENS.json"
 
 
-def _fsync_dir(d: str) -> None:
-    fd = os.open(d, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
-
-
-def _fsync_file(p: str) -> None:
+def _fsync_path(p: str) -> None:
+    """fsync a file's content or a directory's entry table."""
     fd = os.open(p, os.O_RDONLY)
     try:
         os.fsync(fd)
@@ -57,7 +50,7 @@ def _write_json_atomic(path: str, obj) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
-    _fsync_dir(os.path.dirname(path))
+    _fsync_path(os.path.dirname(path))
 
 
 def _applied_tokens(path: str) -> list[str]:
@@ -113,19 +106,24 @@ def recover_sorted(path: str) -> dict:
         try:
             with open(jp) as f:
                 journal = json.load(f)
-        except json.JSONDecodeError:
-            # a torn journal means the commit point was never durably
-            # reached (journal writes fsync-then-rename) — discard the
-            # insert, UNLESS a swap already started (range=*.old present):
-            # then the journal was real and something exotic corrupted it,
-            # and auto-discard would freeze a half-applied commit. Read
+        except ValueError:
+            # ValueError covers both corruption shapes: invalid JSON
+            # (JSONDecodeError) and invalid UTF-8 (UnicodeDecodeError).
+            # With the fsync-then-rename writer a torn journal cannot
+            # happen, so any unreadable journal is exotic corruption —
+            # discard it ONLY when nothing is pending (no range=*.old
+            # from a started swap, no range=*.tmp awaiting one); with
+            # either kind of evidence present, auto-action could freeze
+            # a half-applied commit, so refuse with guidance. Read
             # errors (OSError) propagate — never discard on a flaky read.
-            if _glob.glob(os.path.join(path, "range=*.old")):
+            if _glob.glob(os.path.join(path, "range=*.old")) or _glob.glob(
+                os.path.join(path, "range=*.tmp")
+            ):
                 raise RuntimeError(
                     f"{path}: unreadable {INSERT_JOURNAL} next to "
-                    "range=*.old dirs — a commit may be half-applied; "
-                    "refusing automatic recovery (inspect the .old/.tmp "
-                    "dirs by hand)"
+                    "range=*.old/.tmp dirs — a commit may be half-applied "
+                    "or pending; refusing automatic recovery (inspect the "
+                    ".old/.tmp dirs by hand)"
                 )
             os.remove(jp)
             journal = None
@@ -383,8 +381,8 @@ def insert_sorted(path: str, delta_ds, token: str | None = None) -> dict:
         pq.write_table(t.take(order), tmp_file)
         # the journal's roll-forward contract assumes this file is durable
         # once the journal exists — fsync content + directory entry
-        _fsync_file(tmp_file)
-        _fsync_dir(_os.path.dirname(tmp_file))
+        _fsync_path(tmp_file)
+        _fsync_path(_os.path.dirname(tmp_file))
         return t.num_rows
 
     futures = {}

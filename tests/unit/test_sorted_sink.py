@@ -351,29 +351,50 @@ def test_insert_sorted_crash_before_journal_discards(ray_session):
 
 
 def test_recover_sorted_torn_journal_discards(ray_session):
-    """A torn (unparseable) journal means the commit point was never
-    durably reached: recovery discards the insert instead of crashing or
-    rolling forward garbage, and the layout reads cleanly again."""
+    """A torn (unparseable) journal with NOTHING pending (no .tmp/.old
+    evidence) is exotic corruption with nothing to roll forward: recovery
+    discards it instead of crashing, and the layout reads cleanly again.
+    Both corruption shapes are covered: invalid JSON and invalid UTF-8."""
     from pie_ray.sources import sorted_sink as ss
 
     t = _make(400, seed=21)
-    out = tempfile.mkdtemp(prefix="sortedtorn_")
+    for garbage in (b'{"ranges": [1], "rows_ins', b"\xff\xfe{torn\x80"):
+        out = tempfile.mkdtemp(prefix="sortedtorn_")
+        try:
+            write_sorted_parquet(
+                ray.data.from_arrow(t).repartition(2), out, "k", "id", num_ranges=4
+            )
+            base = _rows(out)
+            with open(os.path.join(out, ss.INSERT_JOURNAL), "wb") as f:
+                f.write(garbage)
+            with pytest.raises(RuntimeError, match="unfinished insert"):
+                read_sorted(out)
+            rec = ss.recover_sorted(out)
+            assert rec["recovered"] is False
+            assert not os.path.isfile(os.path.join(out, ss.INSERT_JOURNAL))
+            assert _rows(out) == base
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+
+def test_recover_sorted_torn_journal_with_pending_tmp_refuses(ray_session):
+    """A torn journal NEXT TO range=*.tmp dirs (a prepared/partially
+    committed insert) must refuse automatic recovery — a fresh-range
+    commit leaves no .old evidence, so .tmp counts as evidence too."""
+    from pie_ray.sources import sorted_sink as ss
+
+    t = _make(300, seed=22)
+    out = tempfile.mkdtemp(prefix="sortedtorntmp_")
     try:
         write_sorted_parquet(
             ray.data.from_arrow(t).repartition(2), out, "k", "id", num_ranges=4
         )
-        base = _rows(out)
-        stale = os.path.join(out, "range=1.tmp")
-        os.makedirs(stale)
+        os.makedirs(os.path.join(out, "range=1.tmp"))
         with open(os.path.join(out, ss.INSERT_JOURNAL), "w") as f:
-            f.write('{"ranges": [1], "rows_ins')  # torn mid-write
-        with pytest.raises(RuntimeError, match="unfinished insert"):
-            read_sorted(out)
-        rec = ss.recover_sorted(out)
-        assert rec["recovered"] is False
-        assert not os.path.isfile(os.path.join(out, ss.INSERT_JOURNAL))
-        assert not os.path.isdir(stale)
-        assert _rows(out) == base
+            f.write("{torn")
+        with pytest.raises(RuntimeError, match="half-applied or pending"):
+            ss.recover_sorted(out)
+        assert os.path.isfile(os.path.join(out, ss.INSERT_JOURNAL))
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
