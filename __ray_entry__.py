@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_link_predict": _lazy(
             "pie_ray.functions.graphops", "q_graph_link_predict"
         ),
+        "graph_scc": _lazy("pie_ray.functions.graphops", "q_graph_scc"),
         "window_first_last": relational.q_window_first_last,
         "impute_nulls": relational.q_impute_nulls,
         "host_linkgraph": _lazy("pie_ray.pipelines.curation", "q_host_linkgraph"),
@@ -795,6 +796,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS s_suppkey, MIN(lab) AS component
             FROM r GROUP BY node
+        """,
+        "graph_scc": """
+            -- strongly connected components of the parity-oriented
+            -- directed co-supplier graph, scc = smallest member id:
+            -- recursive transitive closure, then u,v share an SCC iff
+            -- reach(u,v) AND reach(v,u) (closure is bounded because the
+            -- oracle graph is small — same argument as graph_components)
+            WITH RECURSIVE su AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_quantity > 48.0
+            ), e AS (
+              SELECT DISTINCT
+                CASE WHEN a.l_orderkey % 2 = 0
+                     THEN a.l_suppkey ELSE b.l_suppkey END AS src,
+                CASE WHEN a.l_orderkey % 2 = 0
+                     THEN b.l_suppkey ELSE a.l_suppkey END AS dst
+              FROM su a JOIN su b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            ), reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+            ), nodes AS (
+              SELECT src AS v FROM e UNION SELECT dst FROM e
+            ), mutual AS (
+              SELECT a.src AS u, a.dst AS v
+              FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+            )
+            SELECT n.v AS s_suppkey,
+                   LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+            GROUP BY n.v
         """,
         "window_events": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -684,3 +684,131 @@ def test_trustrank_seedless_component_ranks_zero():
     assert got[1] == got[2] == got[3] == 0  # no in-path from any seed
     assert got[5] > 0 and got[6] > 0 and got[7] > 0  # trust propagates
     assert got[5] > got[7]  # and decays with distance from the seed
+
+
+# ----------------------------------------------- strongly connected components
+
+
+class TestScc:
+    def _nx_scc(self, pairs):
+        import networkx as nx
+
+        g = nx.DiGraph()
+        g.add_edges_from(pairs)
+        return {
+            n: min(comp)
+            for comp in nx.strongly_connected_components(g)
+            for n in comp
+        }
+
+    def _driver_map(self, pairs):
+        import numpy as np
+
+        from pie_ray.functions.graphops import scc_driver
+
+        src = np.array([a for a, _ in pairs], np.int64)
+        dst = np.array([b for _, b in pairs], np.int64)
+        t = scc_driver(src, dst)
+        return dict(zip(t.column("node").to_pylist(), t.column("scc").to_pylist()))
+
+    def test_scc_matches_networkx_planted(self):
+        # two 3-cycles joined by one-way edges + a dangling DAG tail
+        pairs = [
+            (1, 2), (2, 3), (3, 1),          # cycle A
+            (4, 5), (5, 6), (6, 4),          # cycle B
+            (3, 4),                          # A -> B one-way
+            (6, 7), (7, 8),                  # DAG tail (singletons)
+        ]
+        got = self._driver_map(pairs)
+        assert got == self._nx_scc(pairs)
+        assert got[1] == got[2] == got[3] == 1
+        assert got[4] == got[5] == got[6] == 4
+        assert got[7] == 7 and got[8] == 8
+
+    def test_scc_matches_networkx_random(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        for _ in range(6):
+            n, m = 30, 70
+            pairs = set()
+            while len(pairs) < m:
+                a, b = rng.randint(1, n + 1, 2)
+                if a != b:
+                    pairs.add((int(a), int(b)))
+            pairs = sorted(pairs)
+            assert self._driver_map(pairs) == self._nx_scc(pairs)
+
+    def test_scc_deep_chain_no_recursion_blowup(self):
+        # a 5k-node cycle would overflow a recursive Tarjan's stack
+        n = 5000
+        pairs = [(i, i + 1) for i in range(1, n)] + [(n, 1)]
+        got = self._driver_map(pairs)
+        assert set(got.values()) == {1} and len(got) == n
+
+    def test_scc_dataset_string_ids(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pie_ray.functions.graphops import scc
+
+        t = pa.table(
+            {
+                "src": pa.array(["a.com", "b.com", "c.com", "d.com"]),
+                "dst": pa.array(["b.com", "a.com", "d.com", "c.com"]),
+            }
+        )
+        out = {
+            r["node"]: r["scc"]
+            for r in scc(ray.data.from_arrow(t).repartition(2)).take_all()
+        }
+        assert out == {
+            "a.com": "a.com",
+            "b.com": "a.com",
+            "c.com": "c.com",
+            "d.com": "c.com",
+        }
+
+    def test_scc_budget_seam(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        import pie_ray.functions.graphops as g
+
+        old = g.SCC_DRIVER_EDGE_LIMIT
+        g.SCC_DRIVER_EDGE_LIMIT = 1
+        try:
+            t = pa.table({"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 1], pa.int64())})
+            with pytest.raises(NotImplementedError):
+                g.scc(ray.data.from_arrow(t))
+        finally:
+            g.SCC_DRIVER_EDGE_LIMIT = old
+
+    def test_directed_edges_partition_independent(self, ray_session):
+        from pie_ray.functions.graphops import cosupply_directed_edges
+
+        base = None
+        for blocks in (None, 3, 11):
+            e = sorted(
+                r["e"]
+                for r in cosupply_directed_edges(
+                    "/root/testdata/sf0.001", override_num_blocks=blocks
+                ).take_all()
+            )
+            if base is None:
+                base = e
+            assert e == base and len(e) > 0
+
+    def test_entry_has_structure_and_both_parities(self, ray_session):
+        """The parity orientation must create cycles (non-trivial SCCs)
+        AND leave singletons — otherwise the entry can't discriminate."""
+        from collections import Counter
+
+        from pie_ray.functions.graphops import q_graph_scc
+
+        rows = q_graph_scc("/root/testdata/sf0.001").take_all()
+        sizes = Counter(r["scc"] for r in rows)
+        assert len(rows) > 0
+        assert any(c > 1 for c in sizes.values()), "no non-trivial SCC"
+        assert any(c == 1 for c in sizes.values()), "no singleton SCC"
