@@ -53,31 +53,22 @@ def _pairs_by_size(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.n
     pair of arrays, vectorized by grouping the groups by SIZE: one fancy-
     indexed triu expansion per distinct group size (sizes here are members
     per order, single digits — the loop runs a handful of times total)."""
-    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
-    outs_a: list[np.ndarray] = []
-    outs_b: list[np.ndarray] = []
-    for k in np.unique(counts):
-        if k < 2:
-            continue
-        st = starts[counts == k]
-        mat = vals[st[:, None] + np.arange(k)[None, :]]
-        mat = np.sort(mat, axis=1)
-        iu, ju = np.triu_indices(int(k), 1)
-        outs_a.append(mat[:, iu].ravel())
-        outs_b.append(mat[:, ju].ravel())
-    if not outs_a:
-        z = np.empty(0, np.int64)
-        return z, z
-    return np.concatenate(outs_a), np.concatenate(outs_b)
+    _, a, b = _keyed_pairs_by_size(keys, vals)
+    return a, b
 
 
-def cooccurrence_edges(
-    sf_dir: str, override_num_blocks: int | None = None
+def _cosupply_edge_pipeline(
+    sf_dir: str,
+    threshold: float,
+    pair_fn,
+    override_num_blocks: int | None = None,
+    edge_salt: int = 0x51C7,
 ) -> "ray.data.Dataset":
-    """Distinct undirected co-supplier edges {a < b} (packed in column
-    ``e`` = a * 2^32 + b) from high-quantity lineitems.
-    ``override_num_blocks`` exists for the partitioning-independence test
-    only — the result is a pure function of the data."""
+    """Shared two-exchange scaffold for packed-edge construction from
+    high-quantity lineitems: order-bucketed pair generation (``pair_fn``
+    turns one group's sorted (order, supplier) arrays into packed edges)
+    with a per-group combiner, then one edge-bucketed distinct exchange,
+    empty-block-normalized at the source."""
     raw = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_quantity"],
@@ -87,7 +78,7 @@ def cooccurrence_edges(
     # whose plan would execute on size_bytes); floor = the measured-good
     # sandbox constant
     nb = bucket_count(raw.size_bytes(), floor=N_BUCKETS)
-    li = raw.filter(expr=f"l_quantity > {TRI_QTY_THRESHOLD}")
+    li = raw.filter(expr=f"l_quantity > {threshold}")
 
     def order_bucket(t: pa.Table) -> pa.Table:
         ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
@@ -106,8 +97,7 @@ def cooccurrence_edges(
         su = su.sort_by([("l_orderkey", "ascending"), ("l_suppkey", "ascending")])
         ok = su.column("l_orderkey").to_numpy(zero_copy_only=False)
         sk = su.column("l_suppkey").to_numpy(zero_copy_only=False)
-        a, b = _pairs_by_size(ok, sk)
-        e = np.unique(_pack(a, b))  # local combiner before the edge shuffle
+        e = np.unique(pair_fn(ok, sk))  # local combiner before the shuffle
         return pa.table({"e": pa.array(e, pa.int64())})
 
     pairs = (
@@ -118,7 +108,7 @@ def cooccurrence_edges(
 
     def edge_bucket(t: pa.Table) -> pa.Table:
         e = np.unique(t.column("e").to_numpy(zero_copy_only=False))
-        b = (hash64_ints(e, salt=0x51C7) % nb).astype(np.int32)
+        b = (hash64_ints(e, salt=edge_salt) % nb).astype(np.int32)
         return pa.table({"e": pa.array(e, pa.int64()), "bucket": pa.array(b, pa.int32())})
 
     def edge_unique(g: pa.Table) -> pa.Table:
@@ -136,6 +126,26 @@ def cooccurrence_edges(
     from pie_ray.util import drop_empty_blocks
 
     return drop_empty_blocks(out.materialize(), schema=EDGE_SCHEMA)
+
+
+def _undirected_pair_edges(ok: np.ndarray, sk: np.ndarray) -> np.ndarray:
+    a, b = _pairs_by_size(ok, sk)
+    return _pack(a, b)
+
+
+def cooccurrence_edges(
+    sf_dir: str, override_num_blocks: int | None = None
+) -> "ray.data.Dataset":
+    """Distinct undirected co-supplier edges {a < b} (packed in column
+    ``e`` = a * 2^32 + b) from high-quantity lineitems.
+    ``override_num_blocks`` exists for the partitioning-independence test
+    only — the result is a pure function of the data."""
+    return _cosupply_edge_pipeline(
+        sf_dir,
+        TRI_QTY_THRESHOLD,
+        _undirected_pair_edges,
+        override_num_blocks=override_num_blocks,
+    )
 
 
 def _oriented_csr(edges_packed: np.ndarray):
@@ -1818,6 +1828,14 @@ SCC_DRIVER_EDGE_LIMIT = 5_000_000
 SCC_QTY_THRESHOLD = 48.0
 
 
+def _parity_directed_pair_edges(ok: np.ndarray, sk: np.ndarray) -> np.ndarray:
+    o, a, b = _keyed_pairs_by_size(ok, sk)
+    even = o % 2 == 0
+    src = np.where(even, a, b)
+    dst = np.where(even, b, a)
+    return src * PACK + dst
+
+
 def cosupply_directed_edges(
     sf_dir: str, override_num_blocks: int | None = None
 ) -> "ray.data.Dataset":
@@ -1825,63 +1843,15 @@ def cosupply_directed_edges(
     dst) from high-quantity lineitems: for each co-supply pair (a < b) on
     an order, the edge points a -> b on even orders and b -> a on odd ones
     — the same pair can occur on orders of both parities, which is what
-    puts CYCLES (and so non-trivial SCCs) into the graph. Same two-stage
-    shape as ``cooccurrence_edges``: order-bucketed pair generation with a
-    per-group combiner, then one edge-bucketed distinct exchange."""
-    raw = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+    puts CYCLES (and so non-trivial SCCs) into the graph. Shares the
+    two-exchange scaffold with ``cooccurrence_edges``."""
+    return _cosupply_edge_pipeline(
+        sf_dir,
+        SCC_QTY_THRESHOLD,
+        _parity_directed_pair_edges,
         override_num_blocks=override_num_blocks,
+        edge_salt=0x5CC,
     )
-    nb = bucket_count(raw.size_bytes(), floor=N_BUCKETS)
-    li = raw.filter(expr=f"l_quantity > {SCC_QTY_THRESHOLD}")
-
-    def order_bucket(t: pa.Table) -> pa.Table:
-        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        b = (hash64_ints(ok, salt=0x7219) % nb).astype(np.int32)
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "l_suppkey": t.column("l_suppkey"),
-                "bucket": pa.array(b, pa.int32()),
-            }
-        )
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        su = g.group_by(["l_orderkey", "l_suppkey"]).aggregate([])
-        su = su.sort_by([("l_orderkey", "ascending"), ("l_suppkey", "ascending")])
-        ok = su.column("l_orderkey").to_numpy(zero_copy_only=False)
-        sk = su.column("l_suppkey").to_numpy(zero_copy_only=False)
-        o, a, b = _keyed_pairs_by_size(ok, sk)
-        even = o % 2 == 0
-        src = np.where(even, a, b)
-        dst = np.where(even, b, a)
-        e = np.unique(src * PACK + dst)
-        return pa.table({"e": pa.array(e, pa.int64())})
-
-    pairs = (
-        li.map_batches(order_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-
-    def edge_bucket(t: pa.Table) -> pa.Table:
-        e = np.unique(t.column("e").to_numpy(zero_copy_only=False))
-        b = (hash64_ints(e, salt=0x5CC) % nb).astype(np.int32)
-        return pa.table({"e": pa.array(e, pa.int64()), "bucket": pa.array(b, pa.int32())})
-
-    def edge_unique(g: pa.Table) -> pa.Table:
-        e = np.unique(g.column("e").to_numpy(zero_copy_only=False))
-        return pa.table({"e": pa.array(e, pa.int64())})
-
-    out = (
-        pairs.map_batches(edge_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(edge_unique, batch_format="pyarrow")
-    )
-    from pie_ray.util import drop_empty_blocks
-
-    return drop_empty_blocks(out.materialize(), schema=EDGE_SCHEMA)
 
 
 def _keyed_pairs_by_size(
@@ -2004,6 +1974,18 @@ def scc(edges_ds, src: str = "src", dst: str = "dst"):
         raise NotImplementedError(
             "scc beyond the driver edge budget needs iterated FW-BW "
             "min-label coloring (declared seam; see docstring)"
+        )
+    if m == 0:
+        # typed empty result (gather_table on an all-empty mapped output
+        # can lose the schema entirely — don't let tbl.column() KeyError)
+        sch = edges.schema()
+        id_t = (
+            sch.types[sch.names.index(src)]
+            if sch is not None and src in sch.names
+            else pa.int64()
+        )
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], id_t), "scc": pa.array([], id_t)})
         )
     tbl = gather_table(edges)
     sa, da = tbl.column(src), tbl.column(dst)

@@ -100,7 +100,14 @@ def _delta_counts(path: str, n_deltas: int) -> dict[int, int]:
     import pyarrow.parquet as pq
 
     counts: dict[int, int] = {i: 0 for i in range(n_deltas)}
+    # committed range dirs ONLY: range=N.tmp/.old staging dirs also match
+    # the range=* glob, and a killed child's orphaned merge worker can
+    # leave uncommitted parquet there — counting it would corrupt the
+    # atomicity evidence
     for f in glob.glob(os.path.join(path, "range=*", "*.parquet")):
+        d = os.path.basename(os.path.dirname(f))
+        if d.endswith(".tmp") or d.endswith(".old"):
+            continue
         for p in pq.read_table(f, columns=["payload"]).column("payload").to_pylist():
             if p.startswith("d") and "-" in p:
                 i = int(p[1:].split("-", 1)[0])
@@ -161,6 +168,9 @@ def main() -> None:
             os.kill(proc.pid, signal.SIGKILL)
             proc.wait()
             kills += 1
+            # let the child's orphaned Ray workers notice the driver died
+            # before touching the layout (single-writer contract)
+            time.sleep(2.0)
         # layout must recover and be delta-atomic after every kill
         recover_sorted(OUT)
         _assert_atomic(OUT, n_total)
@@ -184,7 +194,11 @@ def main() -> None:
         if proc.poll() is None:
             os.kill(proc.pid, signal.SIGKILL)
             proc.wait()
-        kills += 1
+            kills += 1
+            time.sleep(2.0)
+        elif caught:
+            kills += 1  # the in-window kill above
+            time.sleep(2.0)
         if caught:
             journal_kills += 1
             rec = recover_sorted(OUT)
