@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pie_ray.functions.graphops", "q_graph_link_predict"
         ),
         "graph_scc": _lazy("pie_ray.functions.graphops", "q_graph_scc"),
+        "graph_bfs": _lazy("pie_ray.functions.graphops", "q_graph_bfs"),
+        "graph_walks": _lazy("pie_ray.functions.graphops", "q_graph_walks"),
         "window_first_last": relational.q_window_first_last,
         "impute_nulls": relational.q_impute_nulls,
         "host_linkgraph": _lazy("pie_ray.pipelines.curation", "q_host_linkgraph"),
@@ -828,6 +830,68 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc
             FROM nodes n LEFT JOIN mutual m ON m.v = n.v
             GROUP BY n.v
+        """,
+        "graph_bfs": """
+            -- multi-source BFS depth from {s_suppkey % 7 == 0} over the
+            -- UNDIRECTED co-supplier graph: depth-capped recursive
+            -- reachability; MIN(d) = fewest hops (bounded: (node, d)
+            -- pairs <= n * 17 — same small-oracle-graph argument as
+            -- graph_components)
+            WITH RECURSIVE su AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_quantity > 46.0
+            ), e AS (
+              SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+              FROM su a JOIN su b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            ), seeds AS (
+              SELECT s_suppkey AS v FROM supplier WHERE s_suppkey % 7 = 0
+            ), bfs(node, d) AS (
+              SELECT v, 0 FROM seeds
+              UNION
+              SELECT e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.node
+              WHERE bfs.d < 16
+            )
+            SELECT node AS s_suppkey, CAST(MIN(d) AS BIGINT) AS depth
+            FROM bfs GROUP BY node
+        """,
+        "graph_walks": """
+            -- deterministic 8-step walks from {graph nodes % 3 == 0} +
+            -- the min graph node over the UNDIRECTED co-supplier graph:
+            -- next hop = neighbor at rank (node*7919 + step*104729 +
+            -- seed*31) % degree in the ASCENDING neighbor list — the
+            -- identical mix the engine applies, so every row reproduces
+            WITH RECURSIVE su AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_quantity > 46.0
+            ), e AS (
+              SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+              FROM su a JOIN su b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            ), adj AS (
+              SELECT a, b,
+                     ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS rn,
+                     COUNT(*) OVER (PARTITION BY a) AS deg
+              FROM e
+            ), seeds AS (
+              -- NOT a UNION: inside WITH RECURSIVE, DuckDB treats a
+              -- UNION-shaped CTE as recursive and the dedup semantics
+              -- change (observed: the min node doubled)
+              SELECT DISTINCT a AS v FROM e
+              WHERE a % 3 = 0 OR a = (SELECT MIN(a) FROM e)
+            ), walk(seed, step, node) AS (
+              SELECT v, 0, v FROM seeds
+              UNION ALL
+              SELECT w.seed, w.step + 1, a.b
+              FROM walk w JOIN adj a ON a.a = w.node
+               AND a.rn = (w.node * 7919 + (w.step + 1) * 104729
+                           + w.seed * 31) % a.deg
+              WHERE w.step < 8
+            )
+            SELECT CAST(seed AS BIGINT) AS seed,
+                   CAST(step AS BIGINT) AS step,
+                   CAST(node AS BIGINT) AS node
+            FROM walk
         """,
         "window_events": """
             SELECT date_trunc('hour', ts) AS window_start,

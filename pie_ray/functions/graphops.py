@@ -2035,3 +2035,519 @@ def q_graph_scc(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS depths + deterministic random walks
+# ---------------------------------------------------------------------------
+# Frontier BFS (Pregel-style) and node2vec-style walk sampling are the two
+# iterative primitives a KG/link-graph stack still lacked next to
+# pagerank/cc/scc: BFS powers crawl-radius and entity-neighborhood cuts,
+# walks power graph-embedding samplers. Both are size-adaptive like
+# connected_components: a driver CSR kernel under BFS_DRIVER_EDGE_LIMIT,
+# and a per-round join path above it (equivalence-tested; rounds =
+# O(depth) sequential exchanges with .materialize() barriers so two
+# all-to-alls never share a streaming plan).
+
+BFS_DRIVER_EDGE_LIMIT = 5_000_000
+BFS_MAX_DEPTH = 16
+WALK_A, WALK_B, WALK_C = 7919, 104729, 31  # next-step mix constants
+
+
+def _sorted_csr(src: np.ndarray, dst: np.ndarray):
+    """Renumber int64 endpoints and return (nodes, dst_sorted, head, tail)
+    with each node's out-neighbors ASCENDING (the walk contract: rank in
+    the sorted neighbor list is the SQL ROW_NUMBER() ... ORDER BY b)."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return nodes, z, z, z
+    s = inv[: len(src)].astype(np.int64)
+    d = inv[len(src) :].astype(np.int64)
+    packed = np.unique(s * np.int64(n) + d)  # sorted by (s, d) => d asc per s
+    s, d = packed // n, packed % n
+    head = np.searchsorted(s, np.arange(n))
+    tail = np.searchsorted(s, np.arange(n), side="right")
+    return nodes, d, head, tail
+
+
+def bfs_driver(
+    src: np.ndarray, dst: np.ndarray, seeds: np.ndarray, max_depth: int
+) -> pa.Table:
+    """(node, depth) = shortest hop count from the seed SET over a directed
+    int64 edge list, vectorized frontier expansion on a sorted CSR. Seeds
+    absent from the graph still come out at depth 0 (isolated sources —
+    matches the SQL oracle's seed-anchored recursion)."""
+    nodes, d, head, tail = _sorted_csr(src, dst)
+    n = len(nodes)
+    seed_arr = np.unique(np.asarray(seeds, dtype=np.int64))
+    out_nodes = [seed_arr]
+    out_depth = [np.zeros(len(seed_arr), np.int64)]
+    if n == 0:
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+                "depth": pa.array(np.concatenate(out_depth), pa.int64()),
+            }
+        )
+    pos = np.searchsorted(nodes, seed_arr)
+    in_graph = (pos < n) & (nodes[np.minimum(pos, n - 1)] == seed_arr)
+    dist = np.full(n, -1, np.int64)
+    frontier = pos[in_graph]
+    dist[frontier] = 0
+    for depth in range(1, max_depth + 1):
+        if len(frontier) == 0:
+            break
+        counts = (tail[frontier] - head[frontier]).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            break
+        starts = np.repeat(head[frontier], counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        nbrs = np.unique(d[starts + offs])
+        new = nbrs[dist[nbrs] < 0]
+        if len(new) == 0:
+            break
+        dist[new] = depth
+        out_nodes.append(nodes[new])
+        out_depth.append(np.full(len(new), depth, np.int64))
+        frontier = new
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+            "depth": pa.array(np.concatenate(out_depth), pa.int64()),
+        }
+    )
+
+
+def _bucketed_distinct(ds, col: str, nb: int):
+    """One bounded bucketed exchange -> distinct values of ``col`` (the
+    repo-standard alternative to a high-cardinality Ray groupby)."""
+    def tag(t: pa.Table) -> pa.Table:
+        arr = pc.unique(t.column(col).combine_chunks())
+        if pa.types.is_integer(arr.type):
+            h = hash64_ints(arr.to_numpy(zero_copy_only=False).astype("int64"), salt=0xBF5)
+        else:
+            from pie_ray.util import bucket_hash_strings
+
+            h = bucket_hash_strings(arr, salt=0xBF5)
+        return pa.table(
+            {col: arr, "bucket": pa.array((h % nb).astype("int32"), pa.int32())}
+        )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(g.column(col).combine_chunks())})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def bfs_depths(
+    edges_ds,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = BFS_MAX_DEPTH,
+    force_distributed: bool = False,
+):
+    """Multi-source BFS over ANY directed int64 edge Dataset -> Dataset
+    ``(node, depth)``, depth = fewest hops from the seed set (capped at
+    ``max_depth``; unreached nodes are absent). ``seeds`` is a small
+    explicit id list (crawl seeds / trusted hosts / entity anchors — the
+    caller owns its size).
+
+    Size-adaptive: below ``BFS_DRIVER_EDGE_LIMIT`` edges the vectorized CSR
+    frontier kernel runs on the driver; above it (or forced), Pregel-style
+    frontier rounds run distributed — each round is one inner join
+    (edges x frontier), one bucketed distinct, and one left_anti join
+    against the settled set, materialized between rounds so exchanges never
+    overlap in one streaming plan. Rounds = reached depth <= max_depth.
+    Both paths agree by construction (equivalence-tested)."""
+    import ray
+
+    from pie_ray.util import drop_empty_blocks
+
+    edges = edges_ds.materialize()
+    m = edges.count()
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if m <= BFS_DRIVER_EDGE_LIMIT and not force_distributed:
+        if m == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(seed_arr, pa.int64()),
+                        "depth": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64()),
+                    }
+                )
+            )
+        tbl = gather_table(edges)
+        return ray.data.from_arrow(
+            bfs_driver(
+                tbl.column(src).to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl.column(dst).to_numpy(zero_copy_only=False).astype(np.int64),
+                seed_arr,
+                max_depth,
+            )
+        )
+
+    nb = bucket_count(edges.size_bytes(), floor=N_BUCKETS)
+    n_parts = join_num_partitions(edges.size_bytes())
+    settled = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seed_arr, pa.int64()),
+                "depth": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        hop = edges.join(
+            frontier.select_columns(["node"]),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=(src,),
+            right_on=("node",),
+        )
+        cand = drop_empty_blocks(
+            _bucketed_distinct(
+                hop.map_batches(
+                    lambda t: pa.table({"node": t.column(dst)}),
+                    batch_format="pyarrow",
+                ),
+                "node",
+                nb,
+            ).materialize()
+        ).materialize()
+        if cand.count() == 0:
+            break
+        new = drop_empty_blocks(
+            cand.join(
+                settled.select_columns(["node"]),
+                join_type="left_anti",
+                num_partitions=n_parts,
+                on=("node",),
+                right_on=("node",),
+            ).materialize()
+        ).materialize()
+        if new.count() == 0:
+            break
+        tagged = new.map_batches(
+            lambda t, _d=depth: pa.table(
+                {
+                    "node": t.column("node"),
+                    "depth": pa.array(
+                        np.full(t.num_rows, _d, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        settled = settled.union(tagged).materialize()
+        frontier = tagged
+    return settled
+
+
+def q_graph_bfs(sf_dir: str):
+    """Driver entry: BFS depth from the seed set {s_suppkey % 7 == 0} over
+    the UNDIRECTED co-supplier graph (both directions of
+    ``cooccurrence_edges``). Oracled via a depth-capped recursive CTE
+    (feasible because (node, d) pairs are bounded by n * (max_depth+1) —
+    same small-oracle-graph argument as graph_components)."""
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    )
+    sk = gather_table(supp).column("s_suppkey").to_numpy(zero_copy_only=False)
+    seeds = np.asarray(sk, dtype=np.int64)
+    seeds = seeds[seeds % 7 == 0]
+
+    def split(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        a = (e // PACK).astype(np.int64)
+        b = (e % PACK).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = cooccurrence_edges(sf_dir).map_batches(split, batch_format="pyarrow")
+    res = bfs_depths(edges, seeds)
+    return res.map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": t.column("node"), "depth": t.column("depth")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def walks_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seeds: np.ndarray,
+    num_steps: int,
+) -> pa.Table:
+    """(seed, step, node) deterministic walks over a directed int64 edge
+    list, vectorized across ALL walkers per step on a sorted CSR. The next
+    hop from ``node`` at ``step`` is the neighbor at rank
+    ``(node*WALK_A + step*WALK_B + seed*WALK_C) % degree`` in the
+    ASCENDING neighbor list — a pure function of (seed, step, node), so
+    the walk set is partitioning-free and SQL-expressible (ROW_NUMBER
+    rank + the same mix, see the oracle). Walkers at out-degree-0 nodes
+    stop (their remaining steps are absent)."""
+    nodes, d, head, tail = _sorted_csr(src, dst)
+    n = len(nodes)
+    seed_arr = np.unique(np.asarray(seeds, dtype=np.int64))
+    out_seed = [seed_arr]
+    out_step = [np.zeros(len(seed_arr), np.int64)]
+    out_node = [seed_arr]
+    if n == 0 or len(seed_arr) == 0:
+        return pa.table(
+            {
+                "seed": pa.array(np.concatenate(out_seed), pa.int64()),
+                "step": pa.array(np.concatenate(out_step), pa.int64()),
+                "node": pa.array(np.concatenate(out_node), pa.int64()),
+            }
+        )
+    pos = np.searchsorted(nodes, seed_arr)
+    in_graph = (pos < n) & (nodes[np.minimum(pos, n - 1)] == seed_arr)
+    w_seed = seed_arr[in_graph]
+    w_idx = pos[in_graph]
+    for step in range(1, num_steps + 1):
+        if len(w_idx) == 0:
+            break
+        deg = (tail[w_idx] - head[w_idx]).astype(np.int64)
+        alive = deg > 0
+        if not alive.any():
+            break
+        w_seed, w_idx, deg = w_seed[alive], w_idx[alive], deg[alive]
+        cur_id = nodes[w_idx]
+        rank = (cur_id * WALK_A + step * WALK_B + w_seed * WALK_C) % deg
+        w_idx = d[head[w_idx] + rank]
+        out_seed.append(w_seed)
+        out_step.append(np.full(len(w_seed), step, np.int64))
+        out_node.append(nodes[w_idx])
+    return pa.table(
+        {
+            "seed": pa.array(np.concatenate(out_seed), pa.int64()),
+            "step": pa.array(np.concatenate(out_step), pa.int64()),
+            "node": pa.array(np.concatenate(out_node), pa.int64()),
+        }
+    )
+
+
+def ranked_adjacency(edges_ds, src: str = "src", dst: str = "dst", nb: int | None = None):
+    """Distributed ranked adjacency (a, b, rn, deg) with rn = 0-based rank
+    of b in a's ASCENDING neighbor list: ONE bucketed exchange on hash(a),
+    then a vectorized per-bucket sort + run-length rank (no per-node
+    Python). The walk scale path joins the frontier against this."""
+    edges = edges_ds.materialize()
+    if nb is None:
+        nb = bucket_count(edges.size_bytes(), floor=N_BUCKETS)
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash64_ints(a, salt=0xADA) % nb
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": t.column(dst),
+                "bucket": pa.array(h.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        # distinct (a, b): duplicate edges would corrupt ranks
+        if len(a):
+            keep = np.ones(len(a), bool)
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[keep], b[keep]
+        starts = np.ones(len(a), bool)
+        if len(a):
+            starts[1:] = a[1:] != a[:-1]
+        grp = np.cumsum(starts) - 1
+        first = np.flatnonzero(starts)
+        rn = np.arange(len(a), dtype=np.int64) - first[grp]
+        counts = np.diff(np.append(first, len(a)))
+        deg = counts[grp].astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    from pie_ray.util import drop_empty_blocks
+
+    out = (
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+    return drop_empty_blocks(
+        out.materialize(),
+        schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("rn", pa.int64()), ("deg", pa.int64())]
+        ),
+    )
+
+
+def random_walks(
+    edges_ds,
+    seeds,
+    num_steps: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    force_distributed: bool = False,
+):
+    """Deterministic rank-based walks (node2vec-style sampler shape) over
+    ANY directed int64 edge Dataset -> Dataset ``(seed, step, node)``:
+    one row per walker per step 0..num_steps, next hop = neighbor at rank
+    ``(node*WALK_A + step*WALK_B + seed*WALK_C) % degree`` in the sorted
+    neighbor list. The mix makes every walk a pure function of the graph
+    and the seed id — independent of partitioning, batch size, and
+    parallelism, and exactly reproducible by the SQL oracle.
+
+    Size-adaptive: below ``BFS_DRIVER_EDGE_LIMIT`` edges a vectorized CSR
+    kernel steps ALL walkers at once on the driver; above it (or forced),
+    each step is one inner join of the walker frontier against the ranked
+    adjacency plus a vectorized rank filter, materialized per step. At
+    scale, walkers per step is the seed count — the frontier never grows,
+    so the join cost is num_steps bounded exchanges."""
+    import ray
+
+    from pie_ray.util import drop_empty_blocks
+
+    edges = edges_ds.materialize()
+    m = edges.count()
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if m <= BFS_DRIVER_EDGE_LIMIT and not force_distributed:
+        if m == 0:
+            return ray.data.from_arrow(
+                walks_driver(
+                    np.empty(0, np.int64), np.empty(0, np.int64), seed_arr, num_steps
+                )
+            )
+        tbl = gather_table(edges)
+        return ray.data.from_arrow(
+            walks_driver(
+                tbl.column(src).to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl.column(dst).to_numpy(zero_copy_only=False).astype(np.int64),
+                seed_arr,
+                num_steps,
+            )
+        )
+
+    adj = ranked_adjacency(edges, src=src, dst=dst).materialize()
+    n_parts = join_num_partitions(edges.size_bytes())
+    frontier = ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array(seed_arr, pa.int64()),
+                "node": pa.array(seed_arr, pa.int64()),
+            }
+        )
+    ).materialize()
+    acc = frontier.map_batches(
+        lambda t: pa.table(
+            {
+                "seed": t.column("seed"),
+                "step": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "node": t.column("node"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    out_parts = [acc]
+    for step in range(1, num_steps + 1):
+        hop = frontier.join(
+            adj,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("node",),
+            right_on=("a",),
+        )
+
+        def pick(t: pa.Table, _s=step) -> pa.Table:
+            sd = t.column("seed").to_numpy(zero_copy_only=False).astype(np.int64)
+            node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            rn = t.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+            deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+            want = (node * WALK_A + _s * WALK_B + sd * WALK_C) % deg
+            keep = rn == want
+            return pa.table(
+                {
+                    "seed": pa.array(sd[keep], pa.int64()),
+                    "node": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        nxt = drop_empty_blocks(
+            hop.map_batches(pick, batch_format="pyarrow").materialize(),
+            schema=pa.schema([("seed", pa.int64()), ("node", pa.int64())]),
+        ).materialize()
+        if nxt.count() == 0:
+            break
+        tagged = nxt.map_batches(
+            lambda t, _s=step: pa.table(
+                {
+                    "seed": t.column("seed"),
+                    "step": pa.array(np.full(t.num_rows, _s, np.int64), pa.int64()),
+                    "node": t.column("node"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        out_parts.append(tagged)
+        frontier = nxt
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out.materialize()
+
+
+def q_graph_walks(sf_dir: str):
+    """Driver entry: deterministic 8-step walks from the seed set
+    {graph nodes with suppkey % 3 == 0} ∪ {min graph node} over the
+    UNDIRECTED co-supplier graph. Oracled via a recursive CTE over a
+    ROW_NUMBER-ranked adjacency applying the identical rank mix — every
+    engine row must reproduce exactly (the walk is a pure function of the
+    graph and the seed). The seed pull is bounded by the supplier node
+    universe (a dimension, never the fact table)."""
+
+    def split(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        a = (e // PACK).astype(np.int64)
+        b = (e % PACK).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = cooccurrence_edges(sf_dir).map_batches(split, batch_format="pyarrow")
+    edges = edges.materialize()
+    nodes = gather_table(
+        _bucketed_distinct(
+            edges.select_columns(["src"]), "src", N_BUCKETS
+        ).materialize()
+    ).column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    seeds = nodes[nodes % 3 == 0]
+    if len(nodes):
+        seeds = np.union1d(seeds, nodes.min())
+    res = random_walks(edges, seeds, num_steps=8)
+    return res

@@ -812,3 +812,160 @@ class TestScc:
         assert len(rows) > 0
         assert any(c > 1 for c in sizes.values()), "no non-trivial SCC"
         assert any(c == 1 for c in sizes.values()), "no singleton SCC"
+
+
+class TestBfsWalks:
+    def _edges_ds(self, pairs, num_blocks=None):
+        import ray.data
+
+        t = pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs], pa.int64()),
+                "dst": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        return ds.repartition(num_blocks) if num_blocks else ds
+
+    def _nx_depths(self, pairs, seeds, cap=16):
+        import networkx as nx
+
+        g = nx.DiGraph()
+        g.add_edges_from(pairs)
+        want = {int(s): 0 for s in seeds}  # isolated seeds at depth 0
+        for s in seeds:
+            if s not in g:
+                continue
+            for n, d in nx.single_source_shortest_path_length(g, s, cutoff=cap).items():
+                if n not in want or d < want[n]:
+                    want[int(n)] = int(d)
+        return want
+
+    def _bfs_map(self, ds):
+        df = ds.to_pandas()
+        return dict(zip(df["node"].astype(int), df["depth"].astype(int)))
+
+    def test_bfs_matches_networkx_random(self, ray_session):
+        rng = np.random.RandomState(7)
+        for trial in range(4):
+            n, m = 40, 90
+            pairs = set()
+            while len(pairs) < m:
+                a, b = rng.randint(1, n + 1, 2)
+                if a != b:
+                    pairs.add((int(a), int(b)))
+            pairs = sorted(pairs)
+            seeds = [1, 5, 999]  # 999 is isolated (not in the graph)
+            got = self._bfs_map(G.bfs_depths(self._edges_ds(pairs), seeds))
+            assert got == self._nx_depths(pairs, seeds)
+
+    def test_bfs_driver_equals_distributed(self, ray_session):
+        rng = np.random.RandomState(13)
+        pairs = sorted(
+            {
+                (int(a), int(b))
+                for a, b in rng.randint(1, 25, (60, 2))
+                if a != b
+            }
+        )
+        seeds = [2, 3]
+        drv = self._bfs_map(G.bfs_depths(self._edges_ds(pairs), seeds))
+        dist = self._bfs_map(
+            G.bfs_depths(self._edges_ds(pairs, num_blocks=5), seeds, force_distributed=True)
+        )
+        assert drv == dist
+
+    def test_bfs_max_depth_cap(self, ray_session):
+        # a directed 10-chain from 1: cap 3 keeps only depths 0..3
+        pairs = [(i, i + 1) for i in range(1, 11)]
+        got = self._bfs_map(G.bfs_depths(self._edges_ds(pairs), [1], max_depth=3))
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+        dist = self._bfs_map(
+            G.bfs_depths(
+                self._edges_ds(pairs, num_blocks=3), [1], max_depth=3,
+                force_distributed=True,
+            )
+        )
+        assert dist == got
+
+    def _brute_walks(self, pairs, seeds, steps):
+        adj = {}
+        for a, b in set(pairs):
+            adj.setdefault(a, set()).add(b)
+        adj = {a: sorted(bs) for a, bs in adj.items()}
+        rows = set()
+        for s in sorted(set(seeds)):
+            rows.add((s, 0, s))
+            cur = s
+            for st in range(1, steps + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[(cur * G.WALK_A + st * G.WALK_B + s * G.WALK_C) % len(nbrs)]
+                rows.add((s, st, cur))
+        return rows
+
+    def _walk_rows(self, ds):
+        df = ds.to_pandas()
+        return set(
+            zip(df["seed"].astype(int), df["step"].astype(int), df["node"].astype(int))
+        )
+
+    def test_walks_match_brute_random(self, ray_session):
+        rng = np.random.RandomState(17)
+        for trial in range(4):
+            pairs = sorted(
+                {
+                    (int(a), int(b))
+                    for a, b in rng.randint(1, 30, (80, 2))
+                    if a != b
+                }
+            )
+            seeds = [1, 4, 9]
+            got = self._walk_rows(G.random_walks(self._edges_ds(pairs), seeds, num_steps=6))
+            assert got == self._brute_walks(pairs, seeds, 6)
+
+    def test_walks_driver_equals_distributed(self, ray_session):
+        rng = np.random.RandomState(23)
+        pairs = sorted(
+            {
+                (int(a), int(b))
+                for a, b in rng.randint(1, 20, (50, 2))
+                if a != b
+            }
+        )
+        seeds = [1, 6]
+        drv = self._walk_rows(G.random_walks(self._edges_ds(pairs), seeds, num_steps=5))
+        dist = self._walk_rows(
+            G.random_walks(
+                self._edges_ds(pairs, num_blocks=4), seeds, num_steps=5,
+                force_distributed=True,
+            )
+        )
+        assert drv == dist == self._brute_walks(pairs, seeds, 5)
+
+    def test_walks_dead_end_stops(self, ray_session):
+        # 1 -> 2 -> 3 (3 has no out-edges): the walk stops at step 2
+        pairs = [(1, 2), (2, 3)]
+        got = self._walk_rows(G.random_walks(self._edges_ds(pairs), [1], num_steps=8))
+        assert got == {(1, 0, 1), (1, 1, 2), (1, 2, 3)}
+        dist = self._walk_rows(
+            G.random_walks(
+                self._edges_ds(pairs, num_blocks=2), [1], num_steps=8,
+                force_distributed=True,
+            )
+        )
+        assert dist == got
+
+    def test_walks_partition_independence(self, ray_session):
+        rng = np.random.RandomState(29)
+        pairs = sorted(
+            {
+                (int(a), int(b))
+                for a, b in rng.randint(1, 40, (120, 2))
+                if a != b
+            }
+        )
+        a = self._walk_rows(G.random_walks(self._edges_ds(pairs, num_blocks=1), [3, 12], num_steps=7))
+        b = self._walk_rows(G.random_walks(self._edges_ds(pairs, num_blocks=9), [3, 12], num_steps=7))
+        assert a == b
