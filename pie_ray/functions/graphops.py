@@ -48,6 +48,33 @@ def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a.astype(np.int64) * PACK + b.astype(np.int64)
 
 
+def _split_directed(t: pa.Table) -> pa.Table:
+    """Unpack packed edges (column ``e`` = src * 2^32 + dst) into one
+    (src, dst) row each — the shared edge adapter for directed entries."""
+    e = t.column("e").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "src": pa.array((e // PACK).astype(np.int64), pa.int64()),
+            "dst": pa.array((e % PACK).astype(np.int64), pa.int64()),
+        }
+    )
+
+def _split_undirected(t: pa.Table) -> pa.Table:
+    """Unpack packed {a < b} edges (column ``e``) into BOTH directions
+    (src, dst) — the shared edge adapter for entries that treat the
+    co-supplier graph as undirected."""
+    e = t.column("e").to_numpy(zero_copy_only=False)
+    a = (e // PACK).astype(np.int64)
+    b = (e % PACK).astype(np.int64)
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        }
+    )
+
+
+
 def _pairs_by_size(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """All unordered within-group value pairs of a (group-sorted) key/value
     pair of arrays, vectorized by grouping the groups by SIZE: one fancy-
@@ -528,18 +555,7 @@ def core_numbers_distributed(edges: "ray.data.Dataset", max_rounds: int = 200):
     the exchanges out of one streaming plan (repo rule). Returns a Dataset
     ``(s_suppkey, core)``; equivalence vs the driver peel is pytest-gated."""
 
-    def split_both(t: pa.Table) -> pa.Table:
-        e = t.column("e").to_numpy(zero_copy_only=False)
-        a = (e // PACK).astype(np.int64)
-        b = (e % PACK).astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-            }
-        )
-
-    directed = edges.map_batches(split_both, batch_format="pyarrow").materialize()
+    directed = edges.map_batches(_split_undirected, batch_format="pyarrow").materialize()
     n_parts = join_num_partitions(directed.size_bytes())
     nb = bucket_count(directed.size_bytes(), floor=N_BUCKETS)
 
@@ -1244,18 +1260,7 @@ def label_propagation(edges: "ray.data.Dataset", max_rounds: int = 20):
     bounds the cost while keeping determinism."""
     from pie_ray.util import drop_empty_blocks
 
-    def split_both(t: pa.Table) -> pa.Table:
-        e = t.column("e").to_numpy(zero_copy_only=False)
-        a = (e // PACK).astype(np.int64)
-        b = (e % PACK).astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-            }
-        )
-
-    directed = edges.map_batches(split_both, batch_format="pyarrow").materialize()
+    directed = edges.map_batches(_split_undirected, batch_format="pyarrow").materialize()
     n_parts = join_num_partitions(directed.size_bytes())
     nb = bucket_count(directed.size_bytes(), floor=N_BUCKETS)
     _LAB_SCHEMA = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
@@ -1385,16 +1390,9 @@ def q_graph_components(sf_dir: str):
     size-adaptive ``connected_components`` the KG linking stage uses).
     Component label = smallest member id on both sides."""
 
-    def split(t: pa.Table) -> pa.Table:
-        e = t.column("e").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": pa.array((e // PACK).astype(np.int64), pa.int64()),
-                "dst": pa.array((e % PACK).astype(np.int64), pa.int64()),
-            }
-        )
-
-    edges = cooccurrence_edges(sf_dir).map_batches(split, batch_format="pyarrow")
+    edges = cooccurrence_edges(sf_dir).map_batches(
+        _split_directed, batch_format="pyarrow"
+    )
     comp = connected_components(edges)
     return comp.map_batches(
         lambda t: pa.table(
@@ -2018,16 +2016,9 @@ def q_graph_scc(sf_dir: str):
     AND reach(v,u) (feasible because the oracle graph is small, the same
     argument as graph_components)."""
 
-    def split(t: pa.Table) -> pa.Table:
-        e = t.column("e").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": pa.array((e // PACK).astype(np.int64), pa.int64()),
-                "dst": pa.array((e % PACK).astype(np.int64), pa.int64()),
-            }
-        )
-
-    edges = cosupply_directed_edges(sf_dir).map_batches(split, batch_format="pyarrow")
+    edges = cosupply_directed_edges(sf_dir).map_batches(
+        _split_directed, batch_format="pyarrow"
+    )
     comp = scc(edges)
     return comp.map_batches(
         lambda t: pa.table(
@@ -2051,6 +2042,7 @@ def q_graph_scc(sf_dir: str):
 BFS_DRIVER_EDGE_LIMIT = 5_000_000
 BFS_MAX_DEPTH = 16
 WALK_A, WALK_B, WALK_C = 7919, 104729, 31  # next-step mix constants
+
 
 
 def _sorted_csr(src: np.ndarray, dst: np.ndarray):
@@ -2207,13 +2199,20 @@ def bfs_depths(
     ).materialize()
     frontier = settled
     for depth in range(1, max_depth + 1):
-        hop = edges.join(
-            frontier.select_columns(["node"]),
-            join_type="inner",
-            num_partitions=n_parts,
-            on=(src,),
-            right_on=("node",),
-        )
+        # barrier + empty-block normalization between the join and the
+        # bucketed-distinct groupby: two all-to-alls must never share one
+        # streaming plan (CLAUDE.md invariant — hangs at num_cpus=4), and
+        # the join's zero-row empty-schema blocks would bypass the rename
+        # map and crash the exchange
+        hop = drop_empty_blocks(
+            edges.join(
+                frontier.select_columns(["node"]),
+                join_type="inner",
+                num_partitions=n_parts,
+                on=(src,),
+                right_on=("node",),
+            ).materialize()
+        ).materialize()
         cand = drop_empty_blocks(
             _bucketed_distinct(
                 hop.map_batches(
@@ -2266,18 +2265,9 @@ def q_graph_bfs(sf_dir: str):
     seeds = np.asarray(sk, dtype=np.int64)
     seeds = seeds[seeds % 7 == 0]
 
-    def split(t: pa.Table) -> pa.Table:
-        e = t.column("e").to_numpy(zero_copy_only=False)
-        a = (e // PACK).astype(np.int64)
-        b = (e % PACK).astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-            }
-        )
-
-    edges = cooccurrence_edges(sf_dir).map_batches(split, batch_format="pyarrow")
+    edges = cooccurrence_edges(sf_dir).map_batches(
+        _split_undirected, batch_format="pyarrow"
+    )
     res = bfs_depths(edges, seeds)
     return res.map_batches(
         lambda t: pa.table(
@@ -2528,22 +2518,15 @@ def q_graph_walks(sf_dir: str):
     graph and the seed). The seed pull is bounded by the supplier node
     universe (a dimension, never the fact table)."""
 
-    def split(t: pa.Table) -> pa.Table:
-        e = t.column("e").to_numpy(zero_copy_only=False)
-        a = (e // PACK).astype(np.int64)
-        b = (e % PACK).astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-            }
-        )
-
-    edges = cooccurrence_edges(sf_dir).map_batches(split, batch_format="pyarrow")
+    edges = cooccurrence_edges(sf_dir).map_batches(
+        _split_undirected, batch_format="pyarrow"
+    )
     edges = edges.materialize()
     nodes = gather_table(
         _bucketed_distinct(
-            edges.select_columns(["src"]), "src", N_BUCKETS
+            edges.select_columns(["src"]),
+            "src",
+            bucket_count(edges.size_bytes(), floor=N_BUCKETS),
         ).materialize()
     ).column("src").to_numpy(zero_copy_only=False).astype(np.int64)
     seeds = nodes[nodes % 3 == 0]

@@ -53,6 +53,22 @@ def _write_json_atomic(path: str, obj) -> None:
     _fsync_path(os.path.dirname(path))
 
 
+def _committed_range_files(path: str) -> list[str]:
+    """Parquet files of COMMITTED range dirs only. The ``range=*`` glob
+    also matches ``range=N.tmp``/``.old`` staging dirs — and a SIGKILLed
+    insert's orphaned merge worker can recreate a staging dir even after
+    ``recover_sorted`` cleared it, so every existence/schema-of-record
+    scan must exclude them (data reads are already safe: they glob exact
+    ``range={r}`` dirs, which never match the staged names)."""
+    import glob as _glob
+
+    return sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "range=*", "*.parquet"))
+        if not os.path.basename(os.path.dirname(f)).endswith((".tmp", ".old"))
+    )
+
+
 def _applied_tokens(path: str) -> list[str]:
     p = os.path.join(path, INSERT_TOKENS)
     if not os.path.isfile(p):
@@ -180,7 +196,7 @@ def write_sorted_parquet(ds, path: str, key_col: str, tie_col: str,
 
     import pyarrow.parquet as _pq
 
-    if not _glob.glob(os.path.join(path, "range=*", "*.parquet")):
+    if not _committed_range_files(path):
         # an empty dataset writes no data files; persist one empty file so
         # read_sorted still finds the layout's schema
         sch = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
@@ -229,7 +245,7 @@ def read_sorted(path: str, lo: float | None = None, hi: float | None = None,
     n_ranges = len(b) + 1
     import glob as _glob
 
-    all_files = sorted(_glob.glob(os.path.join(path, "range=*", "*.parquet")))
+    all_files = _committed_range_files(path)
     if not all_files:
         raise FileNotFoundError(f"no range=*/ parquet files under {path}")
     # range r holds keys in [b[r-1], b[r]) (searchsorted side='right':
@@ -331,7 +347,7 @@ def insert_sorted(path: str, delta_ds, token: str | None = None) -> dict:
     # schema of record (all ranges share it by construction).
     import pyarrow.parquet as _pq
 
-    layout_files = sorted(_glob.glob(os.path.join(path, "range=*", "*.parquet")))
+    layout_files = _committed_range_files(path)
     if layout_files:
         layout_schema = _pq.read_schema(layout_files[0])
         dsch = delta_ds.schema()

@@ -185,19 +185,24 @@ def main() -> None:
         proc = spawn(n_total)
         deadline = time.time() + 60.0
         caught = False
+        killed_in_loop = False
         while time.time() < deadline and proc.poll() is None:
             if os.path.exists(jp):
                 os.kill(proc.pid, signal.SIGKILL)
                 proc.wait()
+                killed_in_loop = True
                 caught = os.path.exists(jp)  # still journaled post-kill?
                 break
         if proc.poll() is None:
             os.kill(proc.pid, signal.SIGKILL)
             proc.wait()
+            killed_in_loop = True
+        if killed_in_loop:
+            # count EVERY kill sent (a kill whose journal vanished before
+            # the post-kill check is still a kill) and always give the
+            # child's orphaned Ray workers time to notice the driver died
+            # before touching the layout (single-writer contract)
             kills += 1
-            time.sleep(2.0)
-        elif caught:
-            kills += 1  # the in-window kill above
             time.sleep(2.0)
         if caught:
             journal_kills += 1
