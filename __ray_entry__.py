@@ -858,9 +858,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": """
             -- deterministic 8-step walks from {graph nodes % 3 == 0} +
             -- the min graph node over the UNDIRECTED co-supplier graph:
-            -- next hop = neighbor at rank (node*7919 + step*104729 +
-            -- seed*31) % degree in the ASCENDING neighbor list — the
-            -- identical mix the engine applies, so every row reproduces
+            -- next hop = neighbor at rank ((node & 2147483647)*7919 +
+            -- step*104729 + (seed & 2147483647)*31) % degree in the
+            -- ASCENDING neighbor list — the identical mix the engine
+            -- applies (ids fold to 31 bits so the products stay
+            -- int64-exact for any id), so every row reproduces
             WITH RECURSIVE su AS (
               SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
               WHERE l_quantity > 46.0
@@ -884,8 +886,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT w.seed, w.step + 1, a.b
               FROM walk w JOIN adj a ON a.a = w.node
-               AND a.rn = (w.node * 7919 + (w.step + 1) * 104729
-                           + w.seed * 31) % a.deg
+               AND a.rn = ((w.node & 2147483647) * 7919
+                           + (w.step + 1) * 104729
+                           + (w.seed & 2147483647) * 31) % a.deg
               WHERE w.step < 8
             )
             SELECT CAST(seed AS BIGINT) AS seed,

@@ -2042,6 +2042,12 @@ def q_graph_scc(sf_dir: str):
 BFS_DRIVER_EDGE_LIMIT = 5_000_000
 BFS_MAX_DEPTH = 16
 WALK_A, WALK_B, WALK_C = 7919, 104729, 31  # next-step mix constants
+# ids fold to 31 bits BEFORE the mix so the products can never exceed
+# ~2^48 — int64-exact for ANY id (hash64-derived entity/host ids wrap
+# numpy int64 otherwise, silently diverging from the exact SQL/Python
+# arithmetic; & is two's-complement on both numpy and DuckDB BIGINT,
+# so negative ids fold identically on both sides)
+WALK_FOLD = 0x7FFFFFFF
 
 
 
@@ -2212,7 +2218,7 @@ def bfs_depths(
                 on=(src,),
                 right_on=("node",),
             ).materialize()
-        ).materialize()
+        )
         cand = drop_empty_blocks(
             _bucketed_distinct(
                 hop.map_batches(
@@ -2222,7 +2228,7 @@ def bfs_depths(
                 "node",
                 nb,
             ).materialize()
-        ).materialize()
+        )
         if cand.count() == 0:
             break
         new = drop_empty_blocks(
@@ -2233,7 +2239,7 @@ def bfs_depths(
                 on=("node",),
                 right_on=("node",),
             ).materialize()
-        ).materialize()
+        )
         if new.count() == 0:
             break
         tagged = new.map_batches(
@@ -2286,7 +2292,8 @@ def walks_driver(
     """(seed, step, node) deterministic walks over a directed int64 edge
     list, vectorized across ALL walkers per step on a sorted CSR. The next
     hop from ``node`` at ``step`` is the neighbor at rank
-    ``(node*WALK_A + step*WALK_B + seed*WALK_C) % degree`` in the
+    ``((node & WALK_FOLD)*WALK_A + step*WALK_B + (seed & WALK_FOLD)*WALK_C)
+    % degree`` in the
     ASCENDING neighbor list — a pure function of (seed, step, node), so
     the walk set is partitioning-free and SQL-expressible (ROW_NUMBER
     rank + the same mix, see the oracle). Walkers at out-degree-0 nodes
@@ -2318,7 +2325,11 @@ def walks_driver(
             break
         w_seed, w_idx, deg = w_seed[alive], w_idx[alive], deg[alive]
         cur_id = nodes[w_idx]
-        rank = (cur_id * WALK_A + step * WALK_B + w_seed * WALK_C) % deg
+        rank = (
+            (cur_id & WALK_FOLD) * WALK_A
+            + step * WALK_B
+            + (w_seed & WALK_FOLD) * WALK_C
+        ) % deg
         w_idx = d[head[w_idx] + rank]
         out_seed.append(w_seed)
         out_step.append(np.full(len(w_seed), step, np.int64))
@@ -2405,7 +2416,8 @@ def random_walks(
     """Deterministic rank-based walks (node2vec-style sampler shape) over
     ANY directed int64 edge Dataset -> Dataset ``(seed, step, node)``:
     one row per walker per step 0..num_steps, next hop = neighbor at rank
-    ``(node*WALK_A + step*WALK_B + seed*WALK_C) % degree`` in the sorted
+    ``((node & WALK_FOLD)*WALK_A + step*WALK_B + (seed & WALK_FOLD)*WALK_C)
+    % degree`` in the sorted
     neighbor list. The mix makes every walk a pure function of the graph
     and the seed id — independent of partitioning, batch size, and
     parallelism, and exactly reproducible by the SQL oracle.
@@ -2476,7 +2488,11 @@ def random_walks(
             b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
             rn = t.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
             deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
-            want = (node * WALK_A + _s * WALK_B + sd * WALK_C) % deg
+            want = (
+                (node & WALK_FOLD) * WALK_A
+                + _s * WALK_B
+                + (sd & WALK_FOLD) * WALK_C
+            ) % deg
             keep = rn == want
             return pa.table(
                 {
@@ -2488,7 +2504,7 @@ def random_walks(
         nxt = drop_empty_blocks(
             hop.map_batches(pick, batch_format="pyarrow").materialize(),
             schema=pa.schema([("seed", pa.int64()), ("node", pa.int64())]),
-        ).materialize()
+        )
         if nxt.count() == 0:
             break
         tagged = nxt.map_batches(
@@ -2522,15 +2538,24 @@ def q_graph_walks(sf_dir: str):
         _split_undirected, batch_format="pyarrow"
     )
     edges = edges.materialize()
-    nodes = gather_table(
-        _bucketed_distinct(
-            edges.select_columns(["src"]),
-            "src",
-            bucket_count(edges.size_bytes(), floor=N_BUCKETS),
-        ).materialize()
-    ).column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    # seed derivation is size-gated like the walk itself: under the driver
+    # budget the node set comes from the SAME bounded pull random_walks is
+    # about to take (block refs are reused — no recompute, no exchange);
+    # only past the budget does the bucketed-distinct exchange pay for
+    # itself
+    if edges.count() <= BFS_DRIVER_EDGE_LIMIT:
+        nodes = np.unique(
+            gather_table(edges).column("src").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+    else:
+        nodes = gather_table(
+            _bucketed_distinct(
+                edges.select_columns(["src"]),
+                "src",
+                bucket_count(edges.size_bytes(), floor=N_BUCKETS),
+            ).materialize()
+        ).column("src").to_numpy(zero_copy_only=False).astype(np.int64)
     seeds = nodes[nodes % 3 == 0]
     if len(nodes):
         seeds = np.union1d(seeds, nodes.min())
-    res = random_walks(edges, seeds, num_steps=8)
-    return res
+    return random_walks(edges, seeds, num_steps=8)

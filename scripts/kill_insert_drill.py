@@ -99,15 +99,14 @@ def child(path: str, n_deltas: int) -> None:
 def _delta_counts(path: str, n_deltas: int) -> dict[int, int]:
     import pyarrow.parquet as pq
 
+    # committed range dirs ONLY (the sink's own notion of committed —
+    # range=N.tmp/.old staging dirs also match a bare range=* glob, and a
+    # killed child's orphaned merge worker can leave uncommitted parquet
+    # there; counting it would corrupt the atomicity evidence)
+    from pie_ray.sources.sorted_sink import _committed_range_files
+
     counts: dict[int, int] = {i: 0 for i in range(n_deltas)}
-    # committed range dirs ONLY: range=N.tmp/.old staging dirs also match
-    # the range=* glob, and a killed child's orphaned merge worker can
-    # leave uncommitted parquet there — counting it would corrupt the
-    # atomicity evidence
-    for f in glob.glob(os.path.join(path, "range=*", "*.parquet")):
-        d = os.path.basename(os.path.dirname(f))
-        if d.endswith(".tmp") or d.endswith(".old"):
-            continue
+    for f in _committed_range_files(path):
         for p in pq.read_table(f, columns=["payload"]).column("payload").to_pylist():
             if p.startswith("d") and "-" in p:
                 i = int(p[1:].split("-", 1)[0])

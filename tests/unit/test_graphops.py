@@ -901,7 +901,13 @@ class TestBfsWalks:
                 nbrs = adj.get(cur)
                 if not nbrs:
                     break
-                cur = nbrs[(cur * G.WALK_A + st * G.WALK_B + s * G.WALK_C) % len(nbrs)]
+                cur = nbrs[
+                    (
+                        (cur & G.WALK_FOLD) * G.WALK_A
+                        + st * G.WALK_B
+                        + (s & G.WALK_FOLD) * G.WALK_C
+                    ) % len(nbrs)
+                ]
                 rows.add((s, st, cur))
         return rows
 
@@ -969,3 +975,28 @@ class TestBfsWalks:
         a = self._walk_rows(G.random_walks(self._edges_ds(pairs, num_blocks=1), [3, 12], num_steps=7))
         b = self._walk_rows(G.random_walks(self._edges_ds(pairs, num_blocks=9), [3, 12], num_steps=7))
         assert a == b
+
+    def test_walks_large_ids_int64_exact(self, ray_session):
+        # hash64-derived ids live near 2^62: the 31-bit fold keeps the
+        # rank mix int64-exact (an unfolded node*WALK_A wraps numpy int64
+        # and silently diverges from exact Python/SQL arithmetic)
+        base = (1 << 62) + 12345
+        rng = np.random.RandomState(31)
+        ids = base + rng.choice(10_000, size=30, replace=False).astype(np.int64)
+        pairs = sorted(
+            {
+                (int(ids[a]), int(ids[b]))
+                for a, b in rng.randint(0, len(ids), (80, 2))
+                if a != b
+            }
+        )
+        seeds = [int(ids[0]), int(ids[7])]
+        got = self._walk_rows(G.random_walks(self._edges_ds(pairs), seeds, num_steps=6))
+        assert got == self._brute_walks(pairs, seeds, 6)
+        dist = self._walk_rows(
+            G.random_walks(
+                self._edges_ds(pairs, num_blocks=4), seeds, num_steps=6,
+                force_distributed=True,
+            )
+        )
+        assert dist == got
