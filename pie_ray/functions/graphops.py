@@ -2153,42 +2153,66 @@ def bfs_depths(
     max_depth: int = BFS_MAX_DEPTH,
     force_distributed: bool = False,
 ):
-    """Multi-source BFS over ANY directed int64 edge Dataset -> Dataset
-    ``(node, depth)``, depth = fewest hops from the seed set (capped at
-    ``max_depth``; unreached nodes are absent). ``seeds`` is a small
-    explicit id list (crawl seeds / trusted hosts / entity anchors — the
-    caller owns its size).
+    """Multi-source BFS over ANY directed edge Dataset (int64 OR string
+    node ids — host graphs are strings) -> Dataset ``(node, depth)``,
+    depth = fewest hops from the seed set (capped at ``max_depth``;
+    unreached nodes are absent). ``seeds`` is a small explicit id list
+    (crawl seeds / trusted hosts / entity anchors — the caller owns its
+    size).
 
     Size-adaptive: below ``BFS_DRIVER_EDGE_LIMIT`` edges the vectorized CSR
-    frontier kernel runs on the driver; above it (or forced), Pregel-style
-    frontier rounds run distributed — each round is one inner join
-    (edges x frontier), one bucketed distinct, and one left_anti join
-    against the settled set, materialized between rounds so exchanges never
-    overlap in one streaming plan. Rounds = reached depth <= max_depth.
-    Both paths agree by construction (equivalence-tested)."""
+    frontier kernel runs on the driver (string ids run through the same
+    sorted-dictionary index mapping as ``scc``); above it (or forced),
+    Pregel-style frontier rounds run distributed on the raw ids — each
+    round is one inner join (edges x frontier), one bucketed distinct, and
+    one left_anti join against the settled set, materialized between
+    rounds so exchanges never overlap in one streaming plan. Rounds =
+    reached depth <= max_depth. Both paths agree by construction
+    (equivalence-tested for both id types)."""
     import ray
 
     from pie_ray.util import drop_empty_blocks
 
     edges = edges_ds.materialize()
     m = edges.count()
-    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    seed_pa = pc.unique(pa.array(list(seeds)))
+    seed_pa = seed_pa.take(pc.sort_indices(seed_pa))
+    is_str = pa.types.is_string(seed_pa.type) or pa.types.is_large_string(seed_pa.type)
+    zero_depth = pa.array(np.zeros(len(seed_pa), np.int64), pa.int64())
     if m <= BFS_DRIVER_EDGE_LIMIT and not force_distributed:
         if m == 0:
             return ray.data.from_arrow(
+                pa.table({"node": seed_pa, "depth": zero_depth})
+            )
+        tbl = gather_table(edges)
+        sa, da = tbl.column(src), tbl.column(dst)
+        if is_str:
+            # sorted-dictionary mapping (same approach as scc): indices
+            # preserve name order, so bfs_driver's searchsorted seed guard
+            # and the take-back both stay exact
+            all_ids = pc.unique(
+                pa.chunked_array(
+                    [sa.combine_chunks(), da.combine_chunks(), seed_pa]
+                )
+            )
+            names = all_ids.take(pc.sort_indices(all_ids))
+            s_idx = pc.index_in(sa, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            d_idx = pc.index_in(da, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            seed_idx = pc.index_in(seed_pa, value_set=names).to_numpy(zero_copy_only=False).astype(np.int64)
+            out = bfs_driver(s_idx, d_idx, seed_idx, max_depth)
+            return ray.data.from_arrow(
                 pa.table(
                     {
-                        "node": pa.array(seed_arr, pa.int64()),
-                        "depth": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64()),
+                        "node": names.take(out.column("node")),
+                        "depth": out.column("depth"),
                     }
                 )
             )
-        tbl = gather_table(edges)
         return ray.data.from_arrow(
             bfs_driver(
-                tbl.column(src).to_numpy(zero_copy_only=False).astype(np.int64),
-                tbl.column(dst).to_numpy(zero_copy_only=False).astype(np.int64),
-                seed_arr,
+                sa.to_numpy(zero_copy_only=False).astype(np.int64),
+                da.to_numpy(zero_copy_only=False).astype(np.int64),
+                seed_pa.to_numpy(zero_copy_only=False).astype(np.int64),
                 max_depth,
             )
         )
@@ -2196,12 +2220,7 @@ def bfs_depths(
     nb = bucket_count(edges.size_bytes(), floor=N_BUCKETS)
     n_parts = join_num_partitions(edges.size_bytes())
     settled = ray.data.from_arrow(
-        pa.table(
-            {
-                "node": pa.array(seed_arr, pa.int64()),
-                "depth": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64()),
-            }
-        )
+        pa.table({"node": seed_pa, "depth": zero_depth})
     ).materialize()
     frontier = settled
     for depth in range(1, max_depth + 1):

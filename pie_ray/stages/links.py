@@ -488,3 +488,27 @@ def host_pagerank(edges_ds, iters: int | None = None, scale: int | None = None,
         ),
         schema=pa.schema([("host", pa.string()), ("rank_scaled", pa.int64())]),
     )
+
+
+def host_crawl_radius(edges_ds, seed_hosts, max_depth: int | None = None):
+    """Crawl radius: fewest link hops from a trusted seed-host set to every
+    reachable host over the host link graph (the companion signal to
+    TrustRank — a frontier-scheduling / crawl-budget prior rather than a
+    mass-propagation one; Cho et al. 1998's ordered-crawl framing).
+    Returns Dataset ``(host, depth)``; hosts with no in-path from a seed
+    are absent (exactly the hosts whose TrustRank is 0). Thin composition
+    over the generic size-adaptive ``graphops.bfs_depths`` — directed
+    edges, string ids, Pregel rounds past the driver budget."""
+    from pie_ray.functions.graphops import BFS_MAX_DEPTH, bfs_depths
+
+    out = bfs_depths(
+        edges_ds,
+        seed_hosts,
+        src="src_host",
+        dst="dst_host",
+        max_depth=max_depth if max_depth is not None else BFS_MAX_DEPTH,
+    )
+    return out.map_batches(
+        lambda t: pa.table({"host": t.column("node"), "depth": t.column("depth")}),
+        batch_format="pyarrow",
+    )

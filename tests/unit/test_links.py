@@ -220,3 +220,58 @@ def test_write_linkgraph_cli_helper(ray_session, tmp_path):
     anchors = pq.read_table(report["anchors_path"])
     assert set(anchors.column_names) == {"host", "term", "n_links"}
     assert anchors.num_rows == report["n_anchor_terms"]
+
+
+def test_host_crawl_radius_planted(ray_session):
+    from pie_ray.stages.links import host_crawl_radius
+
+    edges = host_edges(ray.data.from_arrow(_pages_table()))
+    # seed a.com: a.com->{a,b,c}; b.com->{b,a}; c.com->a — all depth <= 1
+    res = host_crawl_radius(edges, ["a.com"]).to_pandas()
+    got = dict(zip(res["host"], res["depth"].astype(int)))
+    assert got == {"a.com": 0, "b.com": 1, "c.com": 1}
+    # d.com links to nobody and nobody links to d.com: seeding it reaches
+    # only itself (depth 0), even though it has pages in the corpus
+    res2 = host_crawl_radius(edges, ["d.com"]).to_pandas()
+    assert dict(zip(res2["host"], res2["depth"].astype(int))) == {"d.com": 0}
+
+
+def test_host_crawl_radius_string_driver_equals_distributed(ray_session):
+    from pie_ray.functions.graphops import bfs_depths
+
+    rng = np.random.RandomState(41)
+    hosts = [f"h{i}.example" for i in range(25)]
+    pairs = sorted(
+        {
+            (hosts[a], hosts[b])
+            for a, b in rng.randint(0, len(hosts), (70, 2))
+            if a != b
+        }
+    )
+    t = pa.table(
+        {
+            "src": pa.array([p[0] for p in pairs], pa.string()),
+            "dst": pa.array([p[1] for p in pairs], pa.string()),
+        }
+    )
+    seeds = [hosts[0], hosts[13], "zz.not-in-graph"]
+    drv = bfs_depths(ray.data.from_arrow(t), seeds).to_pandas()
+    dist = bfs_depths(
+        ray.data.from_arrow(t).repartition(5), seeds, force_distributed=True
+    ).to_pandas()
+    dmap = dict(zip(drv["node"], drv["depth"].astype(int)))
+    xmap = dict(zip(dist["node"], dist["depth"].astype(int)))
+    assert dmap == xmap
+    assert dmap["zz.not-in-graph"] == 0  # isolated seed at depth 0
+
+    # networkx parity over the string graph
+    import networkx as nx
+
+    g = nx.DiGraph()
+    g.add_edges_from(pairs)
+    want = {"zz.not-in-graph": 0}
+    for s in (hosts[0], hosts[13]):
+        for n, d in nx.single_source_shortest_path_length(g, s, cutoff=16).items():
+            if n not in want or d < want[n]:
+                want[n] = int(d)
+    assert dmap == want
