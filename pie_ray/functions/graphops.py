@@ -1949,30 +1949,50 @@ def scc_driver(src: np.ndarray, dst: np.ndarray) -> pa.Table:
     )
 
 
-def scc(edges_ds, src: str = "src", dst: str = "dst"):
+def _scc_on_table(tbl: pa.Table, src: str, dst: str) -> pa.Table:
+    """Driver SCC over a gathered edge table (int64 or string ids):
+    string ids run through the sorted-dictionary index map, then the
+    iterative Tarjan kernel. Returns ``(node, scc)``."""
+    sa, da = tbl.column(src), tbl.column(dst)
+    if pa.types.is_string(sa.type) or pa.types.is_large_string(sa.type):
+        all_ids = pc.unique(pa.chunked_array([sa.combine_chunks(), da.combine_chunks()]))
+        order = pc.sort_indices(all_ids)
+        names = all_ids.take(order)  # sorted distinct names
+        s_idx = pc.index_in(sa, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        d_idx = pc.index_in(da, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        out = scc_driver(s_idx, d_idx)
+        return pa.table(
+            {
+                "node": names.take(out.column("node")),
+                "scc": names.take(out.column("scc")),
+            }
+        )
+    return scc_driver(
+        sa.to_numpy(zero_copy_only=False).astype(np.int64),
+        da.to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+
+
+def scc(edges_ds, src: str = "src", dst: str = "dst",
+        force_distributed: bool = False):
     """Strongly connected components over ANY directed edge Dataset
     (int64 or string node ids) -> Dataset ``(node, scc)``; scc = smallest
     member id (lexicographically smallest for strings).
 
-    Scale shape: SCC needs whole-graph DFS state, so — like betweenness —
-    the computation runs on the DRIVER over a bounded edge pull
-    (``SCC_DRIVER_EDGE_LIMIT``; a condensed entity/host graph is orders
-    of magnitude smaller than the corpus that produced it). Beyond the
-    budget the honest answer is a declared seam: iterated forward/backward
-    min-label coloring (Fleischer et al. 2000's FW-BW, expressible with
-    the repo's existing hash-min label-round machinery) is the scale path,
-    not implemented here."""
+    Size-adaptive: below ``SCC_DRIVER_EDGE_LIMIT`` edges the recursion-free
+    iterative Tarjan runs on the driver over a bounded pull; above it (or
+    forced), ``scc_distributed`` runs the trim + FW-BW pivot-carving scale
+    path (Fleischer et al. 2000) built on the repo's distributed BFS, and
+    only the post-carving remainder — not the input — must fit the driver
+    budget. Both paths agree (equivalence-tested)."""
     import ray
 
     from pie_ray.util import gather_table
 
     edges = edges_ds.materialize()
     m = edges.count()
-    if m > SCC_DRIVER_EDGE_LIMIT:
-        raise NotImplementedError(
-            "scc beyond the driver edge budget needs iterated FW-BW "
-            "min-label coloring (declared seam; see docstring)"
-        )
+    if m > SCC_DRIVER_EDGE_LIMIT or force_distributed:
+        return scc_distributed(edges, src=src, dst=dst)
     if m == 0:
         # typed empty result (gather_table on an all-empty mapped output
         # can lose the schema entirely — don't let tbl.column() KeyError)
@@ -1985,27 +2005,222 @@ def scc(edges_ds, src: str = "src", dst: str = "dst"):
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], id_t), "scc": pa.array([], id_t)})
         )
-    tbl = gather_table(edges)
-    sa, da = tbl.column(src), tbl.column(dst)
-    if pa.types.is_string(sa.type) or pa.types.is_large_string(sa.type):
-        import pyarrow.compute as _pc
+    return ray.data.from_arrow(_scc_on_table(gather_table(edges), src, dst))
 
-        all_ids = _pc.unique(pa.chunked_array([sa.combine_chunks(), da.combine_chunks()]))
-        order = _pc.sort_indices(all_ids)
-        names = all_ids.take(order)  # sorted distinct names
-        s_idx = _pc.index_in(sa, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        d_idx = _pc.index_in(da, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        out = scc_driver(s_idx, d_idx)
-        node_names = names.take(out.column("node"))
-        scc_names = names.take(out.column("scc"))
-        return ray.data.from_arrow(
-            pa.table({"node": node_names, "scc": scc_names})
+
+SCC_TRIM_ROUNDS = 3
+SCC_FWBW_MAX_PIVOTS = 8
+
+
+def _min_of(ds, col: str):
+    """Smallest value of ``col`` (int64 or string): per-batch min partials
+    (one row each) -> bounded gather -> driver min. Type-agnostic — Ray's
+    Min aggregate is numeric-only."""
+    from pie_ray.util import gather_table
+
+    def part(t: pa.Table, _c=col) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({_c: t.column(_c)})
+        mn = pc.min_max(t.column(_c))["min"].as_py()
+        return pa.table({_c: pa.array([mn], t.column(_c).type)})
+
+    partial = ds.map_batches(part, batch_format="pyarrow")
+    vals = gather_table(partial.materialize()).column(col).to_pylist()
+    vals = [v for v in vals if v is not None]
+    return min(vals) if vals else None
+
+
+def scc_distributed(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    trim_rounds: int = SCC_TRIM_ROUNDS,
+    max_pivots: int = SCC_FWBW_MAX_PIVOTS,
+    driver_edge_limit: int = SCC_DRIVER_EDGE_LIMIT,
+):
+    """SCC scale path: TRIM + FW-BW pivot carving (Fleischer et al. 2000;
+    trim per McLendon/Slota practice) -> Dataset ``(node, scc)``,
+    scc = smallest member id — identical labels to the driver Tarjan.
+
+    Shape, per the web-graph structure argument (one giant SCC + a huge
+    acyclic fringe): (1) bounded TRIM rounds peel nodes with in- or
+    out-degree 0 — singleton SCCs by definition — using distinct + anti
+    joins only; (2) each FW-BW pivot round runs the repo's distributed BFS
+    forward and backward from the minimum remaining source and carves
+    F ∩ B as one SCC (the giant SCC goes in round one); (3) the shrunken
+    remainder falls back to the driver Tarjan once under
+    ``driver_edge_limit``. Every SCC lies entirely inside F∩B, F∖S, B∖S,
+    or the unreached rest, so carving is exact and the remainder needs no
+    partition bookkeeping. Nodes that lose every edge along the way are
+    singletons (own id) by the same definition. The final labels are a
+    pure function of the graph — pivot order only changes which SCC is
+    carved when. All exchanges are materialized apart (repo barrier rule).
+    If ``max_pivots`` rounds still leave more than the driver budget the
+    function raises — a graph whose SCC structure resists both trim and
+    that many carves is out of contract."""
+    import ray
+
+    from pie_ray.util import drop_empty_blocks, gather_table
+
+    edges = edges_ds.map_batches(
+        lambda t: pa.table({"s": t.column(src), "d": t.column(dst)}),
+        batch_format="pyarrow",
+    ).materialize()
+    sch = edges.schema()
+    id_t = sch.types[sch.names.index("s")] if sch and "s" in sch.names else pa.int64()
+    node_schema = pa.schema([("node", id_t)])
+    edge_schema = pa.schema([("s", id_t), ("d", id_t)])
+    out_schema = pa.schema([("node", id_t), ("scc", id_t)])
+    nb = bucket_count(edges.size_bytes(), floor=N_BUCKETS)
+    n_parts = join_num_partitions(edges.size_bytes())
+
+    def _col_distinct(e_ds, cols):
+        one = e_ds.map_batches(
+            lambda t, _cs=cols: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t.column(c).combine_chunks() for c in _cs]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
         )
-    out = scc_driver(
-        sa.to_numpy(zero_copy_only=False).astype(np.int64),
-        da.to_numpy(zero_copy_only=False).astype(np.int64),
-    )
-    return ray.data.from_arrow(out)
+        return drop_empty_blocks(
+            _bucketed_distinct(one, "node", nb).materialize(), schema=node_schema
+        )
+
+    def _anti(left, right):
+        # Dataset.join CRASHES on a 0-row input (its hash shuffle builds
+        # empty-SCHEMA partitions; ArrowInvalid "No match ... FieldRef"),
+        # so short-circuit both degenerate sides
+        if left.count() == 0 or right.count() == 0:
+            return left
+        return drop_empty_blocks(
+            left.join(
+                right,
+                join_type="left_anti",
+                num_partitions=n_parts,
+                on=("node",),
+                right_on=("node",),
+            ).materialize(),
+            schema=node_schema,
+        )
+
+    def _drop_edges_touching(e_ds, nodes_ds):
+        for col in ("s", "d"):
+            if e_ds.count() == 0:  # 0-row join input crashes (see _anti)
+                break
+            e_ds = drop_empty_blocks(
+                e_ds.join(
+                    nodes_ds,
+                    join_type="left_anti",
+                    num_partitions=n_parts,
+                    on=(col,),
+                    right_on=("node",),
+                ).materialize(),
+                schema=edge_schema,
+            )
+        return e_ds
+
+    def _self_labels(nodes_ds):
+        return nodes_ds.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "scc": t.column("node")}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    universe = _col_distinct(edges, ("s", "d"))
+    pieces = []  # finalized (node, scc) Datasets
+    carved = []  # finalized node sets, for the closing singleton sweep
+
+    # ---- TRIM: in-degree-0 or out-degree-0 nodes are singleton SCCs
+    for _ in range(trim_rounds):
+        if edges.count() == 0:
+            break
+        srcs = _col_distinct(edges, ("s",))
+        dsts = _col_distinct(edges, ("d",))
+        no_in = _anti(srcs, dsts)   # sources nobody points at
+        no_out = _anti(dsts, srcs)  # sinks pointing at nobody
+        trimmed = drop_empty_blocks(
+            _bucketed_distinct(no_in.union(no_out), "node", nb).materialize(),
+            schema=node_schema,
+        )
+        if trimmed.count() == 0:
+            break
+        pieces.append(_self_labels(trimmed))
+        carved.append(trimmed)
+        edges = _drop_edges_touching(edges, trimmed)
+
+    # ---- FW-BW pivot carving until the remainder fits the driver
+    for _ in range(max_pivots):
+        m = edges.count()
+        if m == 0 or m <= driver_edge_limit:
+            break
+        pivot = _min_of(edges, "s")
+        fwd = bfs_depths(
+            edges, [pivot], src="s", dst="d",
+            max_depth=1 << 30, force_distributed=True,
+        ).materialize()
+        rev = edges.map_batches(
+            lambda t: pa.table({"s": t.column("d"), "d": t.column("s")}),
+            batch_format="pyarrow",
+        ).materialize()
+        bwd = bfs_depths(
+            rev, [pivot], src="s", dst="d",
+            max_depth=1 << 30, force_distributed=True,
+        ).materialize()
+        member = drop_empty_blocks(
+            fwd.select_columns(["node"]).join(
+                bwd.select_columns(["node"]),
+                join_type="left_semi",
+                num_partitions=n_parts,
+                on=("node",),
+                right_on=("node",),
+            ).materialize(),
+            schema=node_schema,
+        )
+        label = _min_of(member, "node")
+        pieces.append(
+            member.map_batches(
+                lambda t, _l=label: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "scc": pa.array([_l] * t.num_rows, id_t),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        carved.append(member)
+        edges = _drop_edges_touching(edges, member)
+
+    # ---- remainder: driver Tarjan under the budget, refuse above it
+    m = edges.count()
+    if m > driver_edge_limit:
+        raise NotImplementedError(
+            f"scc_distributed: remainder still over the driver budget "
+            f"after {max_pivots} FW-BW pivots (raise max_pivots or the "
+            f"budget; see docstring contract)"
+        )
+    if m > 0:
+        part = _scc_on_table(gather_table(edges), "s", "d")
+        pieces.append(ray.data.from_arrow(part).materialize())
+        carved.append(
+            ray.data.from_arrow(pa.table({"node": part.column("node")})).materialize()
+        )
+
+    # ---- nodes that lost every edge without being carved are singletons
+    settled = universe
+    for c in carved:
+        settled = _anti(settled, c)
+    if settled.count() > 0:
+        pieces.append(_self_labels(settled))
+
+    if not pieces:
+        return ray.data.from_arrow(out_schema.empty_table())
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.union(p_)
+    return drop_empty_blocks(out.materialize(), schema=out_schema)
 
 
 def q_graph_scc(sf_dir: str):
@@ -2175,15 +2390,32 @@ def bfs_depths(
 
     edges = edges_ds.materialize()
     m = edges.count()
-    seed_pa = pc.unique(pa.array(list(seeds)))
+    seed_list = list(seeds)
+    if not seed_list:
+        # typed empty result (an empty seed array would infer type null,
+        # and the distributed loop's joins CRASH on 0-row inputs)
+        sch = edges.schema()
+        id_t = (
+            sch.types[sch.names.index(src)]
+            if sch is not None and src in sch.names
+            else pa.int64()
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], id_t), "depth": pa.array([], pa.int64())}
+            )
+        )
+    seed_pa = pc.unique(pa.array(seed_list))
     seed_pa = seed_pa.take(pc.sort_indices(seed_pa))
     is_str = pa.types.is_string(seed_pa.type) or pa.types.is_large_string(seed_pa.type)
     zero_depth = pa.array(np.zeros(len(seed_pa), np.int64), pa.int64())
+    if m == 0:
+        # seeds at depth 0 on any empty graph — on BOTH paths (the
+        # distributed rounds would otherwise join 0-row edges, a crash)
+        return ray.data.from_arrow(
+            pa.table({"node": seed_pa, "depth": zero_depth})
+        )
     if m <= BFS_DRIVER_EDGE_LIMIT and not force_distributed:
-        if m == 0:
-            return ray.data.from_arrow(
-                pa.table({"node": seed_pa, "depth": zero_depth})
-            )
         tbl = gather_table(edges)
         sa, da = tbl.column(src), tbl.column(dst)
         if is_str:
@@ -2454,13 +2686,16 @@ def random_walks(
     edges = edges_ds.materialize()
     m = edges.count()
     seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
-    if m <= BFS_DRIVER_EDGE_LIMIT and not force_distributed:
-        if m == 0:
-            return ray.data.from_arrow(
-                walks_driver(
-                    np.empty(0, np.int64), np.empty(0, np.int64), seed_arr, num_steps
-                )
+    if m == 0 or len(seed_arr) == 0:
+        # degenerate on BOTH paths: the forced-distributed per-step joins
+        # CRASH on 0-row inputs, and the driver kernel already answers
+        # (seed step-0 rows only / empty)
+        return ray.data.from_arrow(
+            walks_driver(
+                np.empty(0, np.int64), np.empty(0, np.int64), seed_arr, num_steps
             )
+        )
+    if m <= BFS_DRIVER_EDGE_LIMIT and not force_distributed:
         tbl = gather_table(edges)
         return ray.data.from_arrow(
             walks_driver(

@@ -769,9 +769,8 @@ class TestScc:
             "d.com": "c.com",
         }
 
-    def test_scc_budget_seam(self, ray_session):
+    def test_scc_over_budget_auto_switches_to_scale_path(self, ray_session):
         import pyarrow as pa
-        import pytest
         import ray.data
 
         import pie_ray.functions.graphops as g
@@ -780,10 +779,84 @@ class TestScc:
         g.SCC_DRIVER_EDGE_LIMIT = 1
         try:
             t = pa.table({"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 1], pa.int64())})
-            with pytest.raises(NotImplementedError):
-                g.scc(ray.data.from_arrow(t))
+            res = g.scc(ray.data.from_arrow(t)).to_pandas()
+            assert dict(zip(res["node"].astype(int), res["scc"].astype(int))) == {1: 1, 2: 1}
         finally:
             g.SCC_DRIVER_EDGE_LIMIT = old
+
+    def _ds(self, pairs, blocks=None):
+        import pyarrow as pa
+        import ray.data
+
+        t = pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs]),
+                "dst": pa.array([b for _, b in pairs]),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        return ds.repartition(blocks) if blocks else ds
+
+    def test_scc_distributed_matches_driver_random(self, ray_session):
+        import numpy as np
+
+        from pie_ray.functions.graphops import scc
+
+        rng = np.random.RandomState(47)
+        pairs = sorted(
+            {
+                (int(a), int(b))
+                for a, b in rng.randint(1, 18, (45, 2))
+                if a != b
+            }
+        )
+        dist = scc(self._ds(pairs, blocks=4), force_distributed=True).to_pandas()
+        got = dict(zip(dist["node"].astype(int), dist["scc"].astype(int)))
+        assert got == self._nx_scc(pairs)
+
+    def test_scc_distributed_string_ids(self, ray_session):
+        from pie_ray.functions.graphops import scc
+
+        # two 2-cycles bridged one-way + a dangling tail (exercises trim)
+        pairs = [
+            ("a.com", "b.com"), ("b.com", "a.com"),
+            ("b.com", "c.com"),
+            ("c.com", "d.com"), ("d.com", "c.com"),
+            ("d.com", "e.com"), ("e.com", "f.com"),
+        ]
+        dist = scc(self._ds(pairs, blocks=3), force_distributed=True).to_pandas()
+        got = dict(zip(dist["node"], dist["scc"]))
+        assert got == {
+            "a.com": "a.com", "b.com": "a.com",
+            "c.com": "c.com", "d.com": "c.com",
+            "e.com": "e.com", "f.com": "f.com",
+        }
+
+    def test_scc_distributed_pivot_carving_zero_budget(self, ray_session):
+        from pie_ray.functions.graphops import scc_distributed
+
+        # three disjoint cycles + a DAG bridge: driver_edge_limit=0 forces
+        # every SCC through trim or an FW-BW carve (no driver fallback)
+        pairs = (
+            [(1, 2), (2, 3), (3, 1)]
+            + [(10, 11), (11, 10)]
+            + [(20, 21), (21, 22), (22, 20)]
+            + [(3, 10), (11, 20), (22, 30)]  # bridges + tail
+        )
+        res = scc_distributed(
+            self._ds(pairs, blocks=3), driver_edge_limit=0, max_pivots=10
+        ).to_pandas()
+        got = dict(zip(res["node"].astype(int), res["scc"].astype(int)))
+        assert got == self._nx_scc(pairs)
+
+    def test_scc_distributed_raises_when_pivots_exhausted(self, ray_session):
+        import pytest
+
+        from pie_ray.functions.graphops import scc_distributed
+
+        pairs = [(1, 2), (2, 1)]
+        with pytest.raises(NotImplementedError):
+            scc_distributed(self._ds(pairs), driver_edge_limit=0, max_pivots=0)
 
     def test_directed_edges_partition_independent(self, ray_session):
         from pie_ray.functions.graphops import cosupply_directed_edges
@@ -1000,3 +1073,24 @@ class TestBfsWalks:
             )
         )
         assert dist == got
+
+    def test_degenerate_empty_inputs(self, ray_session):
+        # 0-row joins crash Ray's hash shuffle, so the degenerate cases
+        # must short-circuit on BOTH paths
+        import ray.data
+
+        empty = ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+        pairs = [(1, 2), (2, 3)]
+        for force in (False, True):
+            got = self._bfs_map(G.bfs_depths(empty, [5, 9], force_distributed=force))
+            assert got == {5: 0, 9: 0}
+            w = self._walk_rows(G.random_walks(empty, [5], num_steps=4, force_distributed=force))
+            assert w == {(5, 0, 5)}
+            assert (
+                G.bfs_depths(self._edges_ds(pairs), [], force_distributed=force).count() == 0
+            )
+            assert (
+                G.random_walks(self._edges_ds(pairs), [], force_distributed=force).count() == 0
+            )
