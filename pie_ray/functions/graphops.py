@@ -1949,17 +1949,35 @@ def scc_driver(src: np.ndarray, dst: np.ndarray) -> pa.Table:
     )
 
 
+def _string_index_map(arrays):
+    """Sorted-dictionary index map shared by the string SCC/BFS driver
+    paths: distinct ids across ``arrays`` sorted ascending, plus each
+    array's int64 index vector. Indices preserve name (lexicographic)
+    order — the invariant the CSR kernels' searchsorted seed guards and
+    min-label take-backs rely on. All arrays must share one string
+    flavor (string vs large_string); callers cast seeds to the edge
+    column type first."""
+    chunks = []
+    for a in arrays:
+        chunks.extend(a.chunks if isinstance(a, pa.ChunkedArray) else [a])
+    all_ids = pc.unique(pa.chunked_array(chunks))
+    names = all_ids.take(pc.sort_indices(all_ids))
+    idxs = []
+    for a in arrays:
+        ii = pc.index_in(a, value_set=names)
+        if isinstance(ii, pa.ChunkedArray):
+            ii = ii.combine_chunks()
+        idxs.append(ii.to_numpy(zero_copy_only=False).astype(np.int64))
+    return names, idxs
+
+
 def _scc_on_table(tbl: pa.Table, src: str, dst: str) -> pa.Table:
     """Driver SCC over a gathered edge table (int64 or string ids):
     string ids run through the sorted-dictionary index map, then the
     iterative Tarjan kernel. Returns ``(node, scc)``."""
     sa, da = tbl.column(src), tbl.column(dst)
     if pa.types.is_string(sa.type) or pa.types.is_large_string(sa.type):
-        all_ids = pc.unique(pa.chunked_array([sa.combine_chunks(), da.combine_chunks()]))
-        order = pc.sort_indices(all_ids)
-        names = all_ids.take(order)  # sorted distinct names
-        s_idx = pc.index_in(sa, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        d_idx = pc.index_in(da, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        names, (s_idx, d_idx) = _string_index_map([sa, da])
         out = scc_driver(s_idx, d_idx)
         return pa.table(
             {
@@ -1991,19 +2009,27 @@ def scc(edges_ds, src: str = "src", dst: str = "dst",
 
     edges = edges_ds.materialize()
     m = edges.count()
-    if m > SCC_DRIVER_EDGE_LIMIT or force_distributed:
-        return scc_distributed(edges, src=src, dst=dst)
     if m == 0:
-        # typed empty result (gather_table on an all-empty mapped output
-        # can lose the schema entirely — don't let tbl.column() KeyError)
+        # typed empty result FIRST — before any routing, so forced and
+        # unforced paths agree (gather_table on an all-empty mapped output
+        # can lose the schema entirely — don't let tbl.column() KeyError).
+        # Integer ids normalize to int64, matching both non-empty paths.
         sch = edges.schema()
         id_t = (
             sch.types[sch.names.index(src)]
             if sch is not None and src in sch.names
             else pa.int64()
         )
+        if pa.types.is_integer(id_t):
+            id_t = pa.int64()
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], id_t), "scc": pa.array([], id_t)})
+        )
+    if m > SCC_DRIVER_EDGE_LIMIT or force_distributed:
+        # pass the LIVE global: the scale path's default must track any
+        # tuned/patched budget, not the def-time binding
+        return scc_distributed(
+            edges, src=src, dst=dst, driver_edge_limit=SCC_DRIVER_EDGE_LIMIT
         )
     return ray.data.from_arrow(_scc_on_table(gather_table(edges), src, dst))
 
@@ -2036,7 +2062,7 @@ def scc_distributed(
     dst: str = "dst",
     trim_rounds: int = SCC_TRIM_ROUNDS,
     max_pivots: int = SCC_FWBW_MAX_PIVOTS,
-    driver_edge_limit: int = SCC_DRIVER_EDGE_LIMIT,
+    driver_edge_limit: int | None = None,
 ):
     """SCC scale path: TRIM + FW-BW pivot carving (Fleischer et al. 2000;
     trim per McLendon/Slota practice) -> Dataset ``(node, scc)``,
@@ -2062,10 +2088,22 @@ def scc_distributed(
 
     from pie_ray.util import drop_empty_blocks, gather_table
 
-    edges = edges_ds.map_batches(
-        lambda t: pa.table({"s": t.column(src), "d": t.column(dst)}),
-        batch_format="pyarrow",
-    ).materialize()
+    if driver_edge_limit is None:
+        driver_edge_limit = SCC_DRIVER_EDGE_LIMIT  # live global, not def-time
+
+    def _norm(t: pa.Table) -> pa.Table:
+        # integer ids normalize to int64 up front: the remainder Tarjan
+        # and the pivot seeds emit int64, and mixed-width join keys crash
+        # Ray's hash shuffle (string flavors stay as-is — everything
+        # downstream derives from this one table, so they stay consistent)
+        s_, d_ = t.column(src), t.column(dst)
+        if pa.types.is_integer(s_.type):
+            s_ = pc.cast(s_, pa.int64())
+        if pa.types.is_integer(d_.type):
+            d_ = pc.cast(d_, pa.int64())
+        return pa.table({"s": s_, "d": d_})
+
+    edges = edges_ds.map_batches(_norm, batch_format="pyarrow").materialize()
     sch = edges.schema()
     id_t = sch.types[sch.names.index("s")] if sch and "s" in sch.names else pa.int64()
     node_schema = pa.schema([("node", id_t)])
@@ -2208,10 +2246,16 @@ def scc_distributed(
             ray.data.from_arrow(pa.table({"node": part.column("node")})).materialize()
         )
 
-    # ---- nodes that lost every edge without being carved are singletons
+    # ---- nodes that lost every edge without being carved are singletons.
+    # The carved sets are disjoint and already distinct, so union them
+    # (metadata-only) and run ONE left_anti against the universe instead
+    # of a per-set chain of full-universe exchanges.
     settled = universe
-    for c in carved:
-        settled = _anti(settled, c)
+    if carved:
+        allc = carved[0]
+        for c in carved[1:]:
+            allc = allc.union(c)
+        settled = _anti(universe, allc.materialize())
     if settled.count() > 0:
         pieces.append(_self_labels(settled))
 
@@ -2407,6 +2451,25 @@ def bfs_depths(
         )
     seed_pa = pc.unique(pa.array(seed_list))
     seed_pa = seed_pa.take(pc.sort_indices(seed_pa))
+    # cast seeds to the EDGE id type (int width / string flavor): the
+    # distributed joins crash on mismatched key types, and the driver
+    # string path's chunked_array refuses mixed string/large_string —
+    # casts within a type class preserve the sort order above
+    sch = edges.schema()
+    if sch is not None and src in sch.names:
+        edge_t = sch.types[sch.names.index(src)]
+        numeric_pair = pa.types.is_integer(edge_t) and (
+            pa.types.is_integer(seed_pa.type)
+            or pa.types.is_floating(seed_pa.type)
+        )
+        string_pair = (
+            pa.types.is_string(edge_t) or pa.types.is_large_string(edge_t)
+        ) and (
+            pa.types.is_string(seed_pa.type)
+            or pa.types.is_large_string(seed_pa.type)
+        )
+        if not seed_pa.type.equals(edge_t) and (numeric_pair or string_pair):
+            seed_pa = pc.cast(seed_pa, edge_t)  # safe cast: raises on loss
     is_str = pa.types.is_string(seed_pa.type) or pa.types.is_large_string(seed_pa.type)
     zero_depth = pa.array(np.zeros(len(seed_pa), np.int64), pa.int64())
     if m == 0:
@@ -2419,18 +2482,12 @@ def bfs_depths(
         tbl = gather_table(edges)
         sa, da = tbl.column(src), tbl.column(dst)
         if is_str:
-            # sorted-dictionary mapping (same approach as scc): indices
-            # preserve name order, so bfs_driver's searchsorted seed guard
-            # and the take-back both stay exact
-            all_ids = pc.unique(
-                pa.chunked_array(
-                    [sa.combine_chunks(), da.combine_chunks(), seed_pa]
-                )
+            # shared sorted-dictionary mapping (same helper as scc):
+            # indices preserve name order, so bfs_driver's searchsorted
+            # seed guard and the take-back both stay exact
+            names, (s_idx, d_idx, seed_idx) = _string_index_map(
+                [sa, da, seed_pa]
             )
-            names = all_ids.take(pc.sort_indices(all_ids))
-            s_idx = pc.index_in(sa, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            d_idx = pc.index_in(da, value_set=names).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            seed_idx = pc.index_in(seed_pa, value_set=names).to_numpy(zero_copy_only=False).astype(np.int64)
             out = bfs_driver(s_idx, d_idx, seed_idx, max_depth)
             return ray.data.from_arrow(
                 pa.table(

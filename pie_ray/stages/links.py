@@ -499,8 +499,23 @@ def host_crawl_radius(edges_ds, seed_hosts, max_depth: int | None = None):
     are absent (exactly the hosts whose TrustRank is 0). Thin composition
     over the generic size-adaptive ``graphops.bfs_depths`` — directed
     edges, string ids, Pregel rounds past the driver budget."""
+    import ray
+
     from pie_ray.functions.graphops import BFS_MAX_DEPTH, bfs_depths
 
+    seed_hosts = list(seed_hosts)
+    if not seed_hosts:
+        # typed empty with the DOCUMENTED (host, depth) shape: the rename
+        # map below is skipped on 0-row blocks (empty blocks skip map fns),
+        # which would leak bfs_depths' (node, depth) — or no schema at all
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "depth": pa.array([], pa.int64()),
+                }
+            )
+        )
     out = bfs_depths(
         edges_ds,
         seed_hosts,

@@ -775,14 +775,67 @@ class TestScc:
 
         import pie_ray.functions.graphops as g
 
+        # the tuned LIVE global must reach the scale path's own budget:
+        # the driver Tarjan may never see more edges than the limit
+        # (regression: a def-time default ignored the patched value and
+        # pulled the FULL graph onto the driver)
+        seen = []
+        real = g._scc_on_table
+
+        def spy(tbl, src, dst):
+            seen.append(tbl.num_rows)
+            return real(tbl, src, dst)
+
         old = g.SCC_DRIVER_EDGE_LIMIT
         g.SCC_DRIVER_EDGE_LIMIT = 1
+        g._scc_on_table = spy
         try:
             t = pa.table({"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 1], pa.int64())})
             res = g.scc(ray.data.from_arrow(t)).to_pandas()
             assert dict(zip(res["node"].astype(int), res["scc"].astype(int))) == {1: 1, 2: 1}
+            assert all(n <= 1 for n in seen)
         finally:
             g.SCC_DRIVER_EDGE_LIMIT = old
+            g._scc_on_table = real
+
+    def test_scc_int32_ids_both_paths_agree(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pie_ray.functions.graphops import scc
+
+        # non-int64 integer ids must normalize: the forced path used to
+        # crash in the hash-shuffle join (int32 universe vs int64 Tarjan
+        # remainder), diverging from the driver path
+        pairs = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)]
+        t = pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs], pa.int32()),
+                "dst": pa.array([b for _, b in pairs], pa.int32()),
+            }
+        )
+        want = {1: 1, 2: 1, 3: 3, 4: 3}
+        for force in (False, True):
+            res = scc(
+                ray.data.from_arrow(t).repartition(2), force_distributed=force
+            ).to_pandas()
+            assert dict(zip(res["node"].astype(int), res["scc"].astype(int))) == want
+
+    def test_scc_forced_empty_keeps_string_type(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pie_ray.functions.graphops import scc
+
+        empty = ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+        )
+        for force in (False, True):
+            out = scc(empty, force_distributed=force)
+            sch = out.schema()
+            assert out.count() == 0
+            assert sch.names == ["node", "scc"]
+            assert sch.types == [pa.string(), pa.string()]
 
     def _ds(self, pairs, blocks=None):
         import pyarrow as pa
@@ -1073,6 +1126,42 @@ class TestBfsWalks:
             )
         )
         assert dist == got
+
+    def test_bfs_non_int64_seeds_match_driver(self, ray_session):
+        # int32/float seeds against int64 edges: the distributed join used
+        # to crash on the mismatched key type while the driver path coerced
+        # — a partitioning-independence break
+        pairs = [(1, 2), (2, 3), (3, 4)]
+        want = {1: 0, 2: 1, 3: 2, 4: 3}
+        for seeds in (np.array([1], np.int32), np.array([1.0])):
+            drv = self._bfs_map(G.bfs_depths(self._edges_ds(pairs), seeds))
+            dist = self._bfs_map(
+                G.bfs_depths(
+                    self._edges_ds(pairs, num_blocks=2), seeds,
+                    force_distributed=True,
+                )
+            )
+            assert drv == dist == want
+
+    def test_bfs_large_string_ids_both_paths(self, ray_session):
+        import ray.data
+
+        # large_string edge columns: the driver path's chunked_array used
+        # to refuse the (string-inferred) seed array, and the distributed
+        # join key mismatched the same way
+        t = pa.table(
+            {
+                "src": pa.array(["a", "b", "c"], pa.large_string()),
+                "dst": pa.array(["b", "c", "d"], pa.large_string()),
+            }
+        )
+        want = {"a": 0, "b": 1, "c": 2, "d": 3}
+        for force in (False, True):
+            out = G.bfs_depths(
+                ray.data.from_arrow(t).repartition(2), ["a"],
+                force_distributed=force,
+            ).to_pandas()
+            assert dict(zip(out["node"], out["depth"].astype(int))) == want
 
     def test_degenerate_empty_inputs(self, ray_session):
         # 0-row joins crash Ray's hash shuffle, so the degenerate cases

@@ -236,6 +236,19 @@ def test_host_crawl_radius_planted(ray_session):
     assert dict(zip(res2["host"], res2["depth"].astype(int))) == {"d.com": 0}
 
 
+def test_host_crawl_radius_empty_seeds_keeps_schema(ray_session):
+    from pie_ray.stages.links import host_crawl_radius
+
+    edges = host_edges(ray.data.from_arrow(_pages_table()))
+    out = host_crawl_radius(edges, [])
+    sch = out.schema()
+    # regression: the rename map is skipped on 0-row blocks, leaking a
+    # (node, depth) shape — or no schema at all — to downstream writers
+    assert out.count() == 0
+    assert sch.names == ["host", "depth"]
+    assert sch.types == [pa.string(), pa.int64()]
+
+
 def test_host_crawl_radius_string_driver_equals_distributed(ray_session):
     from pie_ray.functions.graphops import bfs_depths
 
