@@ -380,7 +380,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median_interp": relational.q_exact_median_interp,
         "host_components": _lazy("pie_ray.pipelines.curation", "q_host_components"),
         "crawl_frontier": _lazy("pie_ray.stages.frontier", "q_frontier"),
+        "host_crawl_radius": _lazy(
+            "pie_ray.pipelines.curation", "q_host_crawl_radius"
+        ),
     }.items()}
+
+
+def _crawl_radius_sql() -> str:
+    from pie_ray.pipelines.curation import CRAWL_ENTRY_N, CRAWL_ENTRY_SEEDS
+    from pie_ray.sources.linksynth import crawl_radius_oracle_sql
+
+    return crawl_radius_oracle_sql(CRAWL_ENTRY_N, CRAWL_ENTRY_SEEDS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -401,6 +411,10 @@ def oracle_sql() -> dict[str, str]:
         # tables (closed-form-oracle house pattern, cf. urlops)
         "kg_mentions_oracle": golden_mentions_sql(ENTRY_N_PAGES),
         "kg_triples_oracle": golden_triples_sql(ENTRY_N_PAGES),
+        # link-stack golden twin: the generator's link plan as a literal
+        # VALUES edge table + a depth-capped recursive BFS — verifies HTML
+        # link extraction, host rollup, and bfs_depths end to end
+        "host_crawl_radius": _crawl_radius_sql(),
         # NB-style quality classifier (CCNet/GPT-3 filter shape): integer
         # fixed-point weights -> every value bit-exact vs DuckDB
         "quality_classifier": QUALITY_CLF_ORACLE_SQL,

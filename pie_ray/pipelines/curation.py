@@ -760,3 +760,28 @@ def q_host_linkgraph(sf_dir: str):
         ),
     )
     return tbl.sort_by([("src_host", "ascending"), ("dst_host", "ascending")])
+
+
+# fixed entry corpus/seed set, shared verbatim with the DuckDB oracle
+# (linksynth.crawl_radius_oracle_sql builds the SQL from the same values)
+CRAWL_ENTRY_N = 1200
+CRAWL_ENTRY_SEEDS = ["h0.example", "h30.example"]  # one authority, one mid
+
+
+def q_host_crawl_radius(sf_dir: str):
+    """Driver entry (FULL oracle parity): BFS crawl radius from a trusted
+    seed-host pair over the deterministic linked corpus's host graph. The
+    oracle states the GENERATOR's link plan as a literal VALUES edge table
+    and recurses the same depth-capped BFS in SQL — so the comparison
+    verifies HTML link extraction, the host rollup, and the size-adaptive
+    BFS end to end against ground truth (the golden-twin pattern)."""
+    from pie_ray.sources.linksynth import synth_link_pages
+    from pie_ray.stages.links import host_crawl_radius, host_edges
+    from pie_ray.util import gather_table
+
+    edges = host_edges(synth_link_pages(CRAWL_ENTRY_N))
+    res = host_crawl_radius(edges, CRAWL_ENTRY_SEEDS)
+    tbl = gather_table(
+        res, schema=pa.schema([("host", pa.string()), ("depth", pa.int64())])
+    )
+    return tbl.sort_by([("host", "ascending")])

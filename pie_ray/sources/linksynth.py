@@ -120,3 +120,46 @@ def synth_link_pages(
 
     ds = ray.data.range(n, override_num_blocks=override_num_blocks)
     return ds.map_batches(gen_batch, batch_format="numpy", batch_size=256)
+
+
+def golden_host_edges(n: int, spam_interlink: bool = False) -> set[tuple[str, str]]:
+    """The corpus's TRUE distinct host edge set, straight from the
+    generator's link plan (ground truth — no HTML parsing, no engine code
+    in the loop). The literal-VALUES oracle for the link stack's graph
+    entries builds on this, the same pattern as pie_ray.golden."""
+    edges: set[tuple[str, str]] = set()
+    n_hosts = n_hosts_for(n)
+    for i in range(n):
+        src, dsts = link_plan(i, n_hosts, spam_interlink=spam_interlink)
+        edges.update((src, d) for d in dsts)
+    return edges
+
+
+def crawl_radius_oracle_sql(n: int, seeds: list[str], max_depth: int = 16) -> str:
+    """DuckDB oracle for host_crawl_radius over the synthetic linked
+    corpus: the generator-ground-truth edge set as a literal VALUES table,
+    then the depth-capped recursive BFS (UNION dedups (node, d) pairs, so
+    rows are bounded by n_hosts * (max_depth+1) — the same small-oracle
+    argument as graph_bfs). Verifies HTML link extraction + host rollup +
+    the BFS itself end to end."""
+    edge_rows = ",\n                ".join(
+        f"('{s}', '{d}')" for s, d in sorted(golden_host_edges(n))
+    )
+    seed_rows = ", ".join(f"('{s}')" for s in sorted(set(seeds)))
+    return f"""
+            -- crawl radius over the deterministic linked corpus: edges are
+            -- the GENERATOR's link plan stated literally (ground truth),
+            -- not anything the engine computed
+            WITH RECURSIVE e(src, dst) AS (
+              VALUES {edge_rows}
+            ), seeds(v) AS (
+              VALUES {seed_rows}
+            ), bfs(node, d) AS (
+              SELECT v, 0 FROM seeds
+              UNION
+              SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+              WHERE bfs.d < {max_depth}
+            )
+            SELECT node AS host, CAST(MIN(d) AS BIGINT) AS depth
+            FROM bfs GROUP BY node
+        """
