@@ -383,7 +383,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_crawl_radius": _lazy(
             "pie_ray.pipelines.curation", "q_host_crawl_radius"
         ),
+        "k_anonymize": _lazy("pie_ray.functions.privacy", "q_k_anonymize"),
     }.items()}
+
+
+def _k_anonymize_sql() -> str:
+    from pie_ray.functions.privacy import K_ANONYMIZE_ORACLE_SQL
+
+    return K_ANONYMIZE_ORACLE_SQL
 
 
 def _crawl_radius_sql() -> str:
@@ -415,6 +422,9 @@ def oracle_sql() -> dict[str, str]:
         # VALUES edge table + a depth-capped recursive BFS — verifies HTML
         # link extraction, host rollup, and bfs_depths end to end
         "host_crawl_radius": _crawl_radius_sql(),
+        # k-anonymity/l-diversity suppression release (privacy engine's
+        # structured-release gate; pii.py covers the free-text side)
+        "k_anonymize": _k_anonymize_sql(),
         # NB-style quality classifier (CCNet/GPT-3 filter shape): integer
         # fixed-point weights -> every value bit-exact vs DuckDB
         "quality_classifier": QUALITY_CLF_ORACLE_SQL,

@@ -1,0 +1,144 @@
+"""k-anonymity / l-diversity: brute parity, both release paths, edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pie_ray.functions.privacy import enforce_k_anonymity, qi_group_stats
+
+
+def _people(n=200, seed=11):
+    rng = np.random.RandomState(seed)
+    return pa.table(
+        {
+            "pid": pa.array(np.arange(n, dtype=np.int64)),
+            "zip3": pa.array(rng.randint(100, 112, n).astype(np.int64)),
+            "age_band": pa.array(
+                [f"b{v}" for v in rng.randint(0, 4, n)], pa.string()
+            ),
+            "diagnosis": pa.array(
+                [f"d{v}" for v in rng.randint(0, 6, n)], pa.string()
+            ),
+        }
+    )
+
+
+def _brute_stats(t, quasi, sensitive):
+    rows = list(zip(*[t.column(c).to_pylist() for c in quasi + [sensitive]]))
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault(r[:-1], []).append(r[-1])
+    return {
+        qi: (len(vs), len(set(vs))) for qi, vs in groups.items()
+    }
+
+
+def _stats_map(ds_out, quasi):
+    df = ds_out.to_pandas()
+    return {
+        tuple(row[c] for c in quasi): (int(row["group_size"]), int(row["l_distinct"]))
+        for _, row in df.iterrows()
+    }
+
+
+class TestQiGroupStats:
+    def test_brute_parity_multi_qi(self, ray_session):
+        t = _people()
+        want = _brute_stats(t, ["zip3", "age_band"], "diagnosis")
+        got = _stats_map(
+            qi_group_stats(
+                ray.data.from_arrow(t).repartition(5),
+                ["zip3", "age_band"],
+                sensitive_col="diagnosis",
+            ),
+            ["zip3", "age_band"],
+        )
+        assert got == want
+
+    def test_no_sensitive_column_l_is_one(self, ray_session):
+        t = _people()
+        got = _stats_map(
+            qi_group_stats(ray.data.from_arrow(t), ["zip3"]), ["zip3"]
+        )
+        brute = _brute_stats(t, ["zip3"], "diagnosis")
+        assert {k: v[0] for k, v in got.items()} == {
+            k: v[0] for k, v in brute.items()
+        }
+        assert all(l == 1 for _, l in got.values())
+
+    def test_partition_and_bucket_independence(self, ray_session):
+        t = _people(seed=23)
+        a = _stats_map(
+            qi_group_stats(
+                ray.data.from_arrow(t).repartition(1), ["zip3"], "diagnosis",
+                num_buckets=4,
+            ),
+            ["zip3"],
+        )
+        b = _stats_map(
+            qi_group_stats(
+                ray.data.from_arrow(t).repartition(9), ["zip3"], "diagnosis",
+                num_buckets=17,
+            ),
+            ["zip3"],
+        )
+        assert a == b
+
+
+class TestEnforceKAnonymity:
+    def _release_ids(self, ds_out):
+        return sorted(ds_out.to_pandas()["pid"].astype(int).tolist())
+
+    def _brute_release(self, t, quasi, k, sensitive, l):
+        stats = _brute_stats(t, quasi, sensitive)
+        qi_rows = list(zip(*[t.column(c).to_pylist() for c in quasi]))
+        pids = t.column("pid").to_pylist()
+        return sorted(
+            p
+            for p, qi in zip(pids, qi_rows)
+            if stats[qi][0] >= k and stats[qi][1] >= l
+        )
+
+    def test_broadcast_equals_join_equals_brute(self, ray_session):
+        t = _people(seed=31)
+        want = self._brute_release(t, ["zip3"], 17, "diagnosis", 5)
+        ds = ray.data.from_arrow(t).repartition(4)
+        bc = enforce_k_anonymity(ds, ["zip3"], k=17, sensitive_col="diagnosis", l=5)
+        jn = enforce_k_anonymity(
+            ds, ["zip3"], k=17, sensitive_col="diagnosis", l=5, broadcast_limit=0
+        )
+        assert self._release_ids(bc) == self._release_ids(jn) == want
+        assert 0 < len(want) < t.num_rows  # the gate genuinely suppresses
+
+    def test_every_group_suppressed_typed_empty(self, ray_session):
+        t = _people(seed=7)
+        out = enforce_k_anonymity(ray.data.from_arrow(t), ["pid"], k=2)
+        sch = out.schema()
+        assert out.count() == 0
+        assert sch.names == ["pid", "zip3", "age_band", "diagnosis"]
+
+    def test_k_only_gate(self, ray_session):
+        t = _people(seed=3)
+        want = self._brute_release(t, ["age_band"], 40, "diagnosis", 1)
+        got = self._release_ids(
+            enforce_k_anonymity(ray.data.from_arrow(t), ["age_band"], k=40)
+        )
+        assert got == want
+
+    def test_string_qi_column(self, ray_session):
+        t = _people(seed=5)
+        want = self._brute_release(t, ["age_band"], 30, "diagnosis", 5)
+        got = self._release_ids(
+            enforce_k_anonymity(
+                ray.data.from_arrow(t).repartition(3),
+                ["age_band"],
+                k=30,
+                sensitive_col="diagnosis",
+                l=5,
+            )
+        )
+        assert got == want
