@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pie_ray.pipelines.curation", "q_host_crawl_radius"
         ),
         "k_anonymize": _lazy("pie_ray.functions.privacy", "q_k_anonymize"),
+        "k_generalize": _lazy("pie_ray.functions.privacy", "q_k_generalize"),
     }.items()}
 
 
@@ -391,6 +392,12 @@ def _k_anonymize_sql() -> str:
     from pie_ray.functions.privacy import K_ANONYMIZE_ORACLE_SQL
 
     return K_ANONYMIZE_ORACLE_SQL
+
+
+def _k_generalize_sql() -> str:
+    from pie_ray.functions.privacy import K_GENERALIZE_ORACLE_SQL
+
+    return K_GENERALIZE_ORACLE_SQL
 
 
 def _crawl_radius_sql() -> str:
@@ -423,8 +430,10 @@ def oracle_sql() -> dict[str, str]:
         # link extraction, host rollup, and bfs_depths end to end
         "host_crawl_radius": _crawl_radius_sql(),
         # k-anonymity/l-diversity suppression release (privacy engine's
-        # structured-release gate; pii.py covers the free-text side)
+        # structured-release gate; pii.py covers the free-text side) +
+        # local-recoding generalization down the nation->region->ALL ladder
         "k_anonymize": _k_anonymize_sql(),
+        "k_generalize": _k_generalize_sql(),
         # NB-style quality classifier (CCNet/GPT-3 filter shape): integer
         # fixed-point weights -> every value bit-exact vs DuckDB
         "quality_classifier": QUALITY_CLF_ORACLE_SQL,

@@ -161,6 +161,134 @@ def enforce_k_anonymity(
     )
 
 
+def _passing_groups(ds, col: str, k: int):
+    """Distinct ``col`` values whose group has >= k rows (materialized)."""
+    stats = qi_group_stats(ds, [col])
+    return stats.map_batches(
+        lambda t, _k=k: t.filter(
+            pc.greater_equal(t.column("group_size"), pa.scalar(_k))
+        ).select([col]),
+        batch_format="pyarrow",
+    ).materialize()
+
+
+def _split_on_membership(ds, col: str, members, limit: int):
+    """(rows whose ``col`` is in ``members``, the rest) — broadcast
+    pc.is_in task maps under ``limit`` members, left_semi/left_anti hash
+    joins above it. ``members`` must be materialized and distinct."""
+    import ray
+    import ray.data
+
+    n = members.count()
+    in_sch = ds.schema()
+    sch = pa.schema(zip(in_sch.names, in_sch.types)) if in_sch else pa.schema([])
+    if n == 0:
+        return ray.data.from_arrow(sch.empty_table()), ds
+    if n <= limit:
+        vals = gather_table(members).column(col).combine_chunks()
+        ref = ray.put(vals.take(pc.sort_indices(vals)))
+
+        def _mask(t: pa.Table, _ref=ref) -> pa.Array:
+            return pc.is_in(t.column(col).combine_chunks(), value_set=ray.get(_ref))
+
+        kept = ds.map_batches(
+            lambda t: t.filter(_mask(t)), batch_format="pyarrow"
+        )
+        rest = ds.map_batches(
+            lambda t: t.filter(pc.invert(_mask(t))), batch_format="pyarrow"
+        )
+        return kept, rest
+    n_parts = join_num_partitions(ds.size_bytes())
+    clean = drop_empty_blocks(members)
+    out = []
+    for jt in ("left_semi", "left_anti"):
+        out.append(
+            drop_empty_blocks(
+                ds.join(
+                    clean,
+                    join_type=jt,
+                    num_partitions=n_parts,
+                    on=(col,),
+                    right_on=(col,),
+                ).materialize(),
+                schema=sch,
+            )
+        )
+    return out[0], out[1]
+
+
+def generalize_to_k(
+    ds,
+    ladder_cols,
+    k: int,
+    all_label: str = "ALL",
+    broadcast_limit: int | None = None,
+):
+    """k-anonymity by LOCAL-RECODING GENERALIZATION down a QI hierarchy
+    (Sweeney 2002's ladder, e.g. nation -> region -> ALL): each row keeps
+    the FINEST ladder level at which its group (among rows not already
+    released at a finer level) reaches k. Nothing is suppressed — rows
+    that fail every level coarsen to ``all_label``.
+
+    Returns ``ds``'s columns plus ``qi_level`` (int64 ladder index;
+    len(ladder_cols) = the ALL level) and ``qi_value`` (the released
+    value as a string). Ladder columns must be int or string (their
+    string form must match SQL ``CAST(x AS VARCHAR)`` for the oracle).
+    Each level costs one group-stats exchange plus a broadcast split
+    (joins past ``broadcast_limit``); L is small by construction."""
+    import ray
+    import ray.data
+
+    ladder_cols = list(ladder_cols)
+    limit = QI_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    in_sch = ds.schema()
+    names = list(in_sch.names) if in_sch else []
+
+    def _tag(lvl: int, col: str | None):
+        def fn(t: pa.Table, _lvl=lvl, _col=col) -> pa.Table:
+            qi = (
+                pc.cast(t.column(_col), pa.string())
+                if _col is not None
+                else pa.array([all_label] * t.num_rows, pa.string())
+            )
+            return t.append_column(
+                "qi_level",
+                pa.array(np.full(t.num_rows, _lvl, np.int64), pa.int64()),
+            ).append_column("qi_value", qi)
+
+        return fn
+
+    remaining = ds.materialize()
+    pieces = []
+    for lvl, col in enumerate(ladder_cols):
+        if remaining.count() == 0:
+            break
+        ok = _passing_groups(remaining, col, k)
+        kept, remaining = _split_on_membership(remaining, col, ok, limit)
+        kept = kept.materialize()
+        remaining = remaining.materialize()
+        if kept.count() > 0:
+            pieces.append(
+                kept.map_batches(_tag(lvl, col), batch_format="pyarrow").materialize()
+            )
+    if remaining.count() > 0:
+        pieces.append(
+            remaining.map_batches(
+                _tag(len(ladder_cols), None), batch_format="pyarrow"
+            ).materialize()
+        )
+    sch = pa.schema(
+        [(n, t) for n, t in zip(names, in_sch.types)]
+        + [("qi_level", pa.int64()), ("qi_value", pa.string())]
+    ) if in_sch else pa.schema([("qi_level", pa.int64()), ("qi_value", pa.string())])
+    if not pieces:
+        return ray.data.from_arrow(sch.empty_table())
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return drop_empty_blocks(out.materialize(), schema=sch)
+
+
 K_ANON_K = 5
 K_ANON_L = 3
 
@@ -194,4 +322,65 @@ K_ANONYMIZE_ORACLE_SQL = f"""
       GROUP BY c_nationkey
       HAVING COUNT(*) >= {K_ANON_K}
          AND COUNT(DISTINCT c_mktsegment) >= {K_ANON_L})
+"""
+
+
+def q_k_generalize(sf_dir: str):
+    """Driver entry (SQL-oracled): local-recoding generalization of the
+    customer QI down the real nation -> region -> ALL hierarchy at k=5.
+    Each customer is released at the finest level whose group reaches k
+    among not-yet-released rows (at sf0.001 all three levels genuinely
+    fire: 124/18/8 rows; at sf0.01 every nation clears k — pass-through).
+    The region key rides in via the house broadcast-lookup task map (the
+    dimension never shuffles)."""
+    import ray
+    import ray.data
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).take_all()
+    ks = sorted(r["n_nationkey"] for r in nat)
+    by_key = {r["n_nationkey"]: r["n_regionkey"] for r in nat}
+    ref = ray.put(
+        (pa.array(ks, pa.int64()), pa.array([by_key[k] for k in ks], pa.int64()))
+    )
+
+    def add_region(t: pa.Table, _ref=ref) -> pa.Table:
+        keys, vals = ray.get(_ref)
+        idx = pc.index_in(t.column("c_nationkey").combine_chunks(), value_set=keys)
+        return t.append_column("c_regionkey", pc.take(vals, idx))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(add_region, batch_format="pyarrow")
+    out = generalize_to_k(cust, ["c_nationkey", "c_regionkey"], k=K_ANON_K)
+    return out.map_batches(
+        lambda t: t.select(["c_custkey", "qi_level", "qi_value"]),
+        batch_format="pyarrow",
+    )
+
+
+K_GENERALIZE_ORACLE_SQL = f"""
+    WITH cr AS (
+      SELECT c_custkey, c_nationkey, n_regionkey AS c_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), l0ok AS (
+      SELECT c_nationkey FROM cr GROUP BY 1 HAVING COUNT(*) >= {K_ANON_K}
+    ), r0 AS (
+      SELECT * FROM cr
+      WHERE c_nationkey NOT IN (SELECT c_nationkey FROM l0ok)
+    ), l1ok AS (
+      SELECT c_regionkey FROM r0 GROUP BY 1 HAVING COUNT(*) >= {K_ANON_K}
+    ), r1 AS (
+      SELECT * FROM r0
+      WHERE c_regionkey NOT IN (SELECT c_regionkey FROM l1ok)
+    )
+    SELECT c_custkey, CAST(0 AS BIGINT) AS qi_level,
+           CAST(c_nationkey AS VARCHAR) AS qi_value
+    FROM cr WHERE c_nationkey IN (SELECT c_nationkey FROM l0ok)
+    UNION ALL
+    SELECT c_custkey, CAST(1 AS BIGINT), CAST(c_regionkey AS VARCHAR)
+    FROM r0 WHERE c_regionkey IN (SELECT c_regionkey FROM l1ok)
+    UNION ALL
+    SELECT c_custkey, CAST(2 AS BIGINT), 'ALL' FROM r1
 """

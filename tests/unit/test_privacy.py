@@ -8,7 +8,11 @@ import pytest
 
 import ray.data
 
-from pie_ray.functions.privacy import enforce_k_anonymity, qi_group_stats
+from pie_ray.functions.privacy import (
+    enforce_k_anonymity,
+    generalize_to_k,
+    qi_group_stats,
+)
 
 
 def _people(n=200, seed=11):
@@ -128,6 +132,75 @@ class TestEnforceKAnonymity:
             enforce_k_anonymity(ray.data.from_arrow(t), ["age_band"], k=40)
         )
         assert got == want
+
+    def test_generalize_brute_parity_all_levels(self, ray_session):
+        # planted ladder zip3 -> age_band -> ALL, k=20: one big zip group
+        # releases at level 0, most leftovers share an age band (level 1),
+        # five odd rows coarsen to ALL
+        k = 20
+        zips = [500] * 60 + list(range(1, 31)) + [600] * 5
+        bands = ["z"] * 60 + ["x"] * 25 + [f"y{i}" for i in range(5)] + ["x"] * 5
+        n = len(zips)
+        t = pa.table(
+            {
+                "pid": pa.array(np.arange(n, dtype=np.int64)),
+                "zip3": pa.array(np.asarray(zips, np.int64)),
+                "age_band": pa.array(bands, pa.string()),
+                "diagnosis": pa.array(["d"] * n, pa.string()),
+            }
+        )
+
+        def brute():
+            rows = list(
+                zip(
+                    t.column("pid").to_pylist(),
+                    t.column("zip3").to_pylist(),
+                    t.column("age_band").to_pylist(),
+                )
+            )
+            out = {}
+            remaining = rows
+            for lvl, key in enumerate([1, 2]):
+                sizes = {}
+                for r in remaining:
+                    sizes[r[key]] = sizes.get(r[key], 0) + 1
+                passed = [r for r in remaining if sizes[r[key]] >= k]
+                remaining = [r for r in remaining if sizes[r[key]] < k]
+                for r in passed:
+                    out[r[0]] = (lvl, str(r[key]))
+            for r in remaining:
+                out[r[0]] = (2, "ALL")
+            return out
+
+        want = brute()
+        levels_hit = {lvl for lvl, _ in want.values()}
+        assert levels_hit == {0, 1, 2}  # the fixture must exercise all three
+        for blimit in (None, 0):  # broadcast split AND join split
+            res = generalize_to_k(
+                ray.data.from_arrow(t).repartition(4),
+                ["zip3", "age_band"],
+                k=k,
+                broadcast_limit=blimit,
+            ).to_pandas()
+            got = {
+                int(r["pid"]): (int(r["qi_level"]), r["qi_value"])
+                for _, r in res.iterrows()
+            }
+            assert got == want
+
+    def test_generalize_pass_through_and_empty(self, ray_session):
+        t = _people(seed=17)
+        # k=1: everything releases at level 0 with its own zip3
+        res = generalize_to_k(ray.data.from_arrow(t), ["zip3"], k=1).to_pandas()
+        assert set(res["qi_level"]) == {0}
+        assert len(res) == t.num_rows
+        # empty input: typed empty with the qi columns appended
+        empty = ray.data.from_arrow(t.slice(0, 0))
+        out = generalize_to_k(empty, ["zip3"], k=5)
+        assert out.count() == 0
+        assert out.schema().names == [
+            "pid", "zip3", "age_band", "diagnosis", "qi_level", "qi_value",
+        ]
 
     def test_string_qi_column(self, ray_session):
         t = _people(seed=5)
