@@ -37,32 +37,48 @@ from pie_ray.util import (
     rename_grouped,
 )
 
-QI_SEP = "\x1f"
+QI_ESC, QI_SEP, QI_NULL = "\x1d", "\x1f", "\x1e"
 QI_BROADCAST_LIMIT = 5_000_000  # qualifying groups; ~few hundred MB of keys
 
 
 def _qi_key(t: pa.Table, quasi_cols: list[str]) -> pa.Array:
-    """One string key per row for the QI tuple (hash/broadcast handle)."""
-    arrs = [
-        pc.cast(t.column(c), pa.string()).combine_chunks() for c in quasi_cols
-    ]
-    if len(arrs) == 1:
-        return arrs[0]
-    return pc.binary_join_element_wise(*arrs, QI_SEP)
+    """INJECTIVE, null-safe string key for the QI tuple. Components are
+    escape-framed (ESC doubles itself and prefixes SEP/NULL bytes inside
+    values — distinct tuples can never collide even when values contain
+    the control bytes), nulls become the bare NULL sentinel, then the
+    frames are SEP-joined. Null QI values therefore form their own group,
+    and every membership path (broadcast pc.is_in AND the key-based hash
+    join) sees the identical grouping — plain column joins would silently
+    drop null keys."""
+    parts = []
+    for c in quasi_cols:
+        s = pc.cast(t.column(c), pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.replace_substring(s, QI_ESC, QI_ESC + QI_ESC)
+        s = pc.replace_substring(s, QI_SEP, QI_ESC + QI_SEP)
+        s = pc.replace_substring(s, QI_NULL, QI_ESC + QI_NULL)
+        s = pc.fill_null(s, QI_NULL)
+        parts.append(s)
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, QI_SEP)
 
 
 def qi_group_stats(ds, quasi_cols, sensitive_col: str | None = None,
                    num_buckets: int | None = None):
     """Per-QI-group audit table ``(*quasi_cols, group_size, l_distinct)``.
 
-    ``l_distinct`` counts distinct ``sensitive_col`` values per group
-    (1 when no sensitive column is named — the pure k-anonymity case).
-    Shape: per-batch Arrow group_by collapses each batch to its distinct
-    (QI, sensitive) pairs with counts, ONE exchange bucketed on hash(QI)
-    co-locates each group, and the combine re-groups vectorized — the
-    exchange ships group-grain partials, never raw rows.
+    ``l_distinct`` counts distinct NON-NULL ``sensitive_col`` values per
+    group (SQL ``COUNT(DISTINCT ...)`` semantics; 1 when no sensitive
+    column is named — the pure k-anonymity case). ``group_size`` counts
+    every row. Shape: per-batch Arrow group_by collapses each batch to
+    its distinct (QI, sensitive) pairs with counts, ONE exchange bucketed
+    on hash(QI) co-locates each group, and the combine re-groups
+    vectorized — the exchange ships group-grain partials, never raw rows.
     """
     quasi_cols = list(quasi_cols)
+    ds = ds.materialize()  # size_bytes() on a mapped plan would EXECUTE it
     nb = num_buckets or bucket_count(ds.size_bytes(), floor=64)
     pair_cols = quasi_cols + ([sensitive_col] if sensitive_col else [])
 
@@ -80,18 +96,29 @@ def qi_group_stats(ds, quasi_cols, sensitive_col: str | None = None,
             pair_cols,
             pair_cols + ["cnt"],
         )
-        stats = rename_grouped(
-            pairs.group_by(quasi_cols).aggregate([("cnt", "sum"), ([], "count_all")]),
+        sizes = rename_grouped(
+            pairs.group_by(quasi_cols).aggregate([("cnt", "sum")]),
             quasi_cols,
-            quasi_cols + ["group_size", "l_distinct"],
+            quasi_cols + ["group_size"],
         )
         if not sensitive_col:
-            stats = stats.set_column(
-                stats.schema.get_field_index("l_distinct"),
+            return sizes.append_column(
                 "l_distinct",
-                pa.array(np.ones(stats.num_rows, np.int64), pa.int64()),
+                pa.array(np.ones(sizes.num_rows, np.int64), pa.int64()),
             )
-        return stats
+        # COUNT(DISTINCT sensitive) ignores NULLs (SQL semantics): an
+        # all-null group gets l_distinct = 0, never a free diversity point
+        valid = pairs.filter(
+            pc.is_valid(pairs.column(sensitive_col).combine_chunks())
+        )
+        ls = rename_grouped(
+            valid.group_by(quasi_cols).aggregate([([], "count_all")]),
+            quasi_cols,
+            quasi_cols + ["l_distinct"],
+        )
+        idx = pc.index_in(_qi_key(sizes, quasi_cols), value_set=_qi_key(ls, quasi_cols))
+        lvals = pc.fill_null(pc.take(ls.column("l_distinct"), idx), 0)
+        return sizes.append_column("l_distinct", pc.cast(lvals, pa.int64()))
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -116,13 +143,18 @@ def enforce_k_anonymity(
 ):
     """Suppression release: rows of ``ds`` whose QI group has
     ``group_size >= k`` AND ``l_distinct >= l`` (l-diversity gate only
-    when ``sensitive_col`` is given). Row order within blocks is
-    preserved; suppressed rows are dropped, never masked."""
-    import ray
-    import ray.data
-
+    when ``sensitive_col`` is given — passing ``l > 1`` without one is an
+    error, not a silent suppress-everything). Null QI values form their
+    own group on every path. Row order within blocks is preserved;
+    suppressed rows are dropped, never masked."""
     quasi_cols = list(quasi_cols)
+    if sensitive_col is None and l > 1:
+        raise ValueError(
+            "enforce_k_anonymity: l > 1 needs a sensitive_col (without one "
+            "l_distinct is fixed at 1 and every group would be suppressed)"
+        )
     limit = QI_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    ds = ds.materialize()  # stats + release re-consume; never re-execute
     stats = qi_group_stats(ds, quasi_cols, sensitive_col=sensitive_col)
     ok = stats.map_batches(
         lambda t, _k=k, _l=l: t.filter(
@@ -133,32 +165,8 @@ def enforce_k_anonymity(
         ).select(quasi_cols),
         batch_format="pyarrow",
     ).materialize()
-    n_ok = ok.count()
-    if n_ok == 0:
-        # typed-empty release (0-row join inputs crash Ray's hash shuffle,
-        # and an all-empty mapped Dataset loses its schema downstream)
-        in_sch = ds.schema()
-        sch = pa.schema(zip(in_sch.names, in_sch.types)) if in_sch else pa.schema([])
-        return ray.data.from_arrow(sch.empty_table())
-    if n_ok <= limit:
-        keys = _qi_key(gather_table(ok), quasi_cols)
-        ref = ray.put(keys.take(pc.sort_indices(keys)))
-
-        def keep(t: pa.Table, _ref=ref) -> pa.Table:
-            return t.filter(pc.is_in(_qi_key(t, quasi_cols), value_set=ray.get(_ref)))
-
-        return ds.map_batches(keep, batch_format="pyarrow")
-    in_sch = ds.schema()
-    return drop_empty_blocks(
-        ds.join(
-            drop_empty_blocks(ok),
-            join_type="left_semi",
-            num_partitions=join_num_partitions(ds.size_bytes()),
-            on=tuple(quasi_cols),
-            right_on=tuple(quasi_cols),
-        ).materialize(),
-        schema=pa.schema(zip(in_sch.names, in_sch.types)) if in_sch else None,
-    )
+    kept, _ = _split_on_membership(ds, quasi_cols, ok, limit, want_rest=False)
+    return kept
 
 
 def _passing_groups(ds, col: str, k: int):
@@ -172,49 +180,78 @@ def _passing_groups(ds, col: str, k: int):
     ).materialize()
 
 
-def _split_on_membership(ds, col: str, members, limit: int):
-    """(rows whose ``col`` is in ``members``, the rest) — broadcast
-    pc.is_in task maps under ``limit`` members, left_semi/left_anti hash
-    joins above it. ``members`` must be materialized and distinct."""
+def _split_on_membership(ds, quasi_cols, members, limit: int,
+                         want_rest: bool = True):
+    """(rows whose QI tuple is in ``members``, the rest) — the ONE
+    membership mechanism every release path shares. Both paths compare
+    the same injective ``_qi_key`` string (broadcast ``pc.is_in`` task
+    maps under ``limit`` members; a left_semi/left_anti hash join ON THE
+    KEY COLUMN above it — joining raw columns would drop null keys and
+    diverge from the broadcast path). ``ds`` and ``members`` must be
+    materialized; ``members`` is distinct over ``quasi_cols``. With
+    ``want_rest=False`` the second element is None and its pass/join is
+    skipped."""
     import ray
     import ray.data
 
+    quasi_cols = list(quasi_cols)
     n = members.count()
     in_sch = ds.schema()
     sch = pa.schema(zip(in_sch.names, in_sch.types)) if in_sch else pa.schema([])
     if n == 0:
-        return ray.data.from_arrow(sch.empty_table()), ds
+        empty = ray.data.from_arrow(sch.empty_table())
+        return empty, (ds if want_rest else None)
     if n <= limit:
-        vals = gather_table(members).column(col).combine_chunks()
-        ref = ray.put(vals.take(pc.sort_indices(vals)))
+        keys = _qi_key(gather_table(members), quasi_cols)
+        ref = ray.put(keys.take(pc.sort_indices(keys)))
 
         def _mask(t: pa.Table, _ref=ref) -> pa.Array:
-            return pc.is_in(t.column(col).combine_chunks(), value_set=ray.get(_ref))
+            return pc.is_in(_qi_key(t, quasi_cols), value_set=ray.get(_ref))
 
         kept = ds.map_batches(
             lambda t: t.filter(_mask(t)), batch_format="pyarrow"
         )
-        rest = ds.map_batches(
-            lambda t: t.filter(pc.invert(_mask(t))), batch_format="pyarrow"
+        rest = (
+            ds.map_batches(
+                lambda t: t.filter(pc.invert(_mask(t))), batch_format="pyarrow"
+            )
+            if want_rest
+            else None
         )
         return kept, rest
     n_parts = join_num_partitions(ds.size_bytes())
-    clean = drop_empty_blocks(members)
+
+    def _with_key(t: pa.Table) -> pa.Table:
+        return t.append_column("__qi_key", _qi_key(t, quasi_cols))
+
+    left = ds.map_batches(_with_key, batch_format="pyarrow").materialize()
+    right = drop_empty_blocks(
+        members.map_batches(
+            lambda t: pa.table({"__qi_key": _qi_key(t, quasi_cols)}),
+            batch_format="pyarrow",
+        ).materialize()
+    )
     out = []
-    for jt in ("left_semi", "left_anti"):
+    for jt in ("left_semi",) + (("left_anti",) if want_rest else ()):
+        joined = drop_empty_blocks(
+            left.join(
+                right,
+                join_type=jt,
+                num_partitions=n_parts,
+                on=("__qi_key",),
+                right_on=("__qi_key",),
+            ).materialize(),
+            schema=sch,  # all-empty case: typed WITHOUT the key column
+        )
         out.append(
-            drop_empty_blocks(
-                ds.join(
-                    clean,
-                    join_type=jt,
-                    num_partitions=n_parts,
-                    on=(col,),
-                    right_on=(col,),
-                ).materialize(),
-                schema=sch,
+            joined.map_batches(
+                lambda t: t.drop_columns(["__qi_key"])
+                if "__qi_key" in t.column_names
+                else t,
+                batch_format="pyarrow",
             )
         )
-    return out[0], out[1]
+    return out[0], (out[1] if want_rest else None)
 
 
 def generalize_to_k(
@@ -264,7 +301,7 @@ def generalize_to_k(
         if remaining.count() == 0:
             break
         ok = _passing_groups(remaining, col, k)
-        kept, remaining = _split_on_membership(remaining, col, ok, limit)
+        kept, remaining = _split_on_membership(remaining, [col], ok, limit)
         kept = kept.materialize()
         remaining = remaining.materialize()
         if kept.count() > 0:

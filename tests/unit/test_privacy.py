@@ -74,6 +74,20 @@ class TestQiGroupStats:
         }
         assert all(l == 1 for _, l in got.values())
 
+    def test_null_sensitive_values_dont_count_toward_l(self, ray_session):
+        # SQL COUNT(DISTINCT) ignores NULLs: {d0, null} is l=1, {null} is 0
+        t = pa.table(
+            {
+                "zip3": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "diagnosis": pa.array(["d0", None, "d0", None, None], pa.string()),
+            }
+        )
+        got = _stats_map(
+            qi_group_stats(ray.data.from_arrow(t), ["zip3"], "diagnosis"),
+            ["zip3"],
+        )
+        assert got == {(1,): (3, 1), (2,): (2, 0)}
+
     def test_partition_and_bucket_independence(self, ray_session):
         t = _people(seed=23)
         a = _stats_map(
@@ -117,6 +131,57 @@ class TestEnforceKAnonymity:
         )
         assert self._release_ids(bc) == self._release_ids(jn) == want
         assert 0 < len(want) < t.num_rows  # the gate genuinely suppresses
+
+    def test_null_qi_values_group_separately_both_paths(self, ray_session):
+        # (null,"a") passes k, (null,"b") must NOT ride along on the null
+        # key (the old string key collapsed every null-bearing tuple onto
+        # one key and leaked the failing group) — and broadcast == join
+        zips = [None] * 6 + [None] + [7] * 6
+        bands = ["a"] * 6 + ["b"] + ["c"] * 6
+        t = pa.table(
+            {
+                "pid": pa.array(np.arange(13, dtype=np.int64)),
+                "zip3": pa.array(zips, pa.int64()),
+                "age_band": pa.array(bands, pa.string()),
+            }
+        )
+        want = list(range(6)) + list(range(7, 13))  # pid 6 suppressed
+        for blimit in (None, 0):
+            got = self._release_ids(
+                enforce_k_anonymity(
+                    ray.data.from_arrow(t).repartition(3),
+                    ["zip3", "age_band"],
+                    k=5,
+                    broadcast_limit=blimit,
+                )
+            )
+            assert got == want, blimit
+
+    def test_separator_bytes_in_qi_values_never_collide(self, ray_session):
+        # ('a\x1fb','c') x6 passes k; ('a','b\x1fc') x1 must stay
+        # suppressed even though the naive joined strings are identical
+        t = pa.table(
+            {
+                "pid": pa.array(np.arange(7, dtype=np.int64)),
+                "zip3": pa.array(["a\x1fb"] * 6 + ["a"], pa.string()),
+                "age_band": pa.array(["c"] * 6 + ["b\x1fc"], pa.string()),
+            }
+        )
+        for blimit in (None, 0):
+            got = self._release_ids(
+                enforce_k_anonymity(
+                    ray.data.from_arrow(t),
+                    ["zip3", "age_band"],
+                    k=5,
+                    broadcast_limit=blimit,
+                )
+            )
+            assert got == list(range(6)), blimit
+
+    def test_l_without_sensitive_col_raises(self, ray_session):
+        t = _people(seed=2)
+        with pytest.raises(ValueError):
+            enforce_k_anonymity(ray.data.from_arrow(t), ["zip3"], k=2, l=2)
 
     def test_every_group_suppressed_typed_empty(self, ray_session):
         t = _people(seed=7)
