@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "k_anonymize": _lazy("pie_ray.functions.privacy", "q_k_anonymize"),
         "k_generalize": _lazy("pie_ray.functions.privacy", "q_k_generalize"),
+        "text_source_roundtrip": _lazy(
+            "pie_ray.sources.textfiles", "q_text_source_roundtrip"
+        ),
     }.items()}
 
 
@@ -398,6 +401,12 @@ def _k_generalize_sql() -> str:
     from pie_ray.functions.privacy import K_GENERALIZE_ORACLE_SQL
 
     return K_GENERALIZE_ORACLE_SQL
+
+
+def _text_roundtrip_sql() -> str:
+    from pie_ray.sources.textfiles import TEXT_ROUNDTRIP_ORACLE_SQL
+
+    return TEXT_ROUNDTRIP_ORACLE_SQL
 
 
 def _crawl_radius_sql() -> str:
@@ -434,6 +443,10 @@ def oracle_sql() -> dict[str, str]:
         # local-recoding generalization down the nation->region->ALL ladder
         "k_anonymize": _k_anonymize_sql(),
         "k_generalize": _k_generalize_sql(),
+        # JSONL + CSV source/sink round trip: engine writes both formats
+        # and reads them back through the streaming sources; the oracle
+        # aggregates the original parquet — hash match proves losslessness
+        "text_source_roundtrip": _text_roundtrip_sql(),
         # NB-style quality classifier (CCNet/GPT-3 filter shape): integer
         # fixed-point weights -> every value bit-exact vs DuckDB
         "quality_classifier": QUALITY_CLF_ORACLE_SQL,
