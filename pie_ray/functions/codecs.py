@@ -10,6 +10,9 @@ self-contained numpy implementations of public formats:
   sampling factors 1-2, 1- or 3-component) — both decode AND encode, so
   test fixtures are generated in-repo and every roundtrip property is
   checkable without external files
+- **PNG** (ISO 15948: stdlib-zlib DEFLATE, all five scanline filters,
+  color types gray/RGB/palette/gray+alpha/RGBA, bit depths 1-16,
+  Adam7 interlace) — decode AND encode (8-bit, single-filter rows)
 - **WAV** (RIFF PCM integer 8/16/24/32-bit and IEEE float 32/64-bit)
 - **MJPEG** (concatenated JPEG frames — the minimal real *video* container:
   frame sampling seeks to the i-th SOI..EOI segment)
@@ -48,6 +51,8 @@ def sniff(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -764,6 +769,229 @@ def encode_mjpeg(frames: list[np.ndarray], quality: int = 90) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948 / RFC 2083 — stdlib zlib carries the DEFLATE layer)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int32 lanes (spec §9.4, exact integer ties)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Invert per-scanline filtering: ``raw`` is h rows of (1 filter byte +
+    rowbytes) from the inflated stream; returns (h, rowbytes) uint8.
+
+    Sub is inverted as a strided cumsum (vectorized); Up as a row add;
+    Average/Paeth depend on the RECONSTRUCTED left byte so they walk the
+    row — but over bpp-wide lanes with numpy ops, so the Python loop is
+    rowbytes/bpp long, not rowbytes × h."""
+    rows = raw.reshape(h, 1 + rowbytes)
+    ftypes = rows[:, 0]
+    if (ftypes > 4).any():
+        raise CodecError(f"bad PNG filter type {int(ftypes.max())}")
+    out = np.zeros((h, rowbytes), np.int32)
+    prior = np.zeros(rowbytes, np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: cumsum over each bpp lane
+            rec = cur.reshape(-1, bpp).cumsum(axis=0).reshape(-1) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        else:  # Average / Paeth: sequential in x over bpp lanes
+            rec = np.zeros(rowbytes, np.int32)
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for x in range(0, rowbytes, bpp):
+                up = prior[x : x + bpp]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = _paeth_vec(left, up, upleft)
+                left = (cur[x : x + bpp] + pred) & 0xFF
+                rec[x : x + bpp] = left
+                upleft = up
+        out[y] = rec
+        prior = rec
+    return out.astype(np.uint8)
+
+
+def _png_samples(recon: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, rowbytes) reconstructed bytes -> (h, w, channels) uint8 samples
+    (16-bit samples keep the high byte — the standard 8-bit reduction)."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        return recon[:, : w * channels * 2].reshape(h, w, channels, 2)[..., 0]
+    # sub-byte depths (1/2/4): unpack bits, MSB first, then regroup
+    bits = np.unpackbits(recon, axis=1)
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    packed = (vals * weights).sum(axis=2)
+    scale = 255 // ((1 << depth) - 1)
+    return (packed[:, : w * channels].reshape(h, w, channels) * scale).astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG to (H, W, 3) uint8 RGB. Supports color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16
+    (16-bit reduced to the high byte; palette indices are never scaled);
+    both interlace methods (none + Adam7). Alpha is dropped, matching
+    PIL's ``convert("RGB")`` on straight-alpha sources."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise CodecError("not a PNG")
+    pos, n = 8, len(payload)
+    ihdr: tuple | None = None
+    plte: np.ndarray | None = None
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise CodecError("truncated PNG chunk")
+        pos += 12 + clen  # skip CRC (zlib layer has its own adler32)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise CodecError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise CodecError("unsupported PNG compression/filter/interlace method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise CodecError(f"unsupported PNG color type {color}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color in (2, 4, 6)):
+        raise CodecError(f"unsupported PNG bit depth {depth} for color type {color}")
+    if w == 0 or h == 0:
+        raise CodecError("empty PNG")
+    stream = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    bpp = max(1, channels * depth // 8)
+
+    def rowbytes_for(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    if interlace == 0:
+        rb = rowbytes_for(w)
+        if stream.size != h * (1 + rb):
+            raise CodecError("PNG data size mismatch")
+        samples = _png_samples(_png_unfilter(stream, h, rb, bpp), w, channels, depth)
+    else:  # Adam7: 7 independently filtered sub-images, scattered back
+        samples = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rb = rowbytes_for(pw)
+            chunk = stream[off : off + ph * (1 + rb)]
+            if chunk.size != ph * (1 + rb):
+                raise CodecError("PNG interlaced data size mismatch")
+            off += ph * (1 + rb)
+            sub = _png_samples(_png_unfilter(chunk, ph, rb, bpp), pw, channels, depth)
+            samples[y0::dy, x0::dx] = sub
+        if off != stream.size:
+            raise CodecError("PNG interlaced data size mismatch")
+
+    if color == 3:
+        if plte is None:
+            raise CodecError("palette PNG without PLTE")
+        idx = samples[..., 0]
+        if depth < 8:
+            # _png_samples scaled sub-byte values for gray; palette wants raw indices
+            idx = idx // (255 // ((1 << depth) - 1))
+        if int(idx.max()) >= len(plte):
+            raise CodecError("PNG palette index out of range")
+        return plte[idx]
+    if color == 0:
+        return np.repeat(samples, 3, axis=2)
+    if color == 2:
+        return np.ascontiguousarray(samples)
+    if color == 4:
+        return np.repeat(samples[..., :1], 3, axis=2)
+    return np.ascontiguousarray(samples[..., :3])  # 6: RGBA -> RGB
+
+
+def encode_png(img: np.ndarray, filter_type: int = 1) -> bytes:
+    """Encode (H, W) gray, (H, W, 3) RGB, or (H, W, 4) RGBA uint8 as an
+    8-bit non-interlaced PNG. ``filter_type`` (0..4) applies ONE spec
+    filter to every scanline — deterministic output, and it lets tests
+    exercise every unfilter path with exact roundtrips (the default Sub
+    compresses gradients well without per-row heuristics)."""
+    import zlib
+
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        color, channels = 0, 1
+        img = img[..., None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, channels = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color, channels = 6, 4
+    else:
+        raise CodecError("expected (H,W), (H,W,3) or (H,W,4) uint8")
+    if not 0 <= filter_type <= 4:
+        raise CodecError(f"bad PNG filter type {filter_type}")
+    h, w = img.shape[:2]
+    raw = img.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, bpp:] = raw[:-1, :-bpp]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - ((left + up) >> 1)
+    else:
+        filt = raw - _paeth_vec(left, up, upleft)
+    lines = np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8), (filt & 0xFF).astype(np.uint8)], axis=1
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(lines.tobytes(), 9)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------------
 # top-level dispatch
 # ---------------------------------------------------------------------------
 
@@ -780,4 +1008,6 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if kind == "jpeg":
         return decode_jpeg(payload)
+    if kind == "png":
+        return decode_png(payload)
     raise CodecError("unrecognized image format")

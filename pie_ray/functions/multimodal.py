@@ -2,10 +2,11 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 ``decode="real"`` decodes GENUINE bytes via the pure-numpy codecs in
-:mod:`pie_ray.functions.codecs` — BMP, PPM/PGM, baseline JPEG, WAV-PCM,
-and MJPEG (concatenated-JPEG video) — with PIL / soundfile used as an
-extra fallback when a cluster image provides them; formats beyond that
-set (PNG without PIL, MP4, MP3, ...) raise NotImplementedError.
+:mod:`pie_ray.functions.codecs` — BMP, PPM/PGM, baseline JPEG, PNG
+(stdlib-zlib DEFLATE), WAV-PCM, and MJPEG (concatenated-JPEG video) —
+with PIL / soundfile used as an extra fallback when a cluster image
+provides them; formats beyond that set (MP4, MP3, WebP, ...) raise
+NotImplementedError.
 ``decode="fake"`` produces a deterministic pseudo-decode (seeded from the
 payload hash) for plumbing tests; ``decode="auto"`` tries real and falls
 back to fake on unrecognized payloads.
@@ -67,8 +68,8 @@ class DecodeBackend:
 
     - 'fake' (default): deterministic pseudo-decode keyed on payload bytes
       — keeps plumbing tests/benches reproducible with arbitrary bytes.
-    - 'real': pure-numpy codecs (BMP / PPM / baseline JPEG / WAV / MJPEG,
-      see :mod:`pie_ray.functions.codecs`), then PIL / soundfile when a
+    - 'real': pure-numpy codecs (BMP / PPM / baseline JPEG / PNG / WAV /
+      MJPEG, see :mod:`pie_ray.functions.codecs`), then PIL / soundfile when a
       cluster image provides them; raises NotImplementedError for formats
       none of those cover.
     - 'auto': 'real' when the payload is decodable, else 'fake' — the
@@ -92,7 +93,7 @@ class DecodeBackend:
         if self.mode != "fake":
             from pie_ray.functions import codecs
 
-            if codecs.sniff(payload or b"") in ("bmp", "ppm", "jpeg"):
+            if codecs.sniff(payload or b"") in ("bmp", "ppm", "jpeg", "png"):
                 return codecs.decode_image_bytes(payload)
             if self._pil is not None:
                 import io
@@ -153,7 +154,7 @@ class DecodeBackend:
                 if frames:
                     idx = min((frame_idx * len(frames)) // max(n_frames, 1), len(frames) - 1)
                     return codecs.decode_jpeg(frames[idx])
-            if codecs.sniff(payload or b"") in ("bmp", "ppm"):
+            if codecs.sniff(payload or b"") in ("bmp", "ppm", "png"):
                 # still-image "video": every sampled frame is the image
                 return codecs.decode_image_bytes(payload)
             if self.mode == "real":
@@ -242,8 +243,8 @@ def _synth_wave(rng: np.random.Generator, duration_ms: int, sr: int = 16000) -> 
 
 def _encode_payload(kind: str, i: int, rng, w: int, h: int, dur: int) -> tuple[bytes, str]:
     """REAL container bytes for a synthetic media row, rotating formats so
-    every numpy codec path gets exercised (BMP, PPM, JPEG 4:4:4, JPEG
-    4:2:0 for images; WAV for audio; MJPEG for video)."""
+    every numpy codec path gets exercised (BMP, PPM, JPEG 4:4:4, PNG,
+    JPEG 4:2:0 for images; WAV for audio; MJPEG for video)."""
     from pie_ray.functions import codecs
 
     if kind == "audio":
@@ -255,13 +256,15 @@ def _encode_payload(kind: str, i: int, rng, w: int, h: int, dur: int) -> tuple[b
             for fi in range(4)
         ]
         return codecs.encode_mjpeg(frames, quality=90), "video/x-motion-jpeg"
-    fmt = i % 4
+    fmt = i % 5
     if fmt == 0:
         return codecs.encode_bmp(img), "image/bmp"
     if fmt == 1:
         return codecs.encode_ppm(img), "image/x-portable-pixmap"
     if fmt == 2:
         return codecs.encode_jpeg(img, quality=90), "image/jpeg"
+    if fmt == 3:
+        return codecs.encode_png(img), "image/png"
     return codecs.encode_jpeg(img, quality=90, subsample=True), "image/jpeg"
 
 

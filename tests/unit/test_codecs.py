@@ -184,6 +184,123 @@ def test_jpeg_quality_monotone():
     assert len(C.encode_jpeg(img, quality=20)) < len(C.encode_jpeg(img, quality=95))
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    body = ctype + data
+    return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+
+def _png_build(w, h, depth, color, raw_scanlines, plte=None, interlace=0) -> bytes:
+    """Spec-constructed PNG stream (independent of encode_png) so the
+    decoder's exotic paths are tested against the wire format, not
+    against our own writer."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(raw_scanlines)) + _png_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_exact_every_filter(filter_type):
+    """PNG is lossless: encode(filter k) -> decode must be bit-exact for
+    every scanline filter, for gray / RGB / RGBA (alpha dropped)."""
+    rng = np.random.default_rng(100 + filter_type)
+    img = rng.integers(0, 256, (21, 29, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(C.decode_png(C.encode_png(img, filter_type=filter_type)), img)
+    np.testing.assert_array_equal(
+        C.decode_png(C.encode_png(gray, filter_type=filter_type)),
+        np.repeat(gray[..., None], 3, 2),
+    )
+    np.testing.assert_array_equal(
+        C.decode_png(C.encode_png(rgba, filter_type=filter_type)), rgba[..., :3]
+    )
+
+
+def test_png_palette_and_subbyte_depths():
+    rng = np.random.default_rng(4)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (7, 5), dtype=np.uint8)
+    rows = b"".join(b"\x00" + r.tobytes() for r in idx)
+    np.testing.assert_array_equal(
+        C.decode_png(_png_build(5, 7, 8, 3, rows, plte=plte)), plte[idx]
+    )
+    # depth 4: two indices per byte, MSB first; width 5 leaves pad bits
+    idx4 = rng.integers(0, 16, (3, 5), dtype=np.uint8)
+    packed = []
+    for r in idx4:
+        p = np.concatenate([r, [0]])
+        packed.append(b"\x00" + ((p[0::2] << 4) | p[1::2]).astype(np.uint8).tobytes())
+    np.testing.assert_array_equal(
+        C.decode_png(_png_build(5, 3, 4, 3, b"".join(packed), plte=plte)), plte[idx4]
+    )
+    # depth 1 gray scales 0/1 -> 0/255
+    g1 = rng.integers(0, 2, (4, 10), dtype=np.uint8)
+    rows = b"".join(b"\x00" + np.packbits(r).tobytes() for r in g1)
+    np.testing.assert_array_equal(
+        C.decode_png(_png_build(10, 4, 1, 0, rows)),
+        np.repeat((g1 * 255)[..., None], 3, 2),
+    )
+
+
+def test_png_16bit_and_gray_alpha():
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    samp = np.stack([hi, lo], -1).reshape(5, -1)
+    rows = b"".join(b"\x00" + r.tobytes() for r in samp)
+    # 16-bit samples reduce to the high byte
+    np.testing.assert_array_equal(C.decode_png(_png_build(4, 5, 16, 2, rows)), hi)
+    ga = rng.integers(0, 256, (6, 5, 2), dtype=np.uint8)
+    rows = b"".join(b"\x00" + r.tobytes() for r in ga.reshape(6, -1))
+    np.testing.assert_array_equal(
+        C.decode_png(_png_build(5, 6, 8, 4, rows)), np.repeat(ga[..., :1], 3, 2)
+    )
+
+
+def test_png_adam7_interlace_with_filters():
+    """Adam7: 7 independently filtered sub-images scatter back losslessly,
+    including non-zero filters WITHIN a pass (Sub here)."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    plain, subbed = b"", b""
+    for x0, y0, dx, dy in adam7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        flat = sub.reshape(sub.shape[0], -1).astype(np.int32)
+        left = np.zeros_like(flat)
+        left[:, 3:] = flat[:, :-3]
+        for raw, filt in zip(flat, (flat - left) & 0xFF):
+            plain += b"\x00" + raw.astype(np.uint8).tobytes()
+            subbed += b"\x01" + filt.astype(np.uint8).tobytes()
+    np.testing.assert_array_equal(C.decode_png(_png_build(13, 11, 8, 2, plain, interlace=1)), img)
+    np.testing.assert_array_equal(C.decode_png(_png_build(13, 11, 8, 2, subbed, interlace=1)), img)
+
+
+def test_png_malformed_raises():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    good = C.encode_png(img)
+    with pytest.raises(C.CodecError):
+        C.decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    with pytest.raises(C.CodecError):
+        C.decode_png(good[:30])  # truncated inside IHDR/IDAT
+    rows = b"\x07" + bytes(12)  # filter type 7 is invalid
+    with pytest.raises(C.CodecError):
+        C.decode_png(_png_build(4, 1, 8, 2, rows))
+    with pytest.raises(C.CodecError):
+        C.encode_png(img[..., :2])  # 2-channel input unsupported
+
+
 def test_mjpeg_split_and_frame_decode():
     frames = EXPECTED["frames"]
     stream = (FIX / "tiny.mjpeg").read_bytes()
@@ -201,6 +318,7 @@ def test_mjpeg_split_and_frame_decode():
 def test_fixture_files_decode():
     img, gray, wav = EXPECTED["img"], EXPECTED["gray"], EXPECTED["wav"]
     np.testing.assert_array_equal(C.decode_bmp((FIX / "tiny.bmp").read_bytes()), img)
+    np.testing.assert_array_equal(C.decode_png((FIX / "tiny.png").read_bytes()), img)
     np.testing.assert_array_equal(C.decode_ppm((FIX / "tiny.ppm").read_bytes()), img)
     g = C.decode_ppm((FIX / "tiny.pgm").read_bytes())
     np.testing.assert_array_equal(g[..., 0], gray)
