@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "k_anonymize": _lazy("pie_ray.functions.privacy", "q_k_anonymize"),
         "k_generalize": _lazy("pie_ray.functions.privacy", "q_k_generalize"),
+        "dp_release": _lazy("pie_ray.functions.privacy", "q_dp_release"),
         "text_source_roundtrip": _lazy(
             "pie_ray.sources.textfiles", "q_text_source_roundtrip"
         ),
@@ -401,6 +402,12 @@ def _k_generalize_sql() -> str:
     from pie_ray.functions.privacy import K_GENERALIZE_ORACLE_SQL
 
     return K_GENERALIZE_ORACLE_SQL
+
+
+def _dp_release_sql() -> str:
+    from pie_ray.functions.privacy import DP_RELEASE_ORACLE_SQL
+
+    return DP_RELEASE_ORACLE_SQL
 
 
 def _text_roundtrip_sql() -> str:
@@ -443,6 +450,10 @@ def oracle_sql() -> dict[str, str]:
         # local-recoding generalization down the nation->region->ALL ladder
         "k_anonymize": _k_anonymize_sql(),
         "k_generalize": _k_generalize_sql(),
+        # epsilon-DP noisy count + clipped sum per group (two-sided
+        # geometric from md5 uniforms — the oracle replays every draw
+        # bit-for-bit via md5_number_lower + ln, like sample_weighted)
+        "dp_release": _dp_release_sql(),
         # JSONL + CSV source/sink round trip: engine writes both formats
         # and reads them back through the streaming sources; the oracle
         # aggregates the original parquet — hash match proves losslessness

@@ -421,3 +421,153 @@ K_GENERALIZE_ORACLE_SQL = f"""
     UNION ALL
     SELECT c_custkey, CAST(2 AS BIGINT), 'ALL' FROM r1
 """
+
+
+# ---------------------------------------------------------------------------
+# Differential privacy: per-group noisy COUNT + clipped SUM release
+# (Dwork et al. 2006 Laplace mechanism, in the discrete two-sided-geometric
+# form of Ghosh-Roughgarden-Sundararajan 2009 — integer noise, so the
+# engine's exact-cents arithmetic carries through unchanged)
+# ---------------------------------------------------------------------------
+
+DP_COUNT_EPS = 1.0
+DP_SUM_EPS = 0.5
+DP_SUM_CLIP = 200_000.0  # dollars; sensitivity of the clipped sum
+DP_SEED = 7
+
+
+def _dp_u64(key: str) -> int:
+    """The md5_number_lower integer (low 8 digest bytes, little-endian) —
+    the SAME content-derived uniform source the oracled weighted-sampling
+    path uses, so DuckDB reproduces every draw bit-for-bit."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[8:16], "little")
+
+
+def _dp_geometric(key: str, denom: float) -> int:
+    """floor(ln(1 - u) / denom) with u = md5-uniform(key) in [0, 1) and
+    denom = -epsilon/sensitivity < 0: a geometric draw with success
+    probability 1 - exp(denom). Scalar math.log = libm, the same code
+    path DuckDB's ln() takes, so engine and oracle agree bit-for-bit."""
+    import math
+
+    u = _dp_u64(key) / 18446744073709551616.0
+    return math.floor(math.log(1.0 - u) / denom)
+
+
+def dp_noise(key: str, epsilon: float, sensitivity: float, seed: int) -> int:
+    """Two-sided geometric (discrete Laplace) noise for one released cell:
+    the difference of two independent geometric draws, each keyed on
+    (cell key, channel tag, seed). E[noise] = 0, and the release of
+    value + noise is epsilon-DP at the given sensitivity.
+
+    The draws are CONTENT-DERIVED (md5 of the cell key + seed), not from
+    an OS RNG — the same trade every seeded-PRNG DP implementation makes:
+    the epsilon guarantee holds against adversaries without the seed,
+    and in exchange the release is reproducible across runs, partitioning
+    and engines (and therefore SQL-oracle-able)."""
+    denom = -epsilon / sensitivity
+    return _dp_geometric(f"{key}|dp1|{seed}", denom) - _dp_geometric(
+        f"{key}|dp2|{seed}", denom
+    )
+
+
+def dp_group_release(
+    ds,
+    key_col: str,
+    val_col: str,
+    *,
+    clip: float = DP_SUM_CLIP,
+    count_eps: float = DP_COUNT_EPS,
+    sum_eps: float = DP_SUM_EPS,
+    seed: int = DP_SEED,
+):
+    """Differentially private per-group release: noisy COUNT (sensitivity
+    1) + noisy clipped SUM (values clamped to [0, clip] dollars, so one
+    row moves the sum by at most clip — the standard contribution bound).
+    Total budget by sequential composition = count_eps + sum_eps,
+    reported in the epsilon_total column.
+
+    Distribution shape: per-batch Arrow group partials + one driver
+    combine (lowcard_group_agg — group count is the dimension, never the
+    corpus), then noise is drawn per released CELL from the md5 of its
+    group key. No shuffle; adding a group's noise costs O(groups)."""
+    from pie_ray.functions.relational import cents, lowcard_group_agg
+
+    clip_c = int(round(clip * 100))
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = pc.max_element_wise(
+            pc.min_element_wise(cents(t.column(val_col)), pa.scalar(clip_c, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table({key_col: t.column(key_col), "clipped_c": v})
+
+    agg = lowcard_group_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=[key_col],
+        sum_cols=["clipped_c"],
+        count_alias="n",
+    )
+    keys = agg.column(key_col).to_pylist()
+    n = agg.column("n").to_pylist()
+    s = agg.column("clipped_c__sum").to_pylist()
+    noisy_n = [
+        ni + dp_noise(f"{k}|cnt", count_eps, 1.0, seed) for k, ni in zip(keys, n)
+    ]
+    noisy_s = [
+        (si + dp_noise(f"{k}|sum", sum_eps, clip_c, seed)) / 100.0
+        for k, si in zip(keys, s)
+    ]
+    return pa.table(
+        {
+            key_col: agg.column(key_col),
+            "noisy_count": pa.array(noisy_n, pa.int64()),
+            "noisy_sum": pa.array(noisy_s, pa.float64()),
+            "epsilon_total": pa.array([count_eps + sum_eps] * len(keys), pa.float64()),
+        }
+    )
+
+
+def q_dp_release(sf_dir: str):
+    """Driver entry (SQL-oracled): epsilon-DP release of order counts and
+    clipped total-price sums per order status (eps = 1.0 count + 0.5 sum).
+    The oracle reproduces the geometric draws exactly via
+    md5_number_lower + ln — same pattern as the sample_weighted oracle."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+    return dp_group_release(orders, "o_orderstatus", "o_totalprice")
+
+
+def _dp_geom_sql(key_expr: str, tag: str, denom: float) -> str:
+    return (
+        f"CAST(floor(ln(1 - md5_number_lower({key_expr} || '|{tag}|{DP_SEED}')"
+        f" / 18446744073709551616.0) / ({denom!r})) AS BIGINT)"
+    )
+
+
+def _dp_noise_sql(key_expr: str, chan: str, denom: float) -> str:
+    k = f"({key_expr} || '|{chan}')"
+    return f"({_dp_geom_sql(k, 'dp1', denom)} - {_dp_geom_sql(k, 'dp2', denom)})"
+
+
+DP_RELEASE_ORACLE_SQL = f"""
+    WITH g AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             SUM(LEAST(GREATEST(CAST(round(o_totalprice * 100) AS BIGINT), 0),
+                       {int(DP_SUM_CLIP * 100)})) AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus,
+           n + {_dp_noise_sql('o_orderstatus', 'cnt', -DP_COUNT_EPS / 1.0)}
+             AS noisy_count,
+           (s + {_dp_noise_sql('o_orderstatus', 'sum', -DP_SUM_EPS / (DP_SUM_CLIP * 100))})
+             / 100.0 AS noisy_sum,
+           CAST({DP_COUNT_EPS + DP_SUM_EPS!r} AS DOUBLE) AS epsilon_total
+    FROM g
+"""

@@ -280,3 +280,104 @@ class TestEnforceKAnonymity:
             )
         )
         assert got == want
+
+
+class TestDifferentialPrivacy:
+    def test_noise_zero_mean_and_geometric_variance(self):
+        """Two-sided geometric: Var = 2*alpha/(1-alpha)^2 with
+        alpha = exp(-eps/sens). 20k independent cells give a tight
+        empirical check on both moments."""
+        import math
+
+        from pie_ray.functions.privacy import dp_noise
+
+        eps, sens = 1.0, 1.0
+        draws = np.array(
+            [dp_noise(f"cell{i}", eps, sens, seed=3) for i in range(20000)], np.float64
+        )
+        alpha = math.exp(-eps / sens)
+        var = 2 * alpha / (1 - alpha) ** 2
+        assert abs(draws.mean()) < 4 * math.sqrt(var / len(draws))
+        assert abs(draws.var() / var - 1.0) < 0.1
+
+    def test_noise_deterministic_and_key_dependent(self):
+        from pie_ray.functions.privacy import dp_noise
+
+        assert dp_noise("k1", 1.0, 1.0, 7) == dp_noise("k1", 1.0, 1.0, 7)
+        many = {dp_noise(f"k{i}", 0.1, 1.0, 7) for i in range(50)}
+        assert len(many) > 5  # different cells draw different noise
+        assert dp_noise("k1", 1.0, 1.0, 7) != dp_noise("k1", 1.0, 1.0, 8) or (
+            dp_noise("k2", 1.0, 1.0, 7) != dp_noise("k2", 1.0, 1.0, 8)
+        )
+
+    def test_release_partition_independent_and_clipped(self, ray_session):
+        """Same noisy release at any partitioning; clipping bounds one
+        row's influence on the sum to exactly clip dollars."""
+        from pie_ray.functions.privacy import dp_group_release
+
+        rng = np.random.RandomState(5)
+        vals = rng.uniform(0, 300.0, 400).round(2)
+        t = pa.table(
+            {
+                "g": pa.array([f"s{v}" for v in rng.randint(0, 4, 400)], pa.string()),
+                "v": pa.array(vals, pa.float64()),
+            }
+        )
+        rels = [
+            dp_group_release(
+                ray.data.from_arrow(t).repartition(p), "g", "v", clip=100.0, seed=3
+            ).to_pylist()
+            for p in (1, 7)
+        ]
+        assert rels[0] == rels[1]
+        # clip: inflating one already-above-clip value must not move the sum
+        v2 = vals.copy()
+        big = int(np.argmax(v2))
+        assert v2[big] > 100.0
+        v2[big] = 1e9
+        t2 = t.set_column(1, "v", pa.array(v2, pa.float64()))
+        rel2 = dp_group_release(
+            ray.data.from_arrow(t2), "g", "v", clip=100.0, seed=3
+        ).to_pylist()
+        assert rel2 == rels[0]
+
+    def test_neighbor_sensitivity_is_bounded(self, ray_session):
+        """Removing one row moves noisy_count by exactly 1 and noisy_sum by
+        at most clip (noise is a function of the group key alone, so the
+        deltas are the TRUE deltas — the sensitivity the epsilon prices)."""
+        from pie_ray.functions.privacy import dp_group_release
+
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 30 + ["b"] * 20, pa.string()),
+                "v": pa.array(np.linspace(0, 250, 50), pa.float64()),
+            }
+        )
+        full = dp_group_release(ray.data.from_arrow(t), "g", "v", clip=100.0).to_pylist()
+        drop = dp_group_release(
+            ray.data.from_arrow(t.slice(1)), "g", "v", clip=100.0
+        ).to_pylist()
+        fa = next(r for r in full if r["g"] == "a")
+        da = next(r for r in drop if r["g"] == "a")
+        assert fa["noisy_count"] - da["noisy_count"] == 1
+        assert 0.0 <= fa["noisy_sum"] - da["noisy_sum"] <= 100.0
+        fb = next(r for r in full if r["g"] == "b")
+        db = next(r for r in drop if r["g"] == "b")
+        assert fb == db  # untouched group releases identically
+
+    def test_oracle_parity_sf0001(self, ray_session):
+        import duckdb
+
+        from pie_ray.functions.privacy import DP_RELEASE_ORACLE_SQL, q_dp_release
+
+        d = "/root/testdata/sf0.001"
+        eng = q_dp_release(d).sort_by("o_orderstatus").to_pylist()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+        )
+        ora = [
+            dict(zip(["o_orderstatus", "noisy_count", "noisy_sum", "epsilon_total"], r))
+            for r in con.execute(DP_RELEASE_ORACLE_SQL + " ORDER BY 1").fetchall()
+        ]
+        assert eng == ora
