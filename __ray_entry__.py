@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_communities": _lazy("pie_ray.functions.graphops", "q_graph_communities"),
         "graph_pagerank": _lazy("pie_ray.functions.graphops", "q_graph_pagerank"),
         "graph_trustrank": _lazy("pie_ray.functions.graphops", "q_graph_trustrank"),
+        "graph_hits": _lazy("pie_ray.functions.graphops", "q_graph_hits"),
         "grouped_mode": relational.q_grouped_mode,
         "kg_entity_profiles": _kg_entity_profiles,
         "graph_centrality": _lazy(
@@ -425,7 +426,11 @@ def _crawl_radius_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from pie_ray.functions import relational
-    from pie_ray.functions.graphops import pagerank_oracle_sql, trustrank_oracle_sql
+    from pie_ray.functions.graphops import (
+        hits_oracle_sql,
+        pagerank_oracle_sql,
+        trustrank_oracle_sql,
+    )
     from pie_ray.functions.urlops import (
         DEDUP_URLS_ORACLE_SQL,
         URL_CANONICALIZE_ORACLE_SQL,
@@ -476,6 +481,9 @@ def oracle_sql() -> dict[str, str]:
         # the nested-CTE unrolled power iteration hash-matches bit-for-bit
         "graph_pagerank": pagerank_oracle_sql(),
         "graph_trustrank": trustrank_oracle_sql(),
+        # HITS hubs/authorities: integer half-steps + divisor L-inf norm
+        # unrolled as MATERIALIZED CTEs (inlining would be exponential)
+        "graph_hits": hits_oracle_sql(),
         "url_canonicalize": URL_CANONICALIZE_ORACLE_SQL,
         "dedup_urls": DEDUP_URLS_ORACLE_SQL,
         "exact_median_interp": relational.EXACT_MEDIAN_INTERP_ORACLE_SQL,

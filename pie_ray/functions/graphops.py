@@ -1234,6 +1234,331 @@ def trustrank_oracle_sql(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
     return "".join(parts)
 
 
+# ------------------------------------------------- HITS hubs & authorities
+
+HITS_ITERS = 5
+HITS_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def hits_edges(sf_dir: str, override_num_blocks: int | None = None):
+    """Directed bipartite order→supplier edges for HITS: node ids are
+    l_orderkey*2 (hub side) and l_suppkey*2+1 (authority side) — no packed
+    2^32 bound, order keys stay full int64. Distinct via map-side collapse
+    + ONE bucketed exchange (house rule: never a Ray groupby on the raw
+    pair key)."""
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+        override_num_blocks=override_num_blocks,
+    )
+    nb = bucket_count(raw.size_bytes(), floor=N_BUCKETS)
+    li = raw.filter(expr=f"l_quantity > {TRI_QTY_THRESHOLD}")
+
+    def pair_tag(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([])
+        src = 2 * g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        dst = 2 * g.column("l_suppkey").to_numpy(zero_copy_only=False) + 1
+        b = (hash64_ints(src * 31 + dst, salt=0x417) % nb).astype(np.int32)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def pair_unique(g: pa.Table) -> pa.Table:
+        gb = g.drop_columns(["bucket"]).group_by(["src", "dst"]).aggregate([])
+        return gb.select(["src", "dst"])
+
+    from pie_ray.util import drop_empty_blocks
+
+    return drop_empty_blocks(
+        li.map_batches(pair_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair_unique, batch_format="pyarrow")
+        .materialize(),
+        schema=HITS_SCHEMA,
+    )
+
+
+def hits_integer_directed_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    iters: int = HITS_ITERS,
+    scale: int = PR_SCALE,
+) -> pa.Table:
+    """Integer-exact HITS (Kleinberg 1999): per iteration the authority
+    update a'(v) = sum_{(u,v)} h(u) then the hub update h'(u) =
+    sum_{(u,v)} a(v), each L∞-normalized by INTEGER DIVISOR
+    d = max(1, max(raw) // scale) so every value stays ~scale and every
+    op is int64 (order-independent sums + floor division → bit-identical
+    across partitioning and engines, hence SQL-oracle-able — the same
+    trick as the integer PageRank). Overflow bound: raw ≤ deg_max ·
+    2·scale, safe to deg_max ~ 4.6e9 at scale 1e9. Returns (node,
+    hub_scaled, auth_scaled) over the full node universe (no-in-edge
+    nodes hold authority 0, no-out-edge nodes hub 0)."""
+    src = src.astype(np.int64)
+    dst = dst.astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src) :]
+    n = len(nodes)
+    h = np.full(n, scale, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(iters):
+        a_raw = np.zeros(n, np.int64)
+        np.add.at(a_raw, di, h[si])
+        a = a_raw // max(1, int(a_raw.max(initial=0)) // scale)
+        h_raw = np.zeros(n, np.int64)
+        np.add.at(h_raw, si, a[di])
+        h = h_raw // max(1, int(h_raw.max(initial=0)) // scale)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "hub_scaled": pa.array(h, pa.int64()),
+            "auth_scaled": pa.array(a, pa.int64()),
+        }
+    )
+
+
+def hits_integer_distributed(
+    edges: "ray.data.Dataset",
+    iters: int = HITS_ITERS,
+    scale: int = PR_SCALE,
+):
+    """Distributed twin of ``hits_integer_driver`` — bit-equal by the same
+    integer-math argument (equivalence-tested). Per half-step: one hash
+    join (edge picks up the source side's score), per-batch partial sums
+    + ONE bucketed combine, a driver MAX (single scalar — the L∞ norm is
+    the only global in HITS), then a LEFT join back onto the node
+    universe (missing side coalesces to 0). ``.materialize()`` barriers
+    between exchanges (repo rule: two all-to-alls never share a plan)."""
+    from pie_ray.util import drop_empty_blocks
+
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "hub_scaled": pa.array([], pa.int64()),
+                "auth_scaled": pa.array([], pa.int64()),
+            }
+        )
+    n_parts = join_num_partitions(edges.size_bytes())
+    nb = bucket_count(edges.size_bytes(), floor=N_BUCKETS)
+    _NODE_SCHEMA = pa.schema([("node", pa.int64())])
+    _RAW_SCHEMA = pa.schema([("node", pa.int64()), ("r", pa.int64())])
+
+    def node_tag(t: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    t.column("src").to_numpy(zero_copy_only=False),
+                    t.column("dst").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        b = (hash64_ints(ids, salt=0x71F) % nb).astype(np.int32)
+        return pa.table(
+            {"node": pa.array(ids, pa.int64()), "bucket": pa.array(b, pa.int32())}
+        )
+
+    def node_unique(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["bucket"]).group_by(["node"]).aggregate([])
+
+    nodes_ds = drop_empty_blocks(
+        edges.map_batches(node_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(node_unique, batch_format="pyarrow")
+        .materialize(),
+        schema=_NODE_SCHEMA,
+    ).materialize()
+
+    def half_step(score_ds, join_on: str, emit: str, col: str):
+        """score flows across edges: join scores onto ``join_on``, partial-
+        sum per ``emit`` node, bucketed combine, divisor-normalize against
+        the node universe. Returns the new (node, <col>) Dataset."""
+        j = edges.join(
+            score_ds,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=(join_on,),
+            right_on=("node",),
+        ).materialize()
+
+        def partial(t: pa.Table) -> pa.Table:
+            out = t.column(emit).to_numpy(zero_copy_only=False)
+            sc = t.column(col).to_numpy(zero_copy_only=False)
+            ids, idx = np.unique(out, return_inverse=True)
+            acc = np.zeros(len(ids), np.int64)
+            np.add.at(acc, idx, sc)
+            b = (hash64_ints(ids, salt=0x9D3) % nb).astype(np.int32)
+            return pa.table(
+                {
+                    "node": pa.array(ids, pa.int64()),
+                    "r": pa.array(acc, pa.int64()),
+                    "bucket": pa.array(b, pa.int32()),
+                }
+            )
+
+        def combine(g: pa.Table) -> pa.Table:
+            from pie_ray.util import rename_grouped
+
+            gb = g.drop_columns(["bucket"]).group_by(["node"]).aggregate([("r", "sum")])
+            return rename_grouped(gb, ["node"], ["node", "r"])
+
+        raw = drop_empty_blocks(
+            j.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize(),
+            schema=_RAW_SCHEMA,
+        ).materialize()
+        rmax = raw.max("r") if raw.count() > 0 else 0
+        d = max(1, int(rmax or 0) // scale)
+
+        def norm(t: pa.Table) -> pa.Table:
+            r = pc.fill_null(pc.cast(t.column("r"), pa.int64()), pa.scalar(0, pa.int64()))
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    col: pc.divide(r, pa.scalar(d, pa.int64())),
+                }
+            )
+
+        raw2 = raw.map_batches(
+            lambda t: pa.table({"node2": t.column("node"), "r": t.column("r")}),
+            batch_format="pyarrow",
+        ).materialize()
+        if raw2.count() == 0:
+            return nodes_ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        col: pa.array(np.zeros(t.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        return (
+            nodes_ds.join(
+                raw2,
+                join_type="left_outer",
+                num_partitions=join_num_partitions(nodes_ds.size_bytes()),
+                on=("node",),
+                right_on=("node2",),
+            )
+            .map_batches(norm, batch_format="pyarrow")
+            .materialize()
+        )
+
+    h_ds = nodes_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "h": pa.array(np.full(t.num_rows, scale, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    a_ds = None
+    for _ in range(iters):
+        a_ds = half_step(h_ds, "src", "dst", "h").map_batches(
+            lambda t: pa.table({"node": t.column("node"), "a": t.column("h")}),
+            batch_format="pyarrow",
+        ).materialize()
+        h_ds = half_step(a_ds, "dst", "src", "a").map_batches(
+            lambda t: pa.table({"node": t.column("node"), "h": t.column("a")}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    joined = h_ds.join(
+        a_ds.map_batches(
+            lambda t: pa.table({"node2": t.column("node"), "a": t.column("a")}),
+            batch_format="pyarrow",
+        ).materialize(),
+        join_type="inner",
+        num_partitions=join_num_partitions(h_ds.size_bytes()),
+        on=("node",),
+        right_on=("node2",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "hub_scaled": t.column("h"),
+                "auth_scaled": t.column("a"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_graph_hits(sf_dir: str):
+    """HITS over the order→supplier bipartite graph, SQL-oracled
+    bit-for-bit (integer updates + divisor normalization unroll into
+    nested CTEs with scalar MAX subqueries). Size-adaptive like the other
+    rank entries: vectorized driver iteration under DRIVER_EDGE_LIMIT,
+    the joins-based distributed twin above (bit-equal,
+    equivalence-tested)."""
+    edges = hits_edges(sf_dir).materialize()
+    if edges.count() <= DRIVER_EDGE_LIMIT:
+        tbl = gather_table(edges, schema=HITS_SCHEMA)
+        return hits_integer_directed_driver(
+            tbl.column("src").to_numpy(zero_copy_only=False),
+            tbl.column("dst").to_numpy(zero_copy_only=False),
+        )
+    return hits_integer_distributed(edges)
+
+
+def hits_oracle_sql(iters: int = HITS_ITERS, scale: int = PR_SCALE) -> str:
+    """DuckDB oracle for ``q_graph_hits``: the same integer half-steps
+    unrolled (aggregation is illegal in a recursive CTE term, so fixed
+    iterations unroll like the pagerank oracle); ``//`` is floor division
+    on BIGINT, GREATEST(1, MAX(raw) // scale) is the divisor norm."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem WHERE l_quantity > {TRI_QTY_THRESHOLD}
+        ), nodes AS MATERIALIZED (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), h0 AS (
+          SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        # AS MATERIALIZED is load-bearing: ar{i}/hr{i} are each referenced
+        # twice (join + MAX-norm subquery), and DuckDB's default CTE
+        # inlining would re-expand the whole chain per reference —
+        # exponential in iters (measured: 14 s at 3 iters, hours at 5)
+        parts.append(
+            f""", ar{i} AS MATERIALIZED (
+          SELECT e.dst AS node, SUM(p.h) AS r
+          FROM e JOIN h{i - 1} p ON p.node = e.src GROUP BY e.dst
+        ), a{i} AS MATERIALIZED (
+          SELECT n.node,
+                 COALESCE(x.r, 0)
+                   // GREATEST(1, (SELECT MAX(r) FROM ar{i}) // {scale}) AS a
+          FROM nodes n LEFT JOIN ar{i} x ON x.node = n.node
+        ), hr{i} AS MATERIALIZED (
+          SELECT e.src AS node, SUM(p.a) AS r
+          FROM e JOIN a{i} p ON p.node = e.dst GROUP BY e.src
+        ), h{i} AS MATERIALIZED (
+          SELECT n.node,
+                 COALESCE(x.r, 0)
+                   // GREATEST(1, (SELECT MAX(r) FROM hr{i}) // {scale}) AS h
+          FROM nodes n LEFT JOIN hr{i} x ON x.node = n.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT h.node, h.h AS hub_scaled, a.a AS auth_scaled
+        FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
+    )
+    return "".join(parts)
+
+
 # ----------------------------------------------- label propagation communities
 
 

@@ -1183,3 +1183,90 @@ class TestBfsWalks:
             assert (
                 G.random_walks(self._edges_ds(pairs), [], force_distributed=force).count() == 0
             )
+
+
+class TestHits:
+    @staticmethod
+    def _ref_hits(pairs, iters=G.HITS_ITERS, scale=G.PR_SCALE):
+        """Independent per-edge-loop reference with the same integer rule."""
+        nodes = sorted({x for p in pairs for x in p})
+        h = {v: scale for v in nodes}
+        a = {v: 0 for v in nodes}
+        for _ in range(iters):
+            raw = {v: 0 for v in nodes}
+            for s, d in pairs:
+                raw[d] += h[s]
+            m = max(1, max(raw.values(), default=0) // scale)
+            a = {v: raw[v] // m for v in nodes}
+            raw = {v: 0 for v in nodes}
+            for s, d in pairs:
+                raw[s] += a[d]
+            m = max(1, max(raw.values(), default=0) // scale)
+            h = {v: raw[v] // m for v in nodes}
+        return {v: (h[v], a[v]) for v in nodes}
+
+    def test_driver_matches_reference_random_bipartite(self):
+        rng = np.random.default_rng(9)
+        src = (2 * rng.integers(0, 60, 300)).astype(np.int64)
+        dst = (2 * rng.integers(0, 12, 300) + 1).astype(np.int64)
+        pairs = sorted(set(zip(src.tolist(), dst.tolist())))
+        out = G.hits_integer_directed_driver(
+            np.array([p[0] for p in pairs], np.int64),
+            np.array([p[1] for p in pairs], np.int64),
+        )
+        got = {
+            r["node"]: (r["hub_scaled"], r["auth_scaled"]) for r in out.to_pylist()
+        }
+        assert got == self._ref_hits(pairs) and len(got) > 0
+        # bipartite structure: hub side carries no authority and vice versa
+        assert all(got[n][1] == 0 for n in got if n % 2 == 0)
+        assert all(got[n][0] == 0 for n in got if n % 2 == 1)
+
+    def test_star_graph_authority_concentrates(self):
+        # 10 hubs all pointing at auth 1; one pointing also at auth 3
+        pairs = [(2 * i, 1) for i in range(10)] + [(0, 3)]
+        out = G.hits_integer_directed_driver(
+            np.array([p[0] for p in pairs], np.int64),
+            np.array([p[1] for p in pairs], np.int64),
+        )
+        got = {r["node"]: r for r in out.to_pylist()}
+        assert got[1]["auth_scaled"] > got[3]["auth_scaled"] > 0
+        # the hub that also reaches the minor authority scores highest
+        assert got[0]["hub_scaled"] == max(
+            r["hub_scaled"] for r in out.to_pylist()
+        )
+
+    def test_driver_vs_distributed_bit_equal(self, ray_session):
+        edges = G.hits_edges(SF).materialize()
+        from pie_ray.util import gather_table
+
+        tbl = gather_table(edges, schema=G.HITS_SCHEMA)
+        drv = G.hits_integer_directed_driver(
+            tbl.column("src").to_numpy(zero_copy_only=False),
+            tbl.column("dst").to_numpy(zero_copy_only=False),
+        ).to_pylist()
+        dist = pa.Table.from_pylist(
+            G.hits_integer_distributed(edges).take_all()
+        ).to_pylist()
+        key = lambda r: r["node"]  # noqa: E731
+        assert sorted(drv, key=key) == sorted(dist, key=key) and len(drv) > 0
+
+    def test_edges_partition_independent(self, ray_session):
+        a = pa.Table.from_pylist(
+            G.hits_edges(SF, override_num_blocks=2).take_all()
+        ).to_pylist()
+        b = pa.Table.from_pylist(
+            G.hits_edges(SF, override_num_blocks=13).take_all()
+        ).to_pylist()
+        key = lambda r: (r["src"], r["dst"])  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
+
+    def test_empty_graph(self, ray_session):
+        import ray.data
+
+        empty = ray.data.from_arrow(
+            pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        )
+        assert G.hits_integer_distributed(empty).num_rows == 0
