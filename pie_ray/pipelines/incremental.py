@@ -771,3 +771,225 @@ def kg_changes(root: str, k_from: int, k_to: int, cfg=None):
     old = triples_asof(root, k_from, cfg)
     new = triples_asof(root, k_to, cfg)
     return triples_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# erasure — GDPR/right-to-be-forgotten over the incremental store
+# ---------------------------------------------------------------------------
+
+# erasure requests are small by nature (a url list / one entity); the
+# drop set broadcasts via ray.put — bounded well below this
+FORGET_BROADCAST_LIMIT = 5_000_000
+
+
+def _affected_deltas(root: str, table: str, match_mask_fn) -> dict[str, int]:
+    """ONE column-pruned streaming pass over every delta of ``table``:
+    per-delta-dir match counts (O(dirs) driver rows). Dirs with zero
+    matches are later hardlinked, not rewritten — untouched increments
+    stay byte-stable (same property the graph refresh keeps)."""
+    import ray.data
+
+    files = _delta_files(root, table)
+    if not files:
+        return {}
+
+    def count(t: pa.Table) -> pa.Table:
+        mask = match_mask_fn(t)
+        dirs = [os.path.dirname(p) for p in t.column("path").to_pylist()]
+        agg: dict[str, int] = {}
+        for d, m in zip(dirs, mask.to_pylist()):
+            agg[d] = agg.get(d, 0) + (1 if m else 0)
+        return pa.table(
+            {
+                "dir": pa.array(list(agg), pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    out: dict[str, int] = {}
+    counts = ray.data.read_parquet(files, include_paths=True).map_batches(
+        count, batch_format="pyarrow"
+    )
+    for r in counts.take_all():
+        out[r["dir"]] = out.get(r["dir"], 0) + r["n"]
+    return {d: n for d, n in out.items() if n > 0}
+
+
+def _erase_rows(root: str, table: str, match_mask_fn) -> dict:
+    """Rewrite ``root/<table>`` with every row matching ``match_mask_fn``
+    removed. Crash-safe by the compaction discipline: the full table tree
+    is staged under ``<table>.forgetting`` (affected delta dirs rewritten
+    through a streaming filter, untouched dirs HARDLINKED — zero copy)
+    and swapped in atomically; stale staging from a killed run is cleared
+    on the next attempt, and a re-run of the same request converges
+    (idempotent — already-erased rows simply match nothing)."""
+    import ray.data
+
+    build = os.path.join(root, f"{table}.forgetting")
+    shutil.rmtree(build, ignore_errors=True)  # stale staging from a kill
+    affected = _affected_deltas(root, table, match_mask_fn)
+    rows_dropped = sum(affected.values())
+    if not affected:
+        return {"rows_dropped": 0, "deltas_rewritten": 0}
+    os.makedirs(build)
+    for d in sorted(glob.glob(os.path.join(root, table, "delta_*"))):
+        dst = os.path.join(build, os.path.basename(d))
+        os.makedirs(dst)
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if d in affected:
+            if files:
+                ray.data.read_parquet(files).map_batches(
+                    lambda t: t.filter(pc.invert(match_mask_fn(t))),
+                    batch_format="pyarrow",
+                ).write_parquet(dst)
+        else:
+            for f in files:
+                os.link(f, os.path.join(dst, os.path.basename(f)))
+            for s in ("_DONE", "_COVERAGE"):
+                if os.path.exists(os.path.join(d, s)):
+                    os.link(os.path.join(d, s), os.path.join(dst, s))
+    _swap_in(build, os.path.join(root, table))
+    return {"rows_dropped": rows_dropped, "deltas_rewritten": len(affected)}
+
+
+def forget_urls(root: str, urls, cfg=None, pages_ds=None) -> dict:
+    """Erase every trace of ``urls`` from the store: their raw triples
+    (provenance column), their url-ledger rows, their link-edge
+    contributions (link-delta roots), then rebuild the derived caches.
+    The result equals a fresh build over the corpus MINUS those pages —
+    including time-travel reads, which replay the REWRITTEN deltas
+    (erasure rewrites history; that is the point).
+
+    Ledger semantics: the erased urls come OUT of the ledger, so a later
+    recrawl of one re-ingests it — erasure means erase, not suppress.
+    Callers who must also block re-ingestion keep a denylist at the
+    frontier (stages/frontier.py), which is a crawl policy, not store
+    state.
+
+    Link-delta roots need the affected increments' PAGES back (edge
+    weights are counted aggregates — a forgotten page's contribution
+    cannot be subtracted from a count without the original html), so
+    ``pages_ds`` (any superset crawl containing the surviving pages of
+    affected increments) is REQUIRED there; the slot rewrite reuses the
+    crash-recovery path including its durable coverage check."""
+    import ray
+
+    from pie_ray.pipelines.kg import KgConfig
+
+    cfg = cfg or KgConfig()
+    meta = _read_meta(root)
+    want = sorted(set(urls))
+    if len(want) > FORGET_BROADCAST_LIMIT:
+        raise ValueError(
+            f"{len(want)} urls exceeds FORGET_BROADCAST_LIMIT — split the "
+            "erasure request into batches"
+        )
+    ref = ray.put(pa.array(want, pa.string()))
+
+    def url_match(t: pa.Table) -> pa.ChunkedArray:
+        return pc.is_in(t.column("url"), value_set=ray.get(ref))
+
+    # linkedges first: find affected slots from the PRE-rewrite ledger
+    # (after the ledger swap the matches are gone); rewrite the slots
+    # AFTER the ledger swap so _slot_pages sees the post-erasure ledger
+    ld_enabled = _link_deltas_enabled(root, meta)
+    affected_slots: list[int] = []
+    if ld_enabled:
+        affected_slots = sorted(
+            int(os.path.basename(d).split("_")[1])
+            for d in _affected_deltas(root, "urls", url_match)
+        )
+        if affected_slots and pages_ds is None:
+            raise ValueError(
+                "this root maintains link deltas; erasing pages from "
+                f"increments {affected_slots} changes counted host-edge "
+                "aggregates, which cannot be recomputed without the pages "
+                "— pass pages_ds (the surviving pages of those increments)"
+            )
+
+    report = {"urls_requested": len(want)}
+    r = _erase_rows(root, "raw", url_match)
+    report["raw_rows_dropped"] = r["rows_dropped"]
+    report["raw_deltas_rewritten"] = r["deltas_rewritten"]
+    r = _erase_rows(root, "urls", url_match)
+    report["ledger_rows_dropped"] = r["rows_dropped"]
+    report["ledger_deltas_rewritten"] = r["deltas_rewritten"]
+
+    for k in affected_slots:
+        slot_pages, n_ledgered = _slot_pages(root, k, pages_ds)
+        cov = _write_link_delta(root, k, slot_pages, n_ledgered=n_ledgered)
+        report.setdefault("link_slots_rewritten", []).append({"k": k, **cov})
+
+    stats = _rebuild(root, cfg)
+    meta["n_urls"] = _ledger_rows(root)
+    meta["built_fp"] = _delta_fingerprint(root)
+    _write_meta(root, meta)
+    return {**report, **stats}
+
+
+def forget_person(root: str, person_key: str, cfg=None) -> dict:
+    """Erase one PERSON entity from the knowledge graph: every raw triple
+    whose subject links into the person's canonical component, and every
+    co-mention edge pointing AT the person, then rebuild. The url ledger
+    is untouched — the pages were still processed and their OTHER facts
+    survive (erasing a person is not erasing the page).
+
+    The component is resolved over the CURRENT raw union with the same
+    linking configuration as the serving pipeline, so the erased key set
+    is exactly what canonicalization would have folded into the entity.
+    Erasure is by raw subject key, so the rebuild (which re-links from
+    scratch — linking is not monotone under key-set shrinkage, see the
+    module docstring) cannot resurrect any part of the entity."""
+    import ray
+    import ray.data
+
+    from pie_ray.pipelines.kg import KgConfig, link_stage
+
+    cfg = cfg or KgConfig()
+    meta = _read_meta(root)
+    files = _delta_files(root, "raw")
+    if not files:
+        return {"person": person_key, "keys_erased": 0, "raw_rows_dropped": 0}
+    raw = ray.data.read_parquet(files).materialize()
+    kind, canon = link_stage(raw, cfg)
+    if kind == "map":
+        target = canon.get(person_key, person_key)
+        keys = sorted(
+            {k for k, v in canon.items() if v == target} | {person_key}
+        )
+    else:  # ("ds", labels) — past the broadcast limit; component-bounded pulls
+        def _eq(col: str, val: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.filter(pc.equal(t.column(col), val))
+
+            return fn
+
+        hit = canon.map_batches(_eq("entity_key", person_key),
+                                batch_format="pyarrow").take(1)
+        target = hit[0]["canon_id"] if hit else person_key
+        member_rows = canon.map_batches(_eq("canon_id", target),
+                                        batch_format="pyarrow").take_all()
+        keys = sorted({r["entity_key"] for r in member_rows} | {person_key})
+    ref = ray.put(pa.array(keys, pa.string()))
+
+    def person_match(t: pa.Table) -> pa.ChunkedArray:
+        vs = ray.get(ref)
+        m = pc.is_in(t.column("subj"), value_set=vs)
+        co = pc.and_(
+            pc.equal(t.column("pred"), "co_mentioned_with"),
+            pc.is_in(t.column("obj"), value_set=vs),
+        )
+        return pc.or_(m, co)
+
+    r = _erase_rows(root, "raw", person_match)
+    stats = _rebuild(root, cfg)
+    meta["built_fp"] = _delta_fingerprint(root)
+    _write_meta(root, meta)
+    return {
+        "person": person_key,
+        "canon_id": target,
+        "keys_erased": len(keys),
+        "raw_rows_dropped": r["rows_dropped"],
+        "raw_deltas_rewritten": r["deltas_rewritten"],
+        **stats,
+    }

@@ -41,6 +41,29 @@ def build_parser() -> argparse.ArgumentParser:
         "added/removed fact counts between two increments and write the "
         "diff to <output>/changes_FROM_TO (no build runs)",
     )
+    src.add_argument(
+        "--forget-urls",
+        metavar="FILE",
+        help="erasure (GDPR): newline-separated urls to remove from an "
+        "--ingest store under --output — raw triples, ledger rows, link "
+        "deltas and time-travel history all rewrite, then the derived "
+        "caches rebuild (no new pages processed). Link-delta stores also "
+        "need --forget-pages",
+    )
+    src.add_argument(
+        "--forget-person",
+        metavar="KEY",
+        help="erasure (GDPR): remove one person entity's canonical "
+        "component (all linked subject keys + co-mention edges) from an "
+        "--ingest store under --output; the pages' other facts survive",
+    )
+    p.add_argument(
+        "--forget-pages",
+        metavar="PATH",
+        help="T0 pages parquet covering the affected increments' surviving "
+        "pages — required by --forget-urls on a link-delta store (counted "
+        "host-edge aggregates rebuild from the pages)",
+    )
     p.add_argument("--output", required=True, help="output root (triples/, graph/, _manifests/)")
     p.add_argument(
         "--langs",
@@ -235,6 +258,26 @@ def main(argv: list[str] | None = None) -> int:
         tau=args.tau,
         num_graph_parts=args.graph_parts,
     )
+
+    if args.forget_urls or args.forget_person:
+        import json as _json
+
+        from pie_ray.pipelines.incremental import forget_person, forget_urls
+
+        if args.forget_urls:
+            with open(args.forget_urls) as f:
+                urls = [ln.strip() for ln in f if ln.strip()]
+            pages = (
+                ray.data.read_parquet(args.forget_pages)
+                if args.forget_pages
+                else None
+            )
+            rep = forget_urls(args.output, urls, cfg, pages_ds=pages)
+        else:
+            rep = forget_person(args.output, args.forget_person, cfg)
+        print(_json.dumps(rep, indent=1))
+        ray.shutdown()
+        return 0
 
     if args.changes:
         import json as _json

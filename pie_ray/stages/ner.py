@@ -162,8 +162,13 @@ class NerTagger:
             schema=schemas.TRIPLES,
         )
         # combiner runs INSIDE the actor: a separate task-pool map stage
-        # would be starved for CPUs behind this pool's reservation
-        return _partial_dedup(t)
+        # would be starved for CPUs behind this pool's reservation.
+        # url STAYS in the combine key: collapsing (subj,pred,obj) across
+        # pages here would make raw deltas batch-layout-dependent and lose
+        # the per-page provenance grain that url-level erasure
+        # (incremental.forget_urls) filters on — the global post-canon
+        # dedup reduces to the identical min-url row either way
+        return _partial_dedup(t, ("url",))
 
 
 def _sent_of(sbounds: list[tuple[int, int]], pos: int) -> int:

@@ -117,14 +117,21 @@ def emit_triples_from_mentions(mentions_ds, num_buckets: int = 64):
 
 def _partial_dedup(batch: pa.Table, extra_keys: tuple[str, ...] = ()) -> pa.Table:
     """Per-batch combiner: collapse duplicate (subj,pred,obj) before the
-    shuffle, keeping min(warc_ts), min(url) provenance and max(score)."""
+    shuffle, keeping min(warc_ts), min(url) provenance and max(score).
+    With "url" in ``extra_keys`` the collapse keeps per-page grain (the
+    fused raw-delta emit uses this: url-level erasure filters raw rows by
+    provenance, so a raw row must never blend two pages' facts)."""
     if batch.num_rows == 0:
         return batch
     keys = ["subj", "pred", "obj", *extra_keys]
-    gb = batch.group_by(keys).aggregate(
-        [("warc_ts", "min"), ("url", "min"), ("score", "max")]
-    )
-    return gb.rename_columns([*keys, "warc_ts", "url", "score"])
+    url_in_keys = "url" in keys
+    aggs = [("warc_ts", "min"), ("score", "max")]
+    names = [*keys, "warc_ts", "score"]
+    if not url_in_keys:
+        aggs.insert(1, ("url", "min"))
+        names.insert(len(keys) + 1, "url")
+    gb = batch.group_by(keys).aggregate(aggs)
+    return gb.rename_columns(names)
 
 
 DEDUP_BUCKETS = 64
