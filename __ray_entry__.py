@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymize": _lazy("pie_ray.functions.privacy", "q_k_anonymize"),
         "k_generalize": _lazy("pie_ray.functions.privacy", "q_k_generalize"),
         "dp_release": _lazy("pie_ray.functions.privacy", "q_dp_release"),
+        "html_tables": _lazy("pie_ray.stages.tables", "q_html_tables"),
+        "table_facts": _lazy("pie_ray.stages.tables", "q_table_facts"),
         "text_source_roundtrip": _lazy(
             "pie_ray.sources.textfiles", "q_text_source_roundtrip"
         ),
@@ -409,6 +411,18 @@ def _dp_release_sql() -> str:
     from pie_ray.functions.privacy import DP_RELEASE_ORACLE_SQL
 
     return DP_RELEASE_ORACLE_SQL
+
+
+def _html_tables_sql() -> str:
+    from pie_ray.stages.tables import html_tables_oracle_sql
+
+    return html_tables_oracle_sql()
+
+
+def _table_facts_sql() -> str:
+    from pie_ray.stages.tables import table_facts_oracle_sql
+
+    return table_facts_oracle_sql()
 
 
 def _text_roundtrip_sql() -> str:
@@ -459,6 +473,11 @@ def oracle_sql() -> dict[str, str]:
         # geometric from md5 uniforms — the oracle replays every draw
         # bit-for-bit via md5_number_lower + ln, like sample_weighted)
         "dp_release": _dp_release_sql(),
+        # WebTables-style HTML table extraction over the deterministic
+        # table corpus: long-form cells + header-row facts, both
+        # VALUES-golden oracled (the generator ground truth spelled out)
+        "html_tables": _html_tables_sql(),
+        "table_facts": _table_facts_sql(),
         # JSONL + CSV source/sink round trip: engine writes both formats
         # and reads them back through the streaming sources; the oracle
         # aggregates the original parquet — hash match proves losslessness
