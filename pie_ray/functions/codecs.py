@@ -13,6 +13,9 @@ self-contained numpy implementations of public formats:
 - **PNG** (ISO 15948: stdlib-zlib DEFLATE, all five scanline filters,
   color types gray/RGB/palette/gray+alpha/RGBA, bit depths 1-16,
   Adam7 interlace) — decode AND encode (8-bit, single-filter rows)
+- **GIF** (87a/89a: variable-width LZW, global/local palettes, interlace,
+  multi-frame draw-over compositing) — decode AND encode (≤256-color
+  frames; quantization is deliberately out of scope)
 - **WAV** (RIFF PCM integer 8/16/24/32-bit and IEEE float 32/64-bit)
 - **MJPEG** (concatenated JPEG frames — the minimal real *video* container:
   frame sampling seeks to the i-th SOI..EOI segment)
@@ -53,6 +56,8 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -992,6 +997,231 @@ def encode_png(img: np.ndarray, filter_type: int = 1) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (GIF87a/89a: LZW, palette, interlace, multi-frame with compositing)
+# ---------------------------------------------------------------------------
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace start/step rows
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width from min_code_size+1 up to 12
+    bits, CLEAR resets the table, codes emit prior-string + first-symbol
+    growth per the spec. Per-code Python loop — bounded by the tiny
+    payloads these stages carry (same budget note as the JPEG Huffman)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    bitpos = 0
+    nbits = len(data) * 8
+    buf = int.from_bytes(data, "little")
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        if bitpos + width > nbits:
+            raise CodecError("truncated GIF LZW stream")
+        code = (buf >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == len(table) + 2 and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise CodecError("bad GIF LZW code")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        if prev is not None:
+            table[len(table) + 2] = prev + entry[:1]
+        prev = entry
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    if n_out < n_pixels:
+        raise CodecError("GIF LZW stream ended early")
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Encoder twin: emits CLEAR up front and whenever the table reaches
+    4096 codes (the simple always-reset strategy every decoder accepts)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits: list[tuple[int, int]] = []
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, min_code_size + 1, clear + 2
+
+    table, width, nxt = reset()
+    out_bits.append((clear, width))
+    run = b""
+    for sym in indices.tobytes():
+        cand = run + bytes([sym])
+        if cand in table:
+            run = cand
+            continue
+        out_bits.append((table[run], width))
+        table[cand] = nxt
+        nxt += 1
+        if nxt > (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4096:
+            out_bits.append((clear, width))
+            table, width, nxt = reset()
+        run = bytes([sym])
+    if run:
+        out_bits.append((table[run], width))
+    out_bits.append((end, width))
+    buf = 0
+    bitpos = 0
+    for code, w in out_bits:
+        buf |= code << bitpos
+        bitpos += w
+    return buf.to_bytes((bitpos + 7) // 8, "little")
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    chunks = []
+    while True:
+        if pos >= len(payload):
+            raise CodecError("truncated GIF sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        chunks.append(payload[pos : pos + n])
+        pos += n
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """All frames of a GIF as (H, W, 3) uint8 RGB, composited onto the
+    canvas per the spec's draw order (a frame may be a patch at
+    (left, top) — it renders over the accumulated canvas; disposal modes
+    beyond draw-over and transparency are ignored, documented). Supports
+    87a/89a, global + local color tables, and interlaced frames."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise CodecError("not a GIF")
+    w, h, flags = struct.unpack("<HHB", payload[6:11])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        if pos + 3 * n > len(payload):
+            raise CodecError("truncated GIF color table")
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None:
+        canvas[:] = gct[(payload[11]) if payload[11] < len(gct) else 0]
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks, all skipped
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if b0 != 0x2C:
+            raise CodecError(f"unexpected GIF block 0x{b0:02x}")
+        if pos + 9 > len(payload):
+            raise CodecError("truncated GIF image descriptor")
+        left, top, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            if pos + 3 * n > len(payload):
+                raise CodecError("truncated GIF color table")
+            ct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise CodecError("GIF frame without a color table")
+        if pos >= len(payload):
+            raise CodecError("truncated GIF frame")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        idx = _lzw_decode(data, min_code, fw * fh)
+        if int(idx.max(initial=0)) >= len(ct):
+            raise CodecError("GIF palette index out of range")
+        px = ct[idx].reshape(fh, fw, 3)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            de = np.empty_like(px)
+            src = 0
+            for start, step in _GIF_PASSES:
+                rows = range(start, fh, step)
+                de[list(rows)] = px[src : src + len(rows)]
+                src += len(rows)
+            px = de
+        canvas[top : top + fh, left : left + fw] = px
+        frames.append(canvas.copy())
+    if not frames:
+        raise CodecError("GIF carries no image data")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame (the poster-frame read)."""
+    return decode_gif_frames(payload)[0]
+
+
+def encode_gif(frames: list[np.ndarray] | np.ndarray, interlace: bool = False) -> bytes:
+    """Encode full-canvas frame(s) as GIF89a with ONE global color table
+    built from the distinct colors across all frames (> 256 distinct
+    colors raise — GIF is a palette format; quantization is a modeling
+    choice this codec deliberately does not make)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise CodecError("no frames")
+    h, w = frames[0].shape[:2]
+    stack = np.concatenate([np.asarray(f, np.uint8).reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(stack, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise CodecError(f"{len(colors)} distinct colors exceed GIF's 256")
+    depth = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros(((1 << depth), 3), np.uint8)
+    pal[: len(colors)] = colors
+    out = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0),
+        pal.tobytes(),
+    ]
+    min_code = max(2, depth)
+    per = w * h
+    for fi, f in enumerate(frames):
+        if f.shape[:2] != (h, w):
+            raise CodecError("all GIF frames must share the canvas size")
+        idx = inv[fi * per : (fi + 1) * per].astype(np.uint8)
+        if interlace:
+            rows = idx.reshape(h, w)
+            order = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+            idx = rows[order].reshape(-1)
+        out.append(
+            struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+        )
+        out.append(bytes([min_code]))
+        lzw = _lzw_encode(idx, min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(bytes([len(chunk)]) + chunk)
+        out.append(b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
 # top-level dispatch
 # ---------------------------------------------------------------------------
 
@@ -1010,4 +1240,6 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "gif":
+        return decode_gif(payload)
     raise CodecError("unrecognized image format")

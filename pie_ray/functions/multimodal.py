@@ -3,10 +3,10 @@ with typed metadata, processed by actor-pool map_batches stages.
 
 ``decode="real"`` decodes GENUINE bytes via the pure-numpy codecs in
 :mod:`pie_ray.functions.codecs` — BMP, PPM/PGM, baseline JPEG, PNG
-(stdlib-zlib DEFLATE), WAV-PCM, and MJPEG (concatenated-JPEG video) —
-with PIL / soundfile used as an extra fallback when a cluster image
-provides them; formats beyond that set (MP4, MP3, WebP, ...) raise
-NotImplementedError.
+(stdlib-zlib DEFLATE), GIF, WAV-PCM, and for video MJPEG
+(concatenated-JPEG) or animated GIF — with PIL / soundfile used as an
+extra fallback when a cluster image provides them; formats beyond that
+set (MP4, MP3, WebP, ...) raise NotImplementedError.
 ``decode="fake"`` produces a deterministic pseudo-decode (seeded from the
 payload hash) for plumbing tests; ``decode="auto"`` tries real and falls
 back to fake on unrecognized payloads.
@@ -68,7 +68,7 @@ class DecodeBackend:
 
     - 'fake' (default): deterministic pseudo-decode keyed on payload bytes
       — keeps plumbing tests/benches reproducible with arbitrary bytes.
-    - 'real': pure-numpy codecs (BMP / PPM / baseline JPEG / PNG / WAV /
+    - 'real': pure-numpy codecs (BMP / PPM / baseline JPEG / PNG / GIF / WAV /
       MJPEG, see :mod:`pie_ray.functions.codecs`), then PIL / soundfile when a
       cluster image provides them; raises NotImplementedError for formats
       none of those cover.
@@ -93,7 +93,7 @@ class DecodeBackend:
         if self.mode != "fake":
             from pie_ray.functions import codecs
 
-            if codecs.sniff(payload or b"") in ("bmp", "ppm", "jpeg", "png"):
+            if codecs.sniff(payload or b"") in ("bmp", "ppm", "jpeg", "png", "gif"):
                 return codecs.decode_image_bytes(payload)
             if self._pil is not None:
                 import io
@@ -107,7 +107,7 @@ class DecodeBackend:
             if self.mode == "real":
                 raise NotImplementedError(
                     "unsupported image format (numpy codecs cover BMP/PPM/"
-                    "baseline JPEG; provision PIL on the cluster image for more)"
+                    "JPEG/PNG/GIF; provision PIL on the cluster image for more)"
                 )
         return self._fake_image(payload, width, height)
 
@@ -154,12 +154,16 @@ class DecodeBackend:
                 if frames:
                     idx = min((frame_idx * len(frames)) // max(n_frames, 1), len(frames) - 1)
                     return codecs.decode_jpeg(frames[idx])
+            if codecs.sniff(payload or b"") == "gif":
+                frames = codecs.decode_gif_frames(payload)
+                idx = min((frame_idx * len(frames)) // max(n_frames, 1), len(frames) - 1)
+                return frames[idx]
             if codecs.sniff(payload or b"") in ("bmp", "ppm", "png"):
                 # still-image "video": every sampled frame is the image
                 return codecs.decode_image_bytes(payload)
             if self.mode == "real":
                 raise NotImplementedError(
-                    "unsupported video container (numpy codec covers MJPEG)"
+                    "unsupported video container (numpy codecs cover MJPEG and animated GIF)"
                 )
         return self._fake_image(
             (payload or b"") + int(frame_idx).to_bytes(4, "little"), width, height
@@ -243,8 +247,10 @@ def _synth_wave(rng: np.random.Generator, duration_ms: int, sr: int = 16000) -> 
 
 def _encode_payload(kind: str, i: int, rng, w: int, h: int, dur: int) -> tuple[bytes, str]:
     """REAL container bytes for a synthetic media row, rotating formats so
-    every numpy codec path gets exercised (BMP, PPM, JPEG 4:4:4, PNG,
-    JPEG 4:2:0 for images; WAV for audio; MJPEG for video)."""
+    every numpy codec path gets exercised (BMP, PPM, JPEG 4:4:4, PNG, GIF,
+    JPEG 4:2:0 for images; WAV for audio; MJPEG and animated GIF for
+    video). GIF rows posterize to 64 levels first — GIF is a palette
+    format and this codec deliberately does not quantize."""
     from pie_ray.functions import codecs
 
     if kind == "audio":
@@ -255,8 +261,11 @@ def _encode_payload(kind: str, i: int, rng, w: int, h: int, dur: int) -> tuple[b
             np.clip(img.astype(np.int32) + 10 * fi, 0, 255).astype(np.uint8)
             for fi in range(4)
         ]
+        if i % 2:
+            frames = [(f >> 6) << 6 for f in frames]
+            return codecs.encode_gif(frames), "image/gif"
         return codecs.encode_mjpeg(frames, quality=90), "video/x-motion-jpeg"
-    fmt = i % 5
+    fmt = i % 6
     if fmt == 0:
         return codecs.encode_bmp(img), "image/bmp"
     if fmt == 1:
@@ -265,6 +274,8 @@ def _encode_payload(kind: str, i: int, rng, w: int, h: int, dur: int) -> tuple[b
         return codecs.encode_jpeg(img, quality=90), "image/jpeg"
     if fmt == 3:
         return codecs.encode_png(img), "image/png"
+    if fmt == 4:
+        return codecs.encode_gif((img >> 6) << 6), "image/gif"
     return codecs.encode_jpeg(img, quality=90, subsample=True), "image/jpeg"
 
 

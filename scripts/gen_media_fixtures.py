@@ -47,6 +47,10 @@ def main() -> None:
     (OUT / "tiny_420.jpg").write_bytes(codecs.encode_jpeg(img, quality=92, subsample=True))
     (OUT / "tiny_gray.jpg").write_bytes(codecs.encode_jpeg(gray, quality=92))
     (OUT / "tiny.png").write_bytes(codecs.encode_png(img))
+    (OUT / "tiny.gif").write_bytes(codecs.encode_gif((img >> 6) << 6))
+    (OUT / "tiny_anim.gif").write_bytes(
+        codecs.encode_gif([(f >> 6) << 6 for f in frames])
+    )
     (OUT / "tiny.wav").write_bytes(codecs.encode_wav(wav, 16000))
     (OUT / "tiny.mjpeg").write_bytes(codecs.encode_mjpeg(frames, quality=92))
     np.savez(

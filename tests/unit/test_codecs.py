@@ -467,3 +467,88 @@ def test_featurizer_real_image_stats_match_source():
     flat = img.reshape(-1, 3).astype(np.float64)
     np.testing.assert_allclose(feats[:3], flat.mean(0), rtol=1e-12)
     np.testing.assert_allclose(feats[3:6], flat.std(0), rtol=1e-12)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_exact(interlace):
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 40, (23, 31))]
+    np.testing.assert_array_equal(
+        C.decode_gif(C.encode_gif(img, interlace=interlace)), img
+    )
+
+
+def test_gif_multiframe_and_lzw_table_reset():
+    rng = np.random.default_rng(14)
+    pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 200, (16, 20))] for _ in range(4)]
+    got = C.decode_gif_frames(C.encode_gif(frames))
+    assert len(got) == 4
+    for g, f in zip(got, frames):
+        np.testing.assert_array_equal(g, f)
+    # big random-index image forces the 4096-code table reset path
+    big = pal[rng.integers(0, 200, (120, 130))]
+    np.testing.assert_array_equal(C.decode_gif(C.encode_gif(big)), big)
+
+
+def test_gif_patch_frame_composites_over_canvas():
+    """A frame may be a sub-rectangle at (left, top): it draws over the
+    accumulated canvas (spec draw order). Built by hand — encode_gif only
+    writes full-canvas frames."""
+    import struct as _s
+
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]], np.uint8)
+    base = np.zeros((4, 4), np.uint8)  # all color 0
+    patch = np.full((2, 2), 1, np.uint8)  # color 1 at (1, 1)
+
+    def frame_block(idx, left, top, w, h):
+        lzw = C._lzw_encode(idx.reshape(-1), 2)
+        body = _s.pack("<BHHHHB", 0x2C, left, top, w, h, 0) + bytes([2])
+        for i in range(0, len(lzw), 255):
+            ch = lzw[i : i + 255]
+            body += bytes([len(ch)]) + ch
+        return body + b"\x00"
+
+    gif = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+        + pal.tobytes()
+        + frame_block(base, 0, 0, 4, 4)
+        + frame_block(patch, 1, 1, 2, 2)
+        + b"\x3b"
+    )
+    frames = C.decode_gif_frames(gif)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], pal[base])
+    want = pal[base].copy()
+    want[1:3, 1:3] = pal[1]
+    np.testing.assert_array_equal(frames[1], want)
+
+
+def test_gif_rejects_overwide_palettes_and_garbage():
+    rng = np.random.default_rng(15)
+    with pytest.raises(C.CodecError):
+        C.encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+    with pytest.raises(C.CodecError):
+        C.decode_gif(b"GIF89a" + b"\x00" * 4)
+    good = C.encode_gif(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(C.CodecError):
+        C.decode_gif(good[: len(good) // 2])
+
+
+def test_gif_fixture_and_backend():
+    img = EXPECTED["img"]
+    post = (img >> 6) << 6
+    np.testing.assert_array_equal(
+        C.decode_gif((FIX / "tiny.gif").read_bytes()), post
+    )
+    be = DecodeBackend("real")
+    np.testing.assert_array_equal(
+        be.decode_image((FIX / "tiny.gif").read_bytes(), -1, -1), post
+    )
+    # animated fixture: frame seek matches the posterized source frames
+    anim = (FIX / "tiny_anim.gif").read_bytes()
+    for fi in range(3):
+        want = (EXPECTED["frames"][fi] >> 6) << 6
+        np.testing.assert_array_equal(be.decode_frame(anim, fi, 3, -1, -1), want)
