@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_release": _lazy("pie_ray.functions.privacy", "q_dp_release"),
         "html_tables": _lazy("pie_ray.stages.tables", "q_html_tables"),
         "table_facts": _lazy("pie_ray.stages.tables", "q_table_facts"),
+        "blocklist_screen": _lazy("pie_ray.functions.textops", "q_blocklist_screen"),
         "text_source_roundtrip": _lazy(
             "pie_ray.sources.textfiles", "q_text_source_roundtrip"
         ),
@@ -411,6 +412,12 @@ def _dp_release_sql() -> str:
     from pie_ray.functions.privacy import DP_RELEASE_ORACLE_SQL
 
     return DP_RELEASE_ORACLE_SQL
+
+
+def _blocklist_sql() -> str:
+    from pie_ray.functions.textops import BLOCKLIST_ORACLE_SQL
+
+    return BLOCKLIST_ORACLE_SQL
 
 
 def _html_tables_sql() -> str:
@@ -478,6 +485,10 @@ def oracle_sql() -> dict[str, str]:
         # VALUES-golden oracled (the generator ground truth spelled out)
         "html_tables": _html_tables_sql(),
         "table_facts": _table_facts_sql(),
+        # C4-style banned-words screen: one RE2 kernel per batch; engine
+        # (pyarrow count_substring_regex) and oracle (DuckDB regexp) share
+        # the RE2 engine, so counts are exact by construction
+        "blocklist_screen": _blocklist_sql(),
         # JSONL + CSV source/sink round trip: engine writes both formats
         # and reads them back through the streaming sources; the oracle
         # aggregates the original parquet — hash match proves losslessness

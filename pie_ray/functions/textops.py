@@ -957,3 +957,64 @@ def q_corpus_report(sf_dir: str):
             "dup_frac": pa.array((n_docs - n_dist) * 1.0 / n_docs, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist screen — the C4-style banned-words gate (Raffel et al. 2020
+# dropped any page containing a listed word; this emits the per-doc count
+# and verdict so callers choose drop vs. downweight)
+# ---------------------------------------------------------------------------
+
+BLOCKLIST_WORDS = ("slow", "crash", "panic", "leak")
+
+
+def blocklist_pattern(words=BLOCKLIST_WORDS) -> str:
+    """Word-boundary RE2 alternation over lowercase text. RE2 is the
+    point: pyarrow's count_substring_regex and DuckDB's regexp functions
+    are BOTH RE2, so engine and oracle share one regex engine and the
+    match count is exact by construction (no dialect drift)."""
+    import re as _re
+
+    return r"\b(" + "|".join(_re.escape(w) for w in sorted(words)) + r")\b"
+
+
+def blocklist_screen_batch(t: pa.Table, pattern: str) -> pa.Table:
+    """Vectorized: ONE Arrow RE2 kernel over the batch — no Python loop."""
+    n = pc.count_substring_regex(
+        pc.utf8_lower(t.column("text")), pattern=pattern
+    )
+    n = pc.cast(n, pa.int64())
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_blocked": n,
+            "blocked": pc.greater(n, pa.scalar(0, pa.int64())),
+        }
+    )
+
+
+def q_blocklist_screen(sf_dir: str):
+    """Driver entry (SQL-oracled): per-document banned-word counts +
+    verdict over the documents table. Stateless task map, column-pruned
+    scan — the compiled RE2 automaton scans each batch once regardless of
+    list size (the alternation compiles to one DFA), which is what makes
+    a 10k-term blocklist affordable at corpus scale."""
+    pattern = blocklist_pattern()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        blocklist_screen_batch,
+        fn_kwargs={"pattern": pattern},
+        batch_format="pyarrow",
+    )
+
+
+BLOCKLIST_ORACLE_SQL = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{blocklist_pattern()}'))
+             AS n_blocked,
+           len(regexp_extract_all(lower(text), '{blocklist_pattern()}')) > 0
+             AS blocked
+    FROM documents
+"""
