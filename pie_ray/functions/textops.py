@@ -1018,3 +1018,69 @@ BLOCKLIST_ORACLE_SQL = f"""
              AS blocked
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# text embeddings — feature-hashed char-n-gram vectors (Weinberger et al.
+# 2009 hashing trick with sign hashing = an implicit sparse random
+# projection, the public recipe behind fast near-dup embeddings). The
+# native feeder for the similarity/ANN/SemDeDup stack when no model
+# embedding column exists.
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 64
+EMBED_NGRAM = 3
+EMBED_SALT = 0xE3BD
+
+
+def embed_text_array(texts: list[str | None], dim: int = EMBED_DIM) -> np.ndarray:
+    """(n_docs, dim) float32, L2-normalized. Per doc: sliding char
+    3-gram codes over the lowercased UTF-8 bytes (one vectorized window
+    view), each gram ADDS ±1 at h(gram) % dim — sign hashing keeps the
+    expectation of unrelated-text dot products at 0, so cosine tracks
+    n-gram overlap (Jaccard-ish) rather than length. Deterministic, one
+    pass, no corpus state: the same text embeds identically at any
+    partitioning, scale, or session. Empty/short texts embed to the zero
+    vector (cosine 0 to everything — never a false near-dup)."""
+    from pie_ray.util import hash64_ints
+
+    out = np.zeros((len(texts), dim), np.float32)
+    for i, s in enumerate(texts):
+        b = np.frombuffer((s or "").lower().encode("utf-8"), np.uint8)
+        if len(b) < EMBED_NGRAM:
+            continue
+        codes = (
+            b[:-2].astype(np.int64) * 65536
+            + b[1:-1].astype(np.int64) * 256
+            + b[2:].astype(np.int64)
+        )
+        h = hash64_ints(codes, salt=EMBED_SALT)
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        sgn = ((h >> np.uint64(32)) & np.uint64(1)).astype(np.float32) * 2.0 - 1.0
+        np.add.at(out[i], idx, sgn)
+        n = float(np.linalg.norm(out[i]))
+        if n > 0:
+            out[i] /= n
+    return out
+
+
+def embed_text_batch(t: pa.Table, dim: int = EMBED_DIM) -> pa.Table:
+    vecs = embed_text_array(t.column("text").to_pylist(), dim)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def q_embed_text(sf_dir: str):
+    """Driver entry (rows-only; float vectors aren't hash-oracle
+    material): hashed-n-gram embeddings for every document — the text
+    side's entry into knn/ANN/SemDeDup. Stateless task map, pruned scan."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(embed_text_batch, batch_format="pyarrow")
