@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_facts": _lazy("pie_ray.stages.tables", "q_table_facts"),
         "blocklist_screen": _lazy("pie_ray.functions.textops", "q_blocklist_screen"),
         "embed_text": _lazy("pie_ray.functions.textops", "q_embed_text"),
+        "node_embeddings": _lazy("pie_ray.functions.embeddings", "q_node_embeddings"),
         "text_source_roundtrip": _lazy(
             "pie_ray.sources.textfiles", "q_text_source_roundtrip"
         ),
