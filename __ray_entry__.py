@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_release": _lazy("pie_ray.functions.privacy", "q_dp_release"),
         "html_tables": _lazy("pie_ray.stages.tables", "q_html_tables"),
         "table_facts": _lazy("pie_ray.stages.tables", "q_table_facts"),
+        "jsonld_facts": _lazy("pie_ray.stages.tables", "q_jsonld_facts"),
         "blocklist_screen": _lazy("pie_ray.functions.textops", "q_blocklist_screen"),
         "embed_text": _lazy("pie_ray.functions.textops", "q_embed_text"),
         "node_embeddings": _lazy("pie_ray.functions.embeddings", "q_node_embeddings"),
@@ -414,6 +415,12 @@ def _dp_release_sql() -> str:
     from pie_ray.functions.privacy import DP_RELEASE_ORACLE_SQL
 
     return DP_RELEASE_ORACLE_SQL
+
+
+def _jsonld_sql() -> str:
+    from pie_ray.stages.tables import jsonld_oracle_sql
+
+    return jsonld_oracle_sql()
 
 
 def _blocklist_sql() -> str:
@@ -487,6 +494,9 @@ def oracle_sql() -> dict[str, str]:
         # VALUES-golden oracled (the generator ground truth spelled out)
         "html_tables": _html_tables_sql(),
         "table_facts": _table_facts_sql(),
+        # schema.org JSON-LD blocks flattened to (path, kind, value) facts,
+        # malformed blocks surfaced as @error rows (VALUES golden)
+        "jsonld_facts": _jsonld_sql(),
         # C4-style banned-words screen: one RE2 kernel per batch; engine
         # (pyarrow count_substring_regex) and oracle (DuckDB regexp) share
         # the RE2 engine, so counts are exact by construction

@@ -1,6 +1,7 @@
 """HTML table extraction — the WebTables-style structured-fact source
 (Cafarella et al., VLDB 2008: relational tables embedded in web pages are
-a prime KG input). Two operators over T0 pages:
+a prime KG input) plus schema.org JSON-LD blocks (the modern embedded
+fact source). Operators over T0 pages:
 
 - ``extract_tables_batch``: per-page parse of ``<table>`` markup into long
   form (url, table_idx, row_idx, col_idx, is_header, cell) — a stateless
@@ -9,6 +10,9 @@ a prime KG input). Two operators over T0 pages:
 - ``table_facts``: the KG feed — tables whose FIRST row is all ``<th>``
   emit one (url, table_idx, row_idx, header, value) fact per data cell
   under its column header (the WebTables attribute-value reading).
+- ``extract_jsonld_batch``: every ``<script type="application/ld+json">``
+  block parsed and flattened to (path, kind, value) facts; malformed
+  blocks surface as @error rows instead of vanishing.
 
 Parse spec v1 (deterministic; the goldens pin it):
 - INNERMOST tables only: a ``<table>`` whose body contains another
@@ -324,4 +328,179 @@ def table_facts_oracle_sql(n: int = TABLES_N_PAGES) -> str:
         sorted(golden_table_facts(n)),
         ["url", "table_idx", "row_idx", "header", "value"],
         ["VARCHAR", "BIGINT", "BIGINT", "VARCHAR", "VARCHAR"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data — the modern web-KG fact source (schema.org
+# embedded as <script type="application/ld+json"> blocks; W3C JSON-LD 1.1)
+# ---------------------------------------------------------------------------
+
+_JSONLD_RE = re.compile(
+    rb"<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>(.*?)</script\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+JSONLD_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("block_idx", pa.int64()),
+        ("path", pa.string()),
+        ("kind", pa.string()),  # string | number | bool | null | error
+        ("value", pa.string()),
+    ]
+)
+
+
+def flatten_jsonld(obj, prefix: str = "$"):
+    """Flatten spec v1 (pinned by the goldens): dict keys append ``.key``,
+    list items append ``[i]``, scalars emit (path, kind, canonical text).
+    Numbers canonicalize via repr of the parsed value (ints stay ints —
+    json gives int for integer literals), bools lowercase, null empty."""
+    if isinstance(obj, dict):
+        for k in sorted(obj):
+            yield from flatten_jsonld(obj[k], f"{prefix}.{k}")
+    elif isinstance(obj, list):
+        for i, v in enumerate(obj):
+            yield from flatten_jsonld(v, f"{prefix}[{i}]")
+    elif isinstance(obj, bool):
+        yield prefix, "bool", "true" if obj else "false"
+    elif obj is None:
+        yield prefix, "null", ""
+    elif isinstance(obj, (int, float)):
+        yield prefix, "number", repr(obj)
+    else:
+        yield prefix, "string", str(obj)
+
+
+def jsonld_blocks(html: bytes):
+    """(block_idx, parsed-or-None, error-name) per ld+json script block.
+    Malformed JSON never crashes the stage — it surfaces as an @error row
+    (no-silent-drops rule: a curator must SEE broken markup counts)."""
+    import json
+
+    for bi, m in enumerate(_JSONLD_RE.finditer(html)):
+        raw = m.group(1).decode("utf-8", "replace").strip()
+        try:
+            yield bi, json.loads(raw), None
+        except ValueError as e:
+            yield bi, None, type(e).__name__
+
+
+def extract_jsonld_batch(t: pa.Table) -> pa.Table:
+    cols: dict[str, list] = {n: [] for n in JSONLD_SCHEMA.names}
+
+    def emit(url, bi, path, kind, value):
+        cols["url"].append(url)
+        cols["block_idx"].append(bi)
+        cols["path"].append(path)
+        cols["kind"].append(kind)
+        cols["value"].append(value)
+
+    for url, html in zip(
+        t.column("url").to_pylist(), t.column("html").to_pylist()
+    ):
+        for bi, obj, err in jsonld_blocks(html or b""):
+            if err is not None:
+                emit(url, bi, "$", "error", err)
+                continue
+            for path, kind, value in flatten_jsonld(obj):
+                emit(url, bi, path, kind, value)
+    return pa.table(
+        {n: pa.array(cols[n], JSONLD_SCHEMA.field(n).type) for n in cols},
+        schema=JSONLD_SCHEMA,
+    )
+
+
+_JSONLD_TYPES = ["Person", "Organization", "Article", "Product"]
+
+
+def _synth_jsonld_for_page(i: int) -> tuple[bytes, list]:
+    """HTML + ground-truth (block objects | 'BROKEN') for page ``i``.
+    Every 8th page carries no block; every 11th carries a malformed one
+    (truth records the json.loads error the engine must surface)."""
+    rng = np.random.default_rng(stable_hash64(f"jsonld|{i}") & 0xFFFFFFFF)
+    if i % 8 == 5:
+        return b"<html><body><p>plain page</p></body></html>", []
+    import json
+
+    blocks: list = []
+    parts = [b"<html><head>"]
+    n_blocks = 1 + int(rng.integers(0, 2))
+    for j in range(n_blocks):
+        if i % 11 == 7 and j == 0:
+            parts.append(
+                b'<script type="application/ld+json">{not valid json]</script>'
+            )
+            blocks.append("BROKEN")
+            continue
+        t = _JSONLD_TYPES[int(rng.integers(0, len(_JSONLD_TYPES)))]
+        obj = {
+            "@context": "https://schema.org",
+            "@type": t,
+            "name": f"{t} {i}-{j} été",
+            "identifier": int(rng.integers(1000, 9999)),
+            "rating": round(float(rng.integers(10, 50)) / 10.0, 1),
+            "active": bool(rng.integers(0, 2)),
+            "parent": None,
+            "tags": [f"t{int(rng.integers(0, 9))}", f"t{int(rng.integers(10, 19))}"],
+            "address": {"city": f"City{int(rng.integers(0, 5))}", "zip": f"{int(rng.integers(10000, 99999))}"},
+        }
+        if j == 1:
+            obj = {"@graph": [obj, {"@type": "WebSite", "name": f"site{i}"}]}
+        blocks.append(obj)
+        parts.append(
+            b'<script type="application/ld+json">\n'
+            + json.dumps(obj, ensure_ascii=(i % 2 == 0)).encode("utf-8")
+            + b"\n</script>"
+        )
+    parts.append(b"</head><body>content</body></html>")
+    return b"".join(parts), blocks
+
+
+def synth_jsonld_pages(n: int = 40):
+    import ray.data
+
+    rows = {"url": [], "html": []}
+    for i in range(n):
+        html, _ = _synth_jsonld_for_page(i)
+        rows["url"].append(table_page_url(i))
+        rows["html"].append(html)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "html": pa.array(rows["html"], pa.binary()),
+            }
+        )
+    )
+
+
+def golden_jsonld_facts(n: int = 40) -> list[tuple]:
+    out = []
+    for i in range(n):
+        _, blocks = _synth_jsonld_for_page(i)
+        for bi, obj in enumerate(blocks):
+            if obj == "BROKEN":
+                out.append((table_page_url(i), bi, "$", "error", "JSONDecodeError"))
+                continue
+            for path, kind, value in flatten_jsonld(obj):
+                out.append((table_page_url(i), bi, path, kind, value))
+    return out
+
+
+def q_jsonld_facts(sf_dir: str):
+    """Driver entry (VALUES-golden oracled): flattened schema.org facts
+    from every ld+json block of the deterministic corpus, malformed
+    blocks surfaced as @error rows."""
+    return synth_jsonld_pages(TABLES_N_PAGES).map_batches(
+        extract_jsonld_batch, batch_format="pyarrow"
+    )
+
+
+def jsonld_oracle_sql(n: int = TABLES_N_PAGES) -> str:
+    return _typed_values_sql(
+        sorted(golden_jsonld_facts(n)),
+        ["url", "block_idx", "path", "kind", "value"],
+        ["VARCHAR", "BIGINT", "VARCHAR", "VARCHAR", "VARCHAR"],
     )

@@ -92,3 +92,52 @@ def test_corpus_has_the_hazard_pages():
     assert nested
     cells = T.golden_table_cells(n)
     assert any(c[5] == "" for c in cells)
+
+
+class TestJsonLd:
+    def test_flatten_spec(self):
+        got = list(
+            T.flatten_jsonld(
+                {
+                    "b": [1, {"x": None}],
+                    "a": True,
+                    "r": 4.5,
+                    "s": "é t",
+                }
+            )
+        )
+        assert got == [
+            ("$.a", "bool", "true"),
+            ("$.b[0]", "number", "1"),
+            ("$.b[1].x", "null", ""),
+            ("$.r", "number", "4.5"),
+            ("$.s", "string", "é t"),
+        ]
+
+    def test_blocks_parse_and_errors_surface(self):
+        html = (
+            b'<script type="application/ld+json">{"@type": "Person"}</script>'
+            b'<script type="text/javascript">ignored()</script>'
+            b'<SCRIPT TYPE="application/ld+json">{broken</SCRIPT>'
+        )
+        got = list(T.jsonld_blocks(html))
+        assert got[0] == (0, {"@type": "Person"}, None)
+        assert got[1][0] == 1 and got[1][1] is None
+        assert got[1][2] == "JSONDecodeError"
+
+    def test_golden_parity_and_partition_independence(self, ray_session):
+        cols = ["url", "block_idx", "path", "kind", "value"]
+        want = sorted(T.golden_jsonld_facts(T.TABLES_N_PAGES))
+        for nb in (1, 9):
+            ds = T.synth_jsonld_pages(T.TABLES_N_PAGES).repartition(nb)
+            got = sorted(
+                tuple(r[c] for c in cols)
+                for r in ds.map_batches(
+                    T.extract_jsonld_batch, batch_format="pyarrow"
+                ).take_all()
+            )
+            assert got == want and len(got) > 400
+        # hazard coverage: error rows, @graph nesting, unicode, no-block pages
+        assert any(r[3] == "error" for r in want)
+        assert any("@graph" in r[2] for r in want)
+        assert any("été" in r[4] for r in want)
