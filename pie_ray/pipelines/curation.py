@@ -531,7 +531,8 @@ def dedup_pages_by_url(pages_ds, order_col: str = "warc_ts",
 
 def curate_web_v1(pages_ds, seed_hosts=None,
                   max_link_density_q: int | None = None,
-                  min_text_to_html_q: int | None = None):
+                  min_text_to_html_q: int | None = None,
+                  blocklist=None):
     """The SOURCE-side web-curation recipe end to end, each stage one of
     this repo's operators (the text-side recipe is ``curate_corpus_v2/3``):
 
@@ -541,6 +542,10 @@ def curate_web_v1(pages_ds, seed_hosts=None,
                             stage 3, dropped right after)
         3. structure gate : nav-heavy / markup-soup pages cut on exact
                             integer ratios
+        3b. blocklist     : optional C4-style banned-words cut over the
+                            extracted text (one RE2 kernel per batch;
+                            ``blocklist`` = iterable of words, off when
+                            None/empty)
         4. host prior     : host PageRank gate — or TrustRank when
                             ``seed_hosts`` is given (link farms fall to 0)
 
@@ -573,6 +578,22 @@ def curate_web_v1(pages_ds, seed_hosts=None,
         gate_kwargs["min_text_to_html_q"] = min_text_to_html_q
     kept3, r3 = filter_by_page_quality(extracted, **gate_kwargs)
 
+    rb = None
+    if blocklist:
+        from pie_ray.functions.textops import blocklist_pattern
+
+        pattern = blocklist_pattern(tuple(blocklist))
+
+        def clean(t: pa.Table) -> pa.Table:
+            n = pc.count_substring_regex(
+                pc.utf8_lower(t.column("text")), pattern=pattern
+            )
+            return t.filter(pc.equal(n, pa.scalar(0, pa.int32())))
+
+        n_in = kept3.count()
+        kept3 = kept3.map_batches(clean, batch_format="pyarrow").materialize()
+        rb = {"n_pages": n_in, "n_kept": kept3.count(), "n_words": len(set(blocklist))}
+
     edges = host_edges(kept3).materialize()
     if seed_hosts is not None:
         ranks = host_trustrank(edges, seed_hosts)
@@ -591,6 +612,8 @@ def curate_web_v1(pages_ds, seed_hosts=None,
         "host_prior": {**r4, "prior": "trustrank" if seed_hosts else "pagerank"},
         "n_docs_out": docs.count(),
     }
+    if rb is not None:
+        report["blocklist"] = rb
     return docs, report
 
 

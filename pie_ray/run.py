@@ -117,6 +117,20 @@ def build_parser() -> argparse.ArgumentParser:
         "prints the per-stage report",
     )
     p.add_argument(
+        "--blocklist",
+        metavar="FILE",
+        help="newline-separated banned words for --curate-web's C4-style "
+        "text cut (stage 3b; off when absent)",
+    )
+    p.add_argument(
+        "--structured",
+        action="store_true",
+        help="extract structured data instead of running the KG pipeline: "
+        "write <output>/tables (long-form <table> cells), "
+        "<output>/table_facts (WebTables header-row facts) and "
+        "<output>/jsonld (flattened ld+json facts) from the input pages",
+    )
+    p.add_argument(
         "--trust-seeds",
         type=str,
         default=None,
@@ -369,6 +383,33 @@ def main(argv: list[str] | None = None) -> int:
                 return read_pages(path, langs=cfg.langs)
             return read_pages_parts(path, parts, args.num_parts, langs=cfg.langs)
 
+    if args.structured:
+        import shutil
+
+        from pie_ray.stages.tables import (
+            extract_facts_batch,
+            extract_jsonld_batch,
+            extract_tables_batch,
+        )
+
+        t0 = time.perf_counter()
+        pages = factory(None).materialize()
+        report = {"n_pages": pages.count()}
+        for name, fn in (
+            ("tables", extract_tables_batch),
+            ("table_facts", extract_facts_batch),
+            ("jsonld", extract_jsonld_batch),
+        ):
+            out = f"{args.output}/{name}"
+            shutil.rmtree(out, ignore_errors=True)
+            res = pages.map_batches(fn, batch_format="pyarrow").materialize()
+            res.write_parquet(out)
+            report[name] = {"rows": res.count(), "path": out}
+        report["wall_s"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(report, indent=1))
+        ray.shutdown()
+        return 0
+
     if args.curate_web:
         if args.resume or args.ingest:
             print("--curate-web runs standalone; drop --resume/--ingest",
@@ -383,8 +424,13 @@ def main(argv: list[str] | None = None) -> int:
             if args.trust_seeds
             else None
         )
+        words = None
+        if args.blocklist:
+            with open(args.blocklist) as f:
+                words = [w.strip() for w in f if w.strip()]
         t0 = time.perf_counter()
-        docs, report = curate_web_v1(factory(None), seed_hosts=seeds)
+        docs, report = curate_web_v1(factory(None), seed_hosts=seeds,
+                                     blocklist=words)
         out = f"{args.output}/curated"
         shutil.rmtree(out, ignore_errors=True)
         docs.write_parquet(out)

@@ -335,6 +335,16 @@ def host_pagerank(edges_ds, iters: int | None = None, scale: int | None = None,
                 ]
             ),
         )
+        if tbl.num_rows == 0:
+            # empty link graph (e.g. every page gated out upstream):
+            # np.unique of empty object arrays degrades to float64 and
+            # would crash the string cast below
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "rank_scaled": pa.array([], pa.int64()),
+                }
+            )
         src = np.asarray(tbl.column("src_host").to_pylist())
         dst = np.asarray(tbl.column("dst_host").to_pylist())
         w = tbl.column("n_links").to_numpy(zero_copy_only=False)

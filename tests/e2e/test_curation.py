@@ -180,3 +180,35 @@ def test_v3_duplicate_embedding_rows_keep_doc(ray_session, tmp_path):
     # the duplicated-embedding doc keeps its kept copy and must survive
     assert dup_id in set(chunks.to_pandas().doc_id)
     assert report["rows_semdedup_dropped"] == 0
+
+
+def test_curate_web_blocklist_stage(ray_session):
+    """Stage 3b: pages whose extracted text carries a planted banned word
+    are cut with exact accounting; with no blocklist the report omits the
+    stage entirely."""
+    import pyarrow as pa
+
+    from pie_ray.pipelines.curation import curate_web_v1
+    from pie_ray.sources.linksynth import synth_link_pages
+
+    def plant(t: pa.Table) -> pa.Table:
+        # deterministic by PAGE INDEX (not batch position): every 5th
+        # page gains a paragraph with the banned token
+        htmls = []
+        for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            i = int(u.rsplit("/p", 1)[1])
+            if i % 5 == 0:
+                h = h.replace(b"</body>", b"<p>Naughtyword appears.</p></body>")
+            htmls.append(h)
+        idx = t.schema.get_field_index("html")
+        return t.set_column(idx, "html", pa.array(htmls, pa.binary()))
+
+    pages = synth_link_pages(300).map_batches(plant, batch_format="pyarrow")
+    _docs_all, rep_all = curate_web_v1(pages)
+    assert "blocklist" not in rep_all
+
+    docs_b, rep_b = curate_web_v1(pages, blocklist=["naughtyword"])
+    rb = rep_b["blocklist"]
+    assert rb["n_pages"] - rb["n_kept"] == (300 + 4) // 5  # pages 0,5,...,295
+    assert rb["n_words"] == 1
+    assert all("naughtyword" not in r["text"].lower() for r in docs_b.take_all())
