@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_quantity": relational.q_histogram_quantity,
         # rows-only library surfaces (beyond the ~50-row recording cap;
         # each is gated by its own pytest parity/accuracy tests)
+        "dedup_incremental": _lazy(
+            "pie_ray.functions.dedup_index", "q_dedup_incremental"
+        ),
         "semdedup": _lazy("pie_ray.functions.semdedup", "q_semdedup"),
         "kmeans": _lazy("pie_ray.functions.clustering", "q_kmeans"),
         "bm25_search": _lazy("pie_ray.functions.search", "q_bm25"),
