@@ -181,19 +181,29 @@ def _committed_files(root: str, sub: str, n_deltas: int) -> list[str]:
 
 
 def lsh_index_append(
-    root: str, docs_ds, key_col: str = "key", text_col: str = "text"
+    root: str,
+    docs_ds,
+    key_col: str = "key",
+    text_col: str = "text",
+    slot: int | None = None,
 ) -> dict:
     """Append one committed delta of band keys + shingle blobs for
     ``docs_ds``. Crash-safe: the slot's dirs are cleared and rewritten on
     replay (an uncommitted slot is invisible to readers), then ``meta.json``
     commits. Callers screen BEFORE appending — the index does not dedup what
-    it is given."""
+    it is given.
+
+    ``slot`` pins the delta number for callers whose slots are aligned with
+    external durable state (incremental.py's increment numbers): a replayed
+    or enlarged slot REWRITES in place and the per-delta doc counts in the
+    meta are corrected, so replays converge instead of duplicating. Slots
+    may only be the next free one or an existing one (no holes)."""
     import pyarrow.parquet as pq
 
     meta = _read_meta(root)
     if meta is None:
         os.makedirs(root, exist_ok=True)
-        meta = {"n_deltas": 0, **_params()}
+        meta = {"n_deltas": 0, "delta_docs": [], **_params()}
     else:
         for k, v in _params().items():
             if meta.get(k) != v:
@@ -201,7 +211,11 @@ def lsh_index_append(
                     f"index at {root} was built with {k}={meta.get(k)}, "
                     f"engine now uses {v} — rebuild the index"
                 )
-    k = meta["n_deltas"]
+    k = meta["n_deltas"] if slot is None else slot
+    if k > meta["n_deltas"]:
+        raise ValueError(
+            f"slot {k} would leave a hole (index has {meta['n_deltas']} deltas)"
+        )
     bands_dir = os.path.join(root, "bands", f"delta_{k:06d}")
     sh_dir = os.path.join(root, "shingles", f"delta_{k:06d}")
     for d in (bands_dir, sh_dir):
@@ -215,16 +229,47 @@ def lsh_index_append(
         ),
         batch_format="pyarrow",
     ).materialize()
-    docs.map_batches(bands_batch, batch_format="pyarrow").write_parquet(bands_dir)
-    docs.map_batches(shingles_batch, batch_format="pyarrow").write_parquet(sh_dir)
+    if docs.count() > 0:
+        docs.map_batches(bands_batch, batch_format="pyarrow").write_parquet(bands_dir)
+        docs.map_batches(shingles_batch, batch_format="pyarrow").write_parquet(sh_dir)
     n_docs = sum(
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(os.path.join(sh_dir, "*.parquet"))
     )
-    meta["n_deltas"] = k + 1
-    meta["n_docs"] = int(meta.get("n_docs", 0)) + n_docs
+    dd = list(meta.get("delta_docs", []))
+    while len(dd) <= k:
+        dd.append(0)
+    dd[k] = n_docs
+    meta["delta_docs"] = dd
+    meta["n_deltas"] = max(meta["n_deltas"], k + 1)
+    meta["n_docs"] = int(sum(dd))
     _write_meta(root, meta)
     return {"delta": k, "n_docs": n_docs}
+
+
+def refresh_meta_counts(root: str) -> dict:
+    """Recount per-delta docs from the shingle parquet metadata and rewrite
+    the meta (for callers that rewrite delta files in place — e.g.
+    GDPR-erasure filtering rows out of committed deltas)."""
+    import pyarrow.parquet as pq
+
+    meta = _read_meta(root)
+    if meta is None:
+        raise ValueError(f"no index at {root}")
+    dd = []
+    for k in range(meta["n_deltas"]):
+        dd.append(
+            sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(
+                    os.path.join(root, "shingles", f"delta_{k:06d}", "*.parquet")
+                )
+            )
+        )
+    meta["delta_docs"] = dd
+    meta["n_docs"] = int(sum(dd))
+    _write_meta(root, meta)
+    return meta
 
 
 def lsh_index_build(
@@ -438,12 +483,18 @@ def lsh_index_screen(
     text_col: str = "text",
     tau: float = DOC_TAU,
     force_distributed: bool = False,
+    return_drop_keys: bool = False,
 ):
     """-> (kept_ds, report). ``kept_ds`` filters ``new_docs_ds`` (all its
     columns) to the docs that survive BOTH screens: near-dup-of-index and
     intra-crawl near-dup (keep = lexicographic min key per crawl-only
     cluster; a cluster touching the index keeps nothing — its
     representative already lives in the corpus).
+
+    ``return_drop_keys=True`` adds the sorted dropped-key list to the
+    report (``drop_keys``) for callers that must filter a SIBLING dataset
+    by the verdict (e.g. pages by url); the drop set is minority-sized by
+    construction — an all-dup recrawl is the bounded worst case.
 
     The caller appends the survivors: ``lsh_index_append(root, kept_ds)``."""
     meta = _read_meta(root)
@@ -466,6 +517,8 @@ def lsh_index_screen(
     report = {"n_new": n_new, "n_index_docs": int(meta.get("n_docs", 0))}
     if n_new == 0:
         report.update(n_dup_vs_index=0, n_dup_intra=0, n_kept=0)
+        if return_drop_keys:
+            report["drop_keys"] = []
         return new_docs_ds.limit(0), report
 
     new_bands = new.map_batches(bands_batch, batch_format="pyarrow").materialize()
@@ -478,29 +531,36 @@ def lsh_index_screen(
     from pie_ray.functions.bloomjoin import _bloom_mask, build_key_bloom
 
     idx_band_files = _committed_files(root, "bands", meta["n_deltas"])
-    idx_bands = ray.data.read_parquet(idx_band_files)
     nb_rename = new_bands.map_batches(
         lambda t: pa.table(
             {"band_key_n": t.column("band_key"), "new_key": t.column("key")}
         ),
         batch_format="pyarrow",
     ).materialize()
-    salt = 0xB100
-    bits_b, m, h = build_key_bloom(
-        nb_rename, "band_key_n", capacity=nb_rename.count(), salt=salt
-    )
-    bits_ref = ray.put(np.frombuffer(bits_b, dtype=np.uint8))
+    if idx_band_files:  # an all-empty-delta index has no candidates to offer
+        idx_bands = ray.data.read_parquet(idx_band_files)
+        salt = 0xB100
+        bits_b, m, h = build_key_bloom(
+            nb_rename, "band_key_n", capacity=nb_rename.count(), salt=salt
+        )
+        bits_ref = ray.put(np.frombuffer(bits_b, dtype=np.uint8))
 
-    def prefilter(t: pa.Table, bref=None) -> pa.Table:
-        mask = _bloom_mask(t.column("band_key"), ray.get(bref), m, h, salt)
-        return t.filter(pa.array(mask))
+        def prefilter(t: pa.Table, bref=None) -> pa.Table:
+            mask = _bloom_mask(t.column("band_key"), ray.get(bref), m, h, salt)
+            return t.filter(pa.array(mask))
 
-    hits = drop_empty_blocks(
-        idx_bands.map_batches(
-            prefilter, fn_kwargs={"bref": bits_ref}, batch_format="pyarrow"
-        ).materialize(),
-        schema=pa.schema([("band_key", pa.string()), ("key", pa.string())]),
-    ).materialize()
+        hits = drop_empty_blocks(
+            idx_bands.map_batches(
+                prefilter, fn_kwargs={"bref": bits_ref}, batch_format="pyarrow"
+            ).materialize(),
+            schema=pa.schema([("band_key", pa.string()), ("key", pa.string())]),
+        ).materialize()
+    else:
+        hits = ray.data.from_arrow(
+            pa.table(
+                {"band_key": pa.array([], pa.string()), "key": pa.array([], pa.string())}
+            )
+        ).materialize()
     if hits.count() > 0:
         collided = hits.join(
             drop_empty_blocks(
@@ -537,7 +597,8 @@ def lsh_index_screen(
 
     # ---- verify (size-adaptive) ------------------------------------------
     idx_sh_files = _committed_files(root, "shingles", meta["n_deltas"])
-    idx_sh = ray.data.read_parquet(idx_sh_files)
+    # files can only be absent when the band side was absent too -> n_ix==0
+    idx_sh = ray.data.read_parquet(idx_sh_files) if idx_sh_files else None
     n_ix, n_in = ix_pairs.count(), intra.count()
     dup_vs_index: set[str] = set()
     intra_edges: list[tuple[str, str]] = []
@@ -550,7 +611,8 @@ def lsh_index_screen(
             {b for _, b in ixp} | {x for p in inp for x in p}
         )
         sh_new = _fetch_shingles_map(new_sh, new_keys_needed)
-        sh_old = _fetch_shingles_map(idx_sh, sorted({a for a, _ in ixp}))
+        old_keys = sorted({a for a, _ in ixp})
+        sh_old = _fetch_shingles_map(idx_sh, old_keys) if idx_sh is not None else {}
         dup_vs_index = {b for a, b in _verify_pairs_driver(ixp, sh_old, sh_new, tau)}
         intra_edges = sorted(_verify_pairs_driver(inp, sh_new, sh_new, tau))
     else:
@@ -603,6 +665,8 @@ def lsh_index_screen(
     report["n_dup_vs_index"] = len(dup_vs_index)
     report["n_dup_intra"] = len(drop - dup_vs_index)
     report["n_kept"] = n_new - len(drop)
+    if return_drop_keys:
+        report["drop_keys"] = sorted(drop)
 
     if not drop:
         return new_docs_ds, report

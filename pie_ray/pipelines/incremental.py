@@ -275,7 +275,16 @@ def _rebuild(root: str, cfg) -> dict:
     from pie_ray.pipelines.kg import canonicalize_stage, graph_stage, link_stage
     from pie_ray.stages.graph import write_graph
 
-    raw = ray.data.read_parquet(_delta_files(root, "raw")).materialize()
+    raw_files = _delta_files(root, "raw")
+    if raw_files:
+        raw = ray.data.read_parquet(raw_files).materialize()
+    else:
+        # a corpus with zero PII emits zero raw triples — a VALID store
+        # (e.g. every page lang-filtered or clean); derived caches are
+        # typed-empty, not a crash
+        from pie_ray import schemas
+
+        raw = ray.data.from_arrow(schemas.TRIPLES.empty_table()).materialize()
     canon = link_stage(raw, cfg)
     triples = canonicalize_stage(raw, canon, cfg).materialize()
 
@@ -392,6 +401,120 @@ def _link_deltas_enabled(root: str, meta: dict) -> bool:
     return bool(v)
 
 
+ND_DIR = "lshix"
+
+
+def _nd_root(root: str) -> str:
+    return os.path.join(root, ND_DIR)
+
+
+def _nd_enabled(root: str, meta: dict) -> bool:
+    """Resolved near-dup-screen flag; pre-flag roots probe the dir like
+    ``_link_deltas_enabled`` (an index that exists must keep being
+    maintained — a gap means later screens silently miss that window)."""
+    v = meta.get("near_dup")
+    if v is None:
+        return os.path.isdir(_nd_root(root))
+    return bool(v)
+
+
+def _nd_delta_done(root: str, k: int) -> bool:
+    from pie_ray.functions.dedup_index import _read_meta as _ix_meta
+
+    m = _ix_meta(_nd_root(root))
+    return bool(m) and m.get("n_deltas", 0) > k
+
+
+def _nd_kv(pages_ds, cfg):
+    """(key=url, text) over the pages' EXTRACTED text — the same frozen
+    stripper the NER stage consumes, so the index screens exactly the
+    content the pipeline would otherwise spend NER on. Lang-filtered pages
+    yield no kv row (they ledger but never enter NER, so screening them
+    buys nothing). Extraction runs a second time for pages that also pass
+    to NER — ~1/7 of the NER cost per doc (BASELINE.md per-doc split),
+    which the screen's NER savings dominate whenever dups exist."""
+    from pie_ray.pipelines.kg import extract_stage
+
+    return extract_stage(pages_ds, cfg).map_batches(
+        lambda t: pa.table({"key": t.column("url"), "text": t.column("text")}),
+        batch_format="pyarrow",
+    )
+
+
+def _write_nd_delta(
+    root: str, k: int, slot_pages_ds, cfg, n_ledgered: int | None = None
+) -> dict:
+    """Band/shingle index delta for increment ``k`` — the near-dup twin of
+    ``_write_link_delta`` with the SAME recovery story: the page set
+    derives from the durable url ledger (``_slot_pages``), the slot
+    rewrites idempotently (``lsh_index_append(slot=k)`` clears, rewrites
+    and recommits its meta), and a coverage shortfall against the ledger
+    is surfaced when a DIFFERENT crawl replays into a crashed window (the
+    missing pages' fingerprints cannot be rebuilt from that input)."""
+    import logging
+
+    from pie_ray.functions.dedup_index import lsh_index_append
+
+    cov: dict = {}
+    if n_ledgered is not None:
+        slot_pages_ds = slot_pages_ds.materialize()
+        seen: set[str] = set()
+        for b in slot_pages_ds.select_columns(["url"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            seen.update(b.column("url").to_pylist())
+        cov = {"nd_ledgered_urls": n_ledgered, "nd_found_urls": len(seen)}
+        if len(seen) < n_ledgered:
+            logging.getLogger(__name__).warning(
+                "near-dup index delta %d: crawl covers only %d of %d "
+                "ledgered urls — a DIFFERENT crawl replayed into a crashed "
+                "ingest window; the missing pages' fingerprints cannot be "
+                "recovered from this input. Re-run with the original crawl.",
+                k,
+                len(seen),
+                n_ledgered,
+            )
+    rep = lsh_index_append(_nd_root(root), _nd_kv(slot_pages_ds, cfg), slot=k)
+    return {**cov, "nd_indexed_docs": rep["n_docs"]}
+
+
+def _screen_neardup(root: str, new_pages_ds, cfg) -> tuple:
+    """Content near-dup screen of url-new pages against the corpus index:
+    a page whose extracted text near-dups the corpus (or loses to a kept
+    same-crawl twin) drops BEFORE NER and never ledgers — a recrawl of it
+    re-screens at banding cost, never NER cost. Returns (kept_pages_ds,
+    report). The dropped-url set is minority-sized by construction and
+    applies as a broadcast anti-membership filter (the html of dropped
+    pages never enters an exchange)."""
+    import ray
+
+    from pie_ray.functions.dedup_index import lsh_index_screen
+
+    kv = _nd_kv(new_pages_ds, cfg).materialize()
+    if kv.count() == 0:
+        return new_pages_ds, {"n_neardup_dropped": 0}
+    _kept_kv, rep = lsh_index_screen(_nd_root(root), kv, return_drop_keys=True)
+    drop = rep.pop("drop_keys")
+    nd_rep = {
+        "n_neardup_dropped": len(drop),
+        "n_neardup_vs_corpus": rep["n_dup_vs_index"],
+        "n_neardup_intra": rep["n_dup_intra"],
+    }
+    if not drop:
+        return new_pages_ds, nd_rep
+    dref = ray.put(pa.array(drop, pa.string()))
+
+    def keep(t: pa.Table, urls_ref=None) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t.column("url"), value_set=ray.get(urls_ref)))
+        )
+
+    kept = new_pages_ds.map_batches(
+        keep, fn_kwargs={"urls_ref": dref}, batch_format="pyarrow"
+    )
+    return kept, nd_rep
+
+
 def _slot_pages(root: str, k: int, pages_ds):
     """The crawl pages belonging to increment ``k``: the input filtered to
     the slot's DURABLE url ledger (broadcast — bounded by the increment,
@@ -502,11 +625,23 @@ def linkgraph_from_deltas(root: str):
     )
 
 
-def incremental_build(pages_ds, root: str, cfg=None, link_deltas: bool = False) -> dict:
+def incremental_build(
+    pages_ds,
+    root: str,
+    cfg=None,
+    link_deltas: bool = False,
+    near_dup: bool = False,
+) -> dict:
     """Fresh build that leaves incremental state behind (increment 0).
     ``link_deltas`` also records host link-edge partials per increment so
     the web link graph stays maintainable by delta (CLI --ingest
-    --linkgraph)."""
+    --linkgraph). ``near_dup`` additionally maintains a persisted
+    MinHash-LSH content index (functions/dedup_index.py) so every later
+    ``incremental_update`` drops pages whose TEXT near-dups the corpus —
+    or a kept same-crawl twin — before NER; the build corpus itself is
+    indexed as given, not deduplicated (content curation of the base
+    corpus is a pipeline choice, e.g. pipelines/curation.py). Both flags
+    are STICKY: updates consult the store meta, not a per-call flag."""
     from pie_ray.pipelines.kg import KgConfig
 
     cfg = cfg or KgConfig()
@@ -516,6 +651,8 @@ def incremental_build(pages_ds, root: str, cfg=None, link_deltas: bool = False) 
         # a build crash replays the WHOLE build (meta never landed), so
         # slot 0 simply rewrites; no ledger-derived recovery needed here
         _write_link_delta(root, 0, pages_ds)
+    if near_dup:
+        _write_nd_delta(root, 0, pages_ds, cfg)
     res = _rebuild(root, cfg)
     _write_meta(
         root,
@@ -524,6 +661,7 @@ def incremental_build(pages_ds, root: str, cfg=None, link_deltas: bool = False) 
             "n_urls": _ledger_rows(root),
             "built_fp": _delta_fingerprint(root),
             "link_deltas": bool(link_deltas),
+            "near_dup": bool(near_dup),
         },
     )
     return {**res, "n_new_pages": n_urls}
@@ -611,6 +749,11 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
     """Ingest a new crawl: screen out every already-processed url, run
     extract/NER on the remainder only, append the increment, rebuild the
     derived triples + graph. No new pages -> no-op (caches untouched).
+    Stores built with ``near_dup=True`` additionally drop url-new pages
+    whose extracted text near-dups the corpus (or a kept same-crawl twin)
+    BEFORE NER — dropped pages never ledger, so a recrawl re-pays the
+    banding screen, never NER — and maintain the content index per
+    increment with the link-delta recovery discipline.
 
     ``fpp`` bounds the exact-recheck overhead (FP pages re-screened ~ fpp x
     new pages) AND the anti-join path's driver pull — at 10^12-page scale
@@ -628,8 +771,40 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
             "increments' pages are gone, so their edges cannot be "
             "backfilled; rebuild with link_deltas=True"
         )
+    nd_enabled = _nd_enabled(root, meta)
+    nd_rep: dict = {}
+    if nd_enabled and not _nd_delta_done(root, meta["n_updates"]) and glob.glob(
+        os.path.join(root, "urls", f"delta_{meta['n_updates']:06d}", "*.parquet")
+    ):
+        # a prior update crashed AFTER its ledger write but BEFORE its
+        # index append (the only window the write ordering allows): heal
+        # the slot from ledger ∩ crawl BEFORE screening, or a near-dup of
+        # the crashed window's kept pages slips through the replay
+        nd_slot, nd_ledgered = _slot_pages(root, meta["n_updates"], pages_ds)
+        nd_rep.update(
+            _write_nd_delta(
+                root, meta["n_updates"], nd_slot, cfg, n_ledgered=nd_ledgered
+            )
+        )
     new_pages = _truly_new(pages_ds, root, meta, fpp)
+    if nd_enabled:
+        # content screen BEFORE the ledger write: dropped pages never
+        # ledger, so the screen is what a recrawl of them re-pays — and a
+        # page can never screen against its OWN index entry (the slot's
+        # index delta lands strictly AFTER its ledger below)
+        new_pages, screen_rep = _screen_neardup(root, new_pages, cfg)
+        nd_rep.update(screen_rep)
     n_new = _write_increment(root, meta["n_updates"], new_pages, cfg)
+    if nd_enabled and n_new:
+        # same recovery contract as the link-delta slot below: rebuild
+        # from ledger ∩ crawl (kept pages only — dropped never ledger),
+        # rewrite idempotently, warn on coverage gaps
+        nd_slot, nd_ledgered = _slot_pages(root, meta["n_updates"], pages_ds)
+        nd_rep.update(
+            _write_nd_delta(
+                root, meta["n_updates"], nd_slot, cfg, n_ledgered=nd_ledgered
+            )
+        )
     link_cov: dict = {}
     if ld_enabled and (n_new or not _link_delta_done(root, meta["n_updates"])):
         # STICKY once enabled (a forgotten flag must not hole the graph).
@@ -650,7 +825,7 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
         # nothing genuinely new AND the caches incorporate every durable
         # delta: true no-op (empty delta dirs are skipped on read, meta
         # stays put — the slot is reused)
-        return {"n_new_pages": 0, "rebuilt": False, **link_cov}
+        return {"n_new_pages": 0, "rebuilt": False, **link_cov, **nd_rep}
     # n_new == 0 with a fingerprint mismatch means a previous update
     # crashed between its increment landing and its rebuild — rebuild now
     res = _rebuild(root, cfg)
@@ -661,9 +836,10 @@ def incremental_update(root: str, pages_ds, cfg=None, fpp: float = 1e-3,
             "n_urls": _ledger_rows(root),
             "built_fp": _delta_fingerprint(root),
             "link_deltas": ld_enabled,
+            "near_dup": nd_enabled,
         },
     )
-    return {**res, "n_new_pages": n_new, "rebuilt": True, **link_cov}
+    return {**res, "n_new_pages": n_new, "rebuilt": True, **link_cov, **nd_rep}
 
 
 def compact_deltas(root: str) -> dict:
@@ -914,6 +1090,25 @@ def forget_urls(root: str, urls, cfg=None, pages_ds=None) -> dict:
     r = _erase_rows(root, "urls", url_match)
     report["ledger_rows_dropped"] = r["rows_dropped"]
     report["ledger_deltas_rewritten"] = r["deltas_rewritten"]
+
+    if _nd_enabled(root, meta):
+        # the near-dup index holds content-derived fingerprints (band keys
+        # + shingle hashes) of the erased pages — GDPR semantics require
+        # them gone too, and a stale entry would wrongly SUPPRESS a future
+        # re-ingest of similar content. Same staged-rewrite discipline;
+        # the index meta recounts from the rewritten files afterwards.
+        from pie_ray.functions.dedup_index import refresh_meta_counts
+
+        def key_match(t: pa.Table) -> pa.ChunkedArray:
+            return pc.is_in(t.column("key"), value_set=ray.get(ref))
+
+        nd_dropped = 0
+        for sub in ("bands", "shingles"):
+            rr = _erase_rows(root, f"{ND_DIR}/{sub}", key_match)
+            nd_dropped += rr["rows_dropped"]
+        if nd_dropped:
+            refresh_meta_counts(_nd_root(root))
+        report["neardup_index_rows_dropped"] = nd_dropped
 
     for k in affected_slots:
         slot_pages, n_ledgered = _slot_pages(root, k, pages_ds)

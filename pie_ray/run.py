@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--fpp", type=float, default=1e-3, help="ingest Bloom false-positive rate"
     )
     p.add_argument(
+        "--neardup",
+        action="store_true",
+        help="with --ingest on a FIRST run: also maintain a persisted "
+        "MinHash-LSH content index so every later ingest drops pages whose "
+        "extracted text near-dups the corpus (or a kept same-crawl twin) "
+        "BEFORE NER. Sticky: later updates consult the store meta.",
+    )
+    p.add_argument(
         "--profiles",
         action="store_true",
         help="also write per-entity profiles (fact/predicate/provenance "
@@ -460,7 +468,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             report = incremental_build(
-                factory(None), args.output, cfg, link_deltas=args.linkgraph
+                factory(None), args.output, cfg, link_deltas=args.linkgraph,
+                near_dup=args.neardup,
             )
         if args.profiles:
             report.update(_write_profiles(report["triples_path"], args.output))
