@@ -141,6 +141,75 @@ def run_web_curation(n_pages: int) -> dict:
     }
 
 
+def run_dedup_index(n_pages: int) -> dict:
+    """Persisted-LSH-index screen: index a synth corpus's extracted text,
+    then screen a half-overlapping 'crawl' (recrawled content under new
+    urls near-dups out; fresh content survives). Reported as its own
+    section — NOT folded into the headline total."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pie_ray.functions.dedup_index import lsh_index_build, lsh_index_screen
+    from pie_ray.pipelines.kg import KgConfig, extract_stage
+    from pie_ray.sources.synth import synth_pages
+
+    cfg = KgConfig()
+
+    def kv(pages, tag):
+        ds = extract_stage(pages, cfg).map_batches(
+            lambda t, tg=tag: pa.table(
+                {
+                    "key": pc.binary_join_element_wise(
+                        pa.array([tg] * t.num_rows, pa.string()),
+                        t.column("url"),
+                        ":",
+                    ),
+                    "text": t.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return ds
+
+    root = tempfile.mkdtemp(prefix="bench_lshix_") + "/ix"
+    t0 = time.perf_counter()
+    lsh_index_build(kv(synth_pages(n_pages), "c"), root)
+    build_s = time.perf_counter() - t0
+    # crawl = pages [n/2, 3n/2) under new keys: the first half recrawls
+    # indexed content (~50% near-dup rate, the documented real-crawl
+    # regime), the second half is fresh
+    import ray.data
+
+    from pie_ray.sources.synth import pages_table
+
+    half = n_pages // 2
+
+    def gen_shifted(b):
+        return pages_table(b["id"] + half)
+
+    crawl = kv(
+        ray.data.range(n_pages).map_batches(
+            gen_shifted, batch_format="numpy", batch_size=256
+        ),
+        "n",
+    ).materialize()
+    t0 = time.perf_counter()
+    kept, rep = lsh_index_screen(root, crawl)
+    n_kept = kept.materialize().count()
+    screen_s = time.perf_counter() - t0
+    return {
+        "n_indexed": rep["n_index_docs"],
+        "n_crawl": rep["n_new"],
+        "n_dup_vs_index": rep["n_dup_vs_index"],
+        "n_kept": n_kept,
+        "build_wall_s": round(build_s, 3),
+        "screen_wall_s": round(screen_s, 3),
+        "screen_docs_per_s": round(rep["n_new"] / screen_s, 1),
+    }
+
+
 def main() -> dict:
     sf = _sf_of(SF_DIR)
     _init_ray(NUM_CPUS)
@@ -148,6 +217,7 @@ def main() -> dict:
     kg = run_kg(n_pages, NUM_CPUS)
     qtimes = run_queries(SF_DIR)
     web = run_web_curation(n_pages)
+    lshix = run_dedup_index(n_pages)
     total = kg["wall_s"] + sum(qtimes.values())
     out = {
         "metric": "e2e_wall_s",
@@ -158,6 +228,7 @@ def main() -> dict:
         "num_cpus": NUM_CPUS,
         "kg": kg,
         "web": web,
+        "dedup_index": lshix,
     }
     return out
 

@@ -197,7 +197,9 @@ def lsh_index_append(
     external durable state (incremental.py's increment numbers): a replayed
     or enlarged slot REWRITES in place and the per-delta doc counts in the
     meta are corrected, so replays converge instead of duplicating. Slots
-    may only be the next free one or an existing one (no holes)."""
+    may be SPARSE (missing slot dirs read as empty — incremental's
+    compaction collapses history into slot 0 while increment numbers keep
+    growing); ``delta_docs`` zero-pads the gap."""
     import pyarrow.parquet as pq
 
     meta = _read_meta(root)
@@ -212,10 +214,6 @@ def lsh_index_append(
                     f"engine now uses {v} — rebuild the index"
                 )
     k = meta["n_deltas"] if slot is None else slot
-    if k > meta["n_deltas"]:
-        raise ValueError(
-            f"slot {k} would leave a hole (index has {meta['n_deltas']} deltas)"
-        )
     bands_dir = os.path.join(root, "bands", f"delta_{k:06d}")
     sh_dir = os.path.join(root, "shingles", f"delta_{k:06d}")
     for d in (bands_dir, sh_dir):

@@ -863,10 +863,22 @@ def compact_deltas(root: str) -> dict:
     meta = _read_meta(root)
     caches_current = meta.get("built_fp") == _delta_fingerprint(root)
     stats: dict = {}
-    for table in ("raw", "urls"):
+    tables = ["raw", "urls"]
+    nd = _nd_enabled(root, meta)
+    if nd:
+        # the near-dup index accumulates the same per-increment small-dir
+        # growth; its deltas are distinct-row sets (a recrawled url's twin
+        # entries are harmless), so compaction is the same pure rewrite.
+        # Slot alignment survives: later increments append SPARSE slots
+        # (slot = n_updates, which keeps growing) — _committed_files globs
+        # by slot number, so missing dirs between 0 and the next slot are
+        # simply empty, and the index meta recounts after the swap.
+        tables += [f"{ND_DIR}/bands", f"{ND_DIR}/shingles"]
+    for table in tables:
         deltas = sorted(glob.glob(os.path.join(root, table, "delta_*")))
-        stats[f"{table}_deltas_before"] = len(deltas)
-        stats[f"{table}_files_before"] = len(_delta_files(root, table))
+        key = table.replace("/", "_")
+        stats[f"{key}_deltas_before"] = len(deltas)
+        stats[f"{key}_files_before"] = len(_delta_files(root, table))
         if len(deltas) <= 1:
             continue
         files = _delta_files(root, table)
@@ -885,6 +897,23 @@ def compact_deltas(root: str) -> dict:
         _swap_in(build, os.path.join(root, table))
     stats["raw_files_after"] = len(_delta_files(root, "raw"))
     stats["urls_files_after"] = len(_delta_files(root, "urls"))
+    if nd:
+        # all band/shingle rows now live in slot 0; commit the recount
+        # (crash between the swaps and this write is benign — the old
+        # n_deltas still covers delta_000000 via its range glob)
+        from pie_ray.functions.dedup_index import _read_meta as ix_read
+        from pie_ray.functions.dedup_index import _write_meta as ix_write
+        from pie_ray.functions.dedup_index import refresh_meta_counts
+
+        ixr = _nd_root(root)
+        ixm = ix_read(ixr)
+        if ixm is not None:
+            ixm["n_deltas"] = 1
+            ix_write(ixr, ixm)
+            refresh_meta_counts(ixr)
+        stats["lshix_files_after"] = len(_delta_files(root, f"{ND_DIR}/bands")) + len(
+            _delta_files(root, f"{ND_DIR}/shingles")
+        )
     if caches_current:
         meta["built_fp"] = _delta_fingerprint(root)
         _write_meta(root, meta)
