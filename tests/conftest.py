@@ -4,7 +4,14 @@ import pytest
 @pytest.fixture(scope="session")
 def ray_session():
     """One Ray session for the whole pytest run (driver contract: library
-    code never inits; tests own their session here)."""
+    code never inits; tests own their session here).
+
+    Known environmental flake, observed ~1/1500 test executions: Ray
+    Data's threaded file readers can race fsspec's first import inside a
+    fresh worker ("partially initialized module 'fsspec' has no attribute
+    'utils'"). A worker_process_setup_hook preloading fsspec was tried and
+    HANGS local-mode sessions (the hook needs the runtime-env agent);
+    re-run the affected test on hit."""
     import ray
 
     ray.init(
