@@ -168,6 +168,46 @@ def test_forget_scrubs_index_and_unsuppresses(ray_session, tmp_path_factory):
     assert res2["n_new_pages"] == 0 and res2["n_neardup_dropped"] == 1
 
 
+def test_compaction_preserves_screen_and_sparse_slots(ray_session, tmp_path_factory):
+    """compact_deltas collapses the index into slot 0; later ingests append
+    SPARSE slots (slot = n_updates keeps growing) and the screen still sees
+    every fingerprint — pre-compaction content keeps suppressing dups."""
+    from pie_ray.functions.dedup_index import _read_meta as ix_meta
+    from pie_ray.pipelines.incremental import (
+        compact_deltas,
+        incremental_build,
+        incremental_update,
+    )
+
+    root = str(tmp_path_factory.mktemp("kg_nd_compact"))
+    incremental_build(_pages(CORPUS), root, near_dup=True)
+    incremental_update(root, _pages(CRAWL))
+    stats = compact_deltas(root)
+    assert stats["lshix_bands_deltas_before"] == 2
+    m = ix_meta(os.path.join(root, "lshix"))
+    assert m["n_deltas"] == 1 and m["n_docs"] == len(CORPUS) + len(KEPT_CRAWL)
+    # near-dups of BOTH pre-compaction windows still drop
+    res = incremental_update(
+        root,
+        _pages(
+            [
+                ("https://post1.test/p", _near(CORPUS[3][1])),
+                ("https://post2.test/p", _near(SHARED)),
+                ("https://post3.test/p", _text("post-compact-fresh")),
+            ]
+        ),
+    )
+    assert res["n_new_pages"] == 1 and res["n_neardup_dropped"] == 2
+    # the fresh page landed in a sparse slot beyond the compacted history
+    m2 = ix_meta(os.path.join(root, "lshix"))
+    assert m2["n_deltas"] > 1 and m2["n_docs"] == len(CORPUS) + len(KEPT_CRAWL) + 1
+    # and is itself screened on the next pass
+    res2 = incremental_update(
+        root, _pages([("https://post4.test/p", _near(_text("post-compact-fresh")))])
+    )
+    assert res2["n_new_pages"] == 0 and res2["n_neardup_dropped"] == 1
+
+
 def test_plain_store_unaffected(ray_session, tmp_path_factory):
     """near_dup defaults off: no index dir, update reports unchanged."""
     from pie_ray.pipelines.incremental import incremental_build, incremental_update
